@@ -1,0 +1,184 @@
+"""The effect-graph substrate (functional replacement for the reference's
+``EffectsChain``, core.py:109-160).
+
+A ``Chain`` is a static description: sample rate, channel map, blocksize,
+and an ordered list of (effect_id, EffectModel).  All mutable data — every
+effect's audio state plus the smoothed parameter currents — lives in one
+state pytree.  One call to ``process_block`` is one fully-traced block:
+
+    state, y = chain.process_block(state, targets, x)
+
+and the whole chain compiles to a single XLA program per
+(blocksize, fs, topology), the analogue of the reference's re-``prepare``
+on blocksize change (core.py:123-129).  ``warmup`` runs two dummy blocks to
+force compilation off the hot path (core.py:131-136).
+
+File mode (engine.py:67-129) is a ``lax.scan`` of the same block function
+over on-device superblocks — one dispatch for the whole file.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aefs_tpu.core.params import smooth_all
+from aefs_tpu.core.config import FILE_SUPERBLOCK
+
+
+class Chain:
+    def __init__(self, fs: int, channels_in: int, channels_out: int,
+                 blocksize: int, effects):
+        self.fs = int(fs)
+        self.ci = int(channels_in)
+        self.co = int(channels_out)
+        self.blocksize = int(blocksize)
+        self.effects = tuple(effects)  # ordered (effect_id, model)
+        self._jit_cache = {}
+
+    # -- state ----------------------------------------------------------
+    def init_state(self, configs=None):
+        """configs: optional {effect_id: params-dict} initial live values."""
+        configs = configs or {}
+        fx, params = [], []
+        for eid, model in self.effects:
+            fx.append(model.init_state())
+            params.append(model.initial_params(configs.get(eid, {})))
+        return {"fx": tuple(fx), "params": tuple(params)}
+
+    def targets(self, per_effect: dict):
+        """Build the targets pytree (tuple of dicts in chain order) from a
+        host-side {effect_id: {param: float}} map; missing params fall back
+        to spec defaults, values are clamped like SmoothParam.set_target
+        (core.py:64-66)."""
+        out = []
+        for eid, model in self.effects:
+            cfg = per_effect.get(eid, {})
+            out.append(
+                {
+                    name: jnp.float32(spec.clamp(cfg.get(name, spec.default)))
+                    for name, spec in model.PARAMS.items()
+                }
+            )
+        return tuple(out)
+
+    # -- processing -----------------------------------------------------
+    def _fan_in(self, x):
+        """Channel fan (core.py:147-154): mono->stereo duplicates, otherwise
+        copy the common channels and zero the rest."""
+        if self.ci == 1 and self.co == 2:
+            return jnp.concatenate([x, x], axis=0)
+        ch = min(self.ci, self.co)
+        pad = self.co - ch
+        if pad:
+            z = jnp.zeros((pad, x.shape[-1]), x.dtype)
+            return jnp.concatenate([x[:ch], z], axis=0)
+        return x[:ch]
+
+    def process_block(self, state, targets, x):
+        """x: (ci, N) float32 -> (new_state, (co, N))."""
+        buf = self._fan_in(x)
+        new_fx, new_params = [], []
+        for i, (eid, model) in enumerate(self.effects):
+            pcur = smooth_all(model.PARAMS, state["params"][i], targets[i], self.fs)
+            st, buf = model.process(state["fx"][i], pcur, buf)
+            new_fx.append(st)
+            new_params.append(pcur)
+        return {"fx": tuple(new_fx), "params": tuple(new_params)}, buf
+
+    # -- compiled entry points ------------------------------------------
+    def step(self):
+        """Jitted single-block step (the mic-mode hot path)."""
+        key = ("step", self.blocksize)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self.process_block, donate_argnums=(0,)
+            )
+        return self._jit_cache[key]
+
+    def file_fn(self, n_blocks: int):
+        """Jitted scan of the block step over a whole file's superblocks."""
+        key = ("file", self.blocksize, n_blocks)
+        if key not in self._jit_cache:
+
+            def run(state, targets, blocks):
+                def scan_fn(carry, xb):
+                    st, y = self.process_block(carry, targets, xb)
+                    return st, y
+
+                state, ys = lax.scan(scan_fn, state, blocks)
+                return state, ys
+
+            self._jit_cache[key] = jax.jit(run, donate_argnums=(0,))
+        return self._jit_cache[key]
+
+    def warmup(self, state, targets):
+        """Compile + run two dummy blocks (core.py:131-136); returns a fresh
+        state identical to ``state`` (the dummy run is discarded)."""
+        step = self.step()
+        dummy = jnp.zeros((self.ci, self.blocksize), jnp.float32)
+        st = state
+        for _ in range(2):
+            st, _ = step(st, targets, dummy)
+        jax.block_until_ready(st)
+        return self.init_state()
+
+    def process_array(self, state, targets, audio):
+        """Process a whole (frames, ci) array blockwise on-device.
+
+        Returns (new_state, (frames, co) float32).  Frames are padded up to
+        a multiple of the blocksize; the pad is trimmed from the output.
+        """
+        audio = np.asarray(audio, np.float32)
+        frames = audio.shape[0]
+        n = self.blocksize
+        pad = (-frames) % n
+        if pad:
+            audio = np.concatenate([audio, np.zeros((pad, audio.shape[1]), np.float32)])
+        blocks = jnp.asarray(audio.T.reshape(self.ci, -1, n).transpose(1, 0, 2))
+        state, ys = self.file_fn(blocks.shape[0])(state, targets, blocks)
+        out = np.asarray(ys.transpose(1, 0, 2).reshape(self.co, -1).T)
+        return state, out[:frames]
+
+
+def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
+                registry=None, static_overrides=None):
+    """Chain factory from a JSON-style config list (engine.py:38-65).
+
+    effects_config: [{"effect_id": str, "type": str, "params": {...}}, ...]
+    static_overrides: optional {effect_type: {kw: val}} extra static config
+      (e.g. delay min_delay_ms for file mode).
+
+    Returns (chain, state, targets_map) where targets_map is the host-side
+    {effect_id: params} dict mirroring the initial state.
+    """
+    from aefs_tpu.models import EFFECT_REGISTRY
+
+    registry = registry or EFFECT_REGISTRY
+    static_overrides = static_overrides or {}
+
+    effects, configs = [], {}
+    for cfg in effects_config:
+        etype = cfg.get("type")
+        cls = registry.get(etype)
+        if cls is None:
+            continue  # unknown types are skipped (engine.py:56)
+        eid = cfg.get("effect_id") or f"fx{len(effects)}"
+        params = dict(cfg.get("params", {}))
+        live, static = cls.split_config(params)
+        static.update(static_overrides.get(etype, {}))
+        model = cls(fs, blocksize, channels=channels_out, **static)
+        effects.append((eid, model))
+        configs[eid] = live
+
+    chain = Chain(fs, channels_in, channels_out, blocksize, effects)
+    state = chain.init_state(configs)
+    targets_map = {
+        eid: {k: float(v) for k, v in configs.get(eid, {}).items()}
+        for eid, _ in effects
+    }
+    return chain, state, targets_map

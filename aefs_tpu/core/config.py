@@ -1,0 +1,169 @@
+"""Product constants: operating envelope, UI defaults, factory presets.
+
+Mirrors the reference's constants so a user of the reference finds identical
+behavior: engine.py:18-21 (stream format), app.py:6-39 (EFFECT_DEFAULTS),
+app.py:41-71 (DEFAULT_PRESETS).  Two effects are new in this build
+(BASELINE.md configs 3-4): ``waveshaper`` and ``convreverb``.
+"""
+
+SAMPLE_RATE = 48000
+BLOCKSIZE = 256
+CHANNELS_IN = 1
+CHANNELS_OUT = 2
+
+# File mode processes on-device in superblocks under a lax.scan; per-sample
+# semantics are independent of this size (see aefs_tpu/ops).  4096 keeps the
+# VPU busy while staying above every feedback lag in the default topologies.
+FILE_SUPERBLOCK = 4096
+
+PLOT_FPS = 30          # plot-data pump rate (backend.py:62)
+PLOT_QUEUE_BLOCKS = 200  # bounded plot queue depth (backend.py:81-82)
+WS_MAX_MESSAGE = 500 * 1024 * 1024  # max WebSocket payload (backend.py:128)
+
+EFFECT_DEFAULTS = {
+    "delay": {
+        "feedback": 0.5,
+        "delay_ms": 300,
+        "mix_dry": 0.7,
+        "mix_wet": 0.5,
+        "offset_ms": 30,
+    },
+    "reverb": {
+        "rt60_s": 1.5,
+        "mix_wet": 0.4,
+        "mix_dry": 0.8,
+        "damp": 0.3,
+        "pre_delay_ms": 0.0,
+    },
+    "gate": {
+        "threshold_db": -30.0,
+        "attack_ms": 10.0,
+        "release_ms": 100.0,
+    },
+    "spectral": {
+        "threshold_db": -45.0,
+        "reduction": 0.2,
+    },
+    "octaver": {
+        "semitones": -12.0,
+        "mix": 0.5,
+    },
+    "filter": {
+        "filter_type": 0,  # 0=LP, 1=HP, 2=BP
+        "cutoff_hz": 1000,
+        "q": 0.707,
+    },
+    # New in this build:
+    "waveshaper": {
+        "drive": 4.0,
+        "shape": 1,  # 0=hard clip, 1=tanh, 2=cubic soft
+        "mix": 1.0,
+        "out_gain": 1.0,
+    },
+    "convreverb": {
+        "ir_seconds": 2.0,
+        "mix_dry": 0.7,
+        "mix_wet": 0.4,
+    },
+}
+
+DEFAULT_PRESETS = {
+    "Robot Voice": [
+        {"effect_id": "p1", "type": "gate",
+         "params": {"threshold_db": -30, "attack_ms": 10, "release_ms": 100}},
+        {"effect_id": "p2", "type": "octaver",
+         "params": {"semitones": -12, "mix": 1.0}},
+        {"effect_id": "p3", "type": "delay",
+         "params": {"delay_ms": 120, "feedback": 0.3, "mix_wet": 0.3,
+                    "mix_dry": 1.0, "offset_ms": 10}},
+    ],
+    "Cathedral": [
+        {"effect_id": "p4", "type": "reverb",
+         "params": {"rt60_s": 4.0, "mix_wet": 0.6, "mix_dry": 0.6,
+                    "damp": 0.2, "pre_delay_ms": 20}},
+    ],
+    "Slapback Echo": [
+        {"effect_id": "p5", "type": "delay",
+         "params": {"delay_ms": 100, "feedback": 0.0, "mix_wet": 0.5,
+                    "mix_dry": 1.0, "offset_ms": 0}},
+    ],
+    "Clean Noise Removal": [
+        {"effect_id": "p6", "type": "spectral",
+         "params": {"threshold_db": -50, "reduction": 0.1}},
+        {"effect_id": "p7", "type": "gate",
+         "params": {"threshold_db": -40, "attack_ms": 5, "release_ms": 200}},
+    ],
+    "Guitar Filter": [
+        {"effect_id": "g1", "type": "filter",
+         "params": {"filter_type": 2, "cutoff_hz": 800, "q": 0.8}},
+        {"effect_id": "g2", "type": "reverb",
+         "params": {"mix_wet": 0.2, "rt60_s": 1.0}},
+    ],
+    "Rain Delay": [
+        {"effect_id": "rd1", "type": "delay",
+         "params": {"feedback": 0.2, "delay_ms": 375, "mix_dry": 1,
+                    "mix_wet": 1, "offset_ms": 0}},
+        {"effect_id": "rd2", "type": "reverb",
+         "params": {"rt60_s": 2.1, "mix_wet": 0.4, "mix_dry": 0.8,
+                    "damp": 0.05, "pre_delay_ms": 0}},
+    ],
+    # New-effect showcases:
+    "Crunch": [
+        {"effect_id": "w1", "type": "waveshaper",
+         "params": {"drive": 8.0, "shape": 1, "mix": 1.0, "out_gain": 0.7}},
+        {"effect_id": "w2", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 3500, "q": 0.9}},
+    ],
+    "Concert Hall (Convolution)": [
+        {"effect_id": "cv1", "type": "convreverb",
+         "params": {"ir_seconds": 2.5, "mix_dry": 0.7, "mix_wet": 0.5}},
+    ],
+}
+
+# UI slider specs: (param, label, min, max, step) per effect type
+# (app.py:84-122 plus the two new effects).
+UI_CONTROLS = {
+    "delay": [
+        ("feedback", "Feedback", 0, 0.95, 0.01),
+        ("delay_ms", "Delay time (ms)", 50, 1000, 1),
+        ("mix_dry", "Dry mix", 0, 1, 0.01),
+        ("mix_wet", "Wet mix", 0, 1, 0.01),
+        ("offset_ms", "Stereo offset", 0, 1000, 1),
+    ],
+    "reverb": [
+        ("rt60_s", "60dB decay time (s)", 0.1, 10.0, 0.1),
+        ("mix_dry", "Dry mix", 0, 1, 0.01),
+        ("mix_wet", "Wet mix", 0, 1, 0.01),
+        ("damp", "Damping", 0, 0.95, 0.01),
+        ("pre_delay_ms", "Pre-delay (ms)", 0, 100, 1),
+    ],
+    "gate": [
+        ("threshold_db", "Threshold (dB)", -60, 0, 1),
+        ("attack_ms", "Attack (ms)", 1, 500, 1),
+        ("release_ms", "Release (ms)", 10, 1000, 10),
+    ],
+    "spectral": [
+        ("threshold_db", "Noise Threshold (dB)", -80, 0, 1),
+        ("reduction", "Noise Floor (0=Silence, 1=Orig)", 0.0, 1.0, 0.05),
+    ],
+    "octaver": [
+        ("semitones", "Pitch Shift (Semitones)", -24, 24, 1),
+        ("mix", "Mix (0=Dry, 1=Wet)", 0.0, 1.0, 0.05),
+    ],
+    "filter": [
+        ("filter_type", "Type (0=Low, 1=High, 2=Band)", 0, 2, 1),
+        ("cutoff_hz", "Frequency (Hz)", 20, 10000, 10),
+        ("q", "Resonance (Q)", 0.1, 5.0, 0.1),
+    ],
+    "waveshaper": [
+        ("drive", "Drive", 1.0, 50.0, 0.5),
+        ("shape", "Shape (0=Hard, 1=Tanh, 2=Soft)", 0, 2, 1),
+        ("mix", "Mix", 0.0, 1.0, 0.01),
+        ("out_gain", "Output gain", 0.0, 2.0, 0.01),
+    ],
+    "convreverb": [
+        ("ir_seconds", "IR length (s)", 0.25, 5.0, 0.25),
+        ("mix_dry", "Dry mix", 0, 1, 0.01),
+        ("mix_wet", "Wet mix", 0, 1, 0.01),
+    ],
+}

@@ -1,0 +1,232 @@
+"""AudioEngine: session runtime (functional analogue of reference
+engine.py:24-190).
+
+Owns the current streaming chain (fs=48000, blocksize=256), the host-side
+parameter-target map, the optional live mic stream, and whole-file
+processing.  Differences from the reference, by design:
+
+- The chain is a pure function + state pytree; "rebuild" swaps both
+  atomically (engine.py:65's single-assignment swap becomes replacing the
+  (chain, state, targets) triple under a lock).
+- ``update_param`` only rewrites the host-side target map — the smoothed
+  glide happens inside the jitted step (no locks on the audio path,
+  engine.py:131-145 / core.py:64-77).
+- File mode scans the chain over 4096-sample superblocks on-device in one
+  dispatch (engine.py:101-102's whole-file-single-block quirk is
+  deliberately replaced by blockwise semantics; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+from aefs_tpu.core.config import (
+    SAMPLE_RATE,
+    BLOCKSIZE,
+    CHANNELS_IN,
+    CHANNELS_OUT,
+    FILE_SUPERBLOCK,
+)
+from aefs_tpu.core.chain import build_chain
+from aefs_tpu.engine.wavio import decode_wav, encode_wav_int16
+
+try:  # optional, absent in cloud/TPU images (engine.py:12-15)
+    import sounddevice as sd
+except (ImportError, OSError):
+    sd = None
+
+
+def _file_static_overrides(effects_config):
+    """File mode builds a fresh chain whose smoothed params start at their
+    targets, so the delay's fixed-point iteration count can key off the
+    configured delay instead of the 1 ms spec floor."""
+    overrides = {}
+    for cfg in effects_config:
+        if cfg.get("type") == "delay":
+            d = float(cfg.get("params", {}).get("delay_ms", 375.0))
+            overrides["delay"] = {"min_delay_ms": max(1.0, min(d, 1499.0))}
+    return overrides
+
+
+class AudioEngine:
+    def __init__(self, data_queues=None):
+        self.data_queues = data_queues or {
+            "input": queue.Queue(maxsize=200),
+            "output": queue.Queue(maxsize=200),
+        }
+        self.current_sample_rate = SAMPLE_RATE
+        self.is_running = False
+        self.is_processing_file = False
+        self.status_count = 0
+        self.stream = None
+        self.last_chain_config = []
+        self._lock = threading.Lock()
+        self._targets_map = {}
+        self.build_chain([])
+
+    # -- chain lifecycle (engine.py:38-65) ------------------------------
+    def build_chain(self, effects_config):
+        self.last_chain_config = effects_config
+        chain, state, targets_map = build_chain(
+            effects_config,
+            self.current_sample_rate,
+            BLOCKSIZE,
+            channels_in=CHANNELS_IN,
+            channels_out=CHANNELS_OUT,
+        )
+        targets = chain.targets(targets_map)
+        state = chain.warmup(state, targets)  # JIT off the audio path
+        with self._lock:
+            self.chain = chain
+            self.chain_state = state
+            self._targets_map = targets_map
+            self._targets = targets
+
+    def update_param(self, effect_id: str, param_name: str, value: float):
+        """Route a live parameter change (engine.py:131-145): rewrite the
+        target; the audio path glides toward it one clamped step per block."""
+        with self._lock:
+            ids = {eid for eid, _ in self.chain.effects}
+            if effect_id not in ids:
+                print(f"Error: effect ID '{effect_id}' not found")
+                return
+            model = dict(self.chain.effects)[effect_id]
+            if param_name not in model.PARAMS:
+                print(
+                    f"Warning: parameter '{param_name}' in effect "
+                    f"'{effect_id}' could not be updated"
+                )
+                return
+            self._targets_map.setdefault(effect_id, {})[param_name] = float(value)
+            self._targets = self.chain.targets(self._targets_map)
+
+    # -- block streaming ------------------------------------------------
+    def process_stream_block(self, in_block: np.ndarray) -> np.ndarray:
+        """One hot-path block: (N, ci) float32 in -> (N, co) float32 out.
+
+        Feeds the plot queues exactly like the reference's PlotDataTap
+        chain heads/tails (core.py:89-106): input tap sees the fanned
+        block, output tap the processed one; both drop on full."""
+        with self._lock:
+            chain, state, targets = self.chain, self.chain_state, self._targets
+        import jax.numpy as jnp
+
+        x = jnp.asarray(in_block.T)
+        state, y = chain.step()(state, targets, x)
+        out = np.asarray(y).T
+        with self._lock:
+            # Chain may have been swapped mid-block; matching the
+            # reference's benign race, the old block's state is dropped.
+            if self.chain is chain:
+                self.chain_state = state
+        fanned = np.repeat(in_block, 2, axis=1) if in_block.shape[1] == 1 else in_block
+        for qname, blk in (("input", fanned), ("output", out)):
+            try:
+                self.data_queues[qname].put_nowait(blk.copy())
+            except queue.Full:
+                pass
+        return out
+
+    # -- mic stream (engine.py:147-190) ---------------------------------
+    def start_mic_stream(self):
+        if self.is_running:
+            print("Warning: stream is already running")
+            return
+        if sd is None:
+            print("Server Mode: Microphone hardware not available. Stream ignored.")
+            return
+
+        def callback(indata, outdata, frames, t, status):
+            if status:
+                self.status_count += 1
+            outdata[:] = self.process_stream_block(np.asarray(indata, np.float32))
+
+        try:
+            self.stream = sd.Stream(
+                samplerate=self.current_sample_rate,
+                blocksize=BLOCKSIZE,
+                dtype="float32",
+                latency="low",
+                channels=(CHANNELS_IN, CHANNELS_OUT),
+                callback=callback,
+                prime_output_buffers_using_stream_callback=True,
+            )
+            self.stream.start()
+            self.is_running = True
+            actual = int(self.stream.samplerate)
+            if actual != self.current_sample_rate:
+                # Sample-rate renegotiation (engine.py:177-181).
+                self.current_sample_rate = actual
+                print(f"Rebuilding effects chain for {actual} Hz...")
+                self.build_chain(self.last_chain_config)
+        except Exception as e:
+            print(f"Error on stream start: {e}")
+
+    def stop_stream(self):
+        if self.stream:
+            self.stream.stop()
+            self.stream.close()
+            self.stream = None
+            self.is_running = False
+
+    # -- file mode (engine.py:67-129) -----------------------------------
+    def process_file_array(self, audio: np.ndarray, fs: int):
+        """(frames, ch) float32 -> (frames, 2) float32 through a fresh
+        chain built from the last config at the file's sample rate."""
+        if audio.ndim > 1:
+            mono = audio.mean(axis=1, keepdims=True)
+        else:
+            mono = audio.reshape(-1, 1)
+        mono = mono.astype(np.float32)
+
+        blocksize = FILE_SUPERBLOCK
+        chain, state, targets_map = build_chain(
+            self.last_chain_config,
+            fs,
+            blocksize,
+            channels_in=1,
+            channels_out=2,
+            static_overrides=_file_static_overrides(self.last_chain_config),
+        )
+        _, out = chain.process_array(state, chain.targets(targets_map), mono)
+        return mono, np.clip(out, -1.0, 1.0)
+
+    async def process_wav_file(self, contents: str, websocket):
+        if self.is_processing_file:
+            print("Warning. A file is already being process. Ignoring new request")
+            return
+        self.is_processing_file = True
+        try:
+            print("Info: Processing WAV")
+            _, content_string = contents.split(",")
+            decoded = base64.b64decode(content_string)
+            audio, fs = decode_wav(decoded)
+
+            loop = asyncio.get_running_loop()
+            mono, processed = await loop.run_in_executor(
+                None, self.process_file_array, audio, fs
+            )
+
+            wav_bytes = encode_wav_int16(processed, fs)
+            b64 = base64.b64encode(wav_bytes).decode("ascii")
+            response = {
+                "type": "file_processed",
+                "original_b64": contents,
+                "processed_b64": f"data:audio/wav;base64,{b64}",
+                "sample_rate": int(fs),
+                "original_samples": mono.flatten().tolist(),
+                "processed_samples": processed.mean(axis=1).flatten().tolist(),
+            }
+            await websocket.send(json.dumps(response))
+        except Exception as e:
+            print(f"Error processing WAV file: {e}")
+        finally:
+            print("Success: Finished processing WAV file")
+            self.is_processing_file = False

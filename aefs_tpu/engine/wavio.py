@@ -1,0 +1,110 @@
+"""WAV decode/encode without external audio libraries.
+
+The reference uses soundfile/libsndfile for decode and scipy for encode
+(engine.py:79, :108); this build decodes with the stdlib ``wave`` module +
+numpy (PCM 8/16/24/32-bit and IEEE float32) and encodes via scipy's wavfile
+(present in the base image) with a stdlib fallback — no native audio stack
+required on the host.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def decode_wav(data: bytes):
+    """Decode WAV bytes -> (float32 array (frames, channels) in [-1, 1], fs)."""
+    # Try stdlib wave first (PCM); fall back to a minimal RIFF parse for
+    # IEEE-float WAVs which the wave module rejects on some versions.
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            fs = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 1:
+            x = np.frombuffer(raw, np.uint8).astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif width == 2:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif width == 3:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            i32 = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            i32 = np.where(i32 >= 1 << 23, i32 - (1 << 24), i32)
+            x = i32.astype(np.float32) / float(1 << 23)
+        elif width == 4:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        return x.reshape(-1, ch), fs
+    except wave.Error:
+        return _decode_riff_float(data)
+
+
+def _decode_riff_float(data: bytes):
+    """Minimal RIFF walker for format-3 (IEEE float) WAVs."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, fs, _, _, bits = fmt
+    if audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(payload, "<f4").astype(np.float32)
+    elif audio_fmt == 3 and bits == 64:
+        x = np.frombuffer(payload, "<f8").astype(np.float32)
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}")
+    return x.reshape(-1, ch), fs
+
+
+def encode_wav_int16(audio, fs: int) -> bytes:
+    """float array (frames, ch) in [-1, 1] -> 16-bit PCM WAV bytes
+    (the reference's output format, engine.py:104-108)."""
+    x = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    pcm = (x * 32767.0).astype(np.int16)
+    try:
+        import scipy.io.wavfile
+
+        buf = io.BytesIO()
+        scipy.io.wavfile.write(buf, int(fs), pcm)
+        return buf.getvalue()
+    except Exception:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(pcm.shape[1] if pcm.ndim > 1 else 1)
+            w.setsampwidth(2)
+            w.setframerate(int(fs))
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+
+def read_wav_file(path: str):
+    with open(path, "rb") as f:
+        return decode_wav(f.read())
+
+
+def write_wav_file(path: str, audio, fs: int):
+    with open(path, "wb") as f:
+        f.write(encode_wav_int16(audio, fs))

@@ -1,0 +1,41 @@
+"""Effect model registry.
+
+Mirrors the reference's type->class factory map (engine.py:50-55) plus the
+two build-specific additions (waveshaper, convreverb — BASELINE.md
+configs 3-4).
+"""
+
+from aefs_tpu.models.base import EffectModel
+from aefs_tpu.models.biquad import BiquadFilter
+from aefs_tpu.models.delay import StereoDelay
+from aefs_tpu.models.gate import NoiseGate
+from aefs_tpu.models.octaver import Octaver
+from aefs_tpu.models.reverb import Reverb
+from aefs_tpu.models.spectral import SpectralFilter
+from aefs_tpu.models.waveshaper import Waveshaper
+from aefs_tpu.models.convreverb import ConvReverb, synthetic_ir
+
+EFFECT_REGISTRY = {
+    "delay": StereoDelay,
+    "reverb": Reverb,
+    "gate": NoiseGate,
+    "spectral": SpectralFilter,
+    "octaver": Octaver,
+    "filter": BiquadFilter,
+    "waveshaper": Waveshaper,
+    "convreverb": ConvReverb,
+}
+
+__all__ = [
+    "EffectModel",
+    "BiquadFilter",
+    "StereoDelay",
+    "NoiseGate",
+    "Octaver",
+    "Reverb",
+    "SpectralFilter",
+    "Waveshaper",
+    "ConvReverb",
+    "synthetic_ir",
+    "EFFECT_REGISTRY",
+]

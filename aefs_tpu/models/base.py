@@ -1,0 +1,52 @@
+"""Functional effect protocol.
+
+The reference models an effect as a mutable object with
+``prepare(sr, ci, co, blocksize)`` / ``process_into(x, out)``
+(core.py:81-86).  TPU-native form: an ``EffectModel`` instance holds only
+*static* topology (buffer lengths, lags, window tables — everything that
+shapes the compiled program), while all mutable audio state lives in an
+explicit pytree threaded through ``process``:
+
+    state = model.init_state()
+    state, y = model.process(state, params, x)      # x, y: (2, N) float32
+
+``params`` is a dict of traced scalars — the *smoothed current* values,
+advanced once per block by the chain (see core/params.py).  The same model
+object is reusable across jit traces; a new blocksize or sample rate is a
+new trace, mirroring the reference's re-``prepare`` (core.py:123-129).
+"""
+
+from __future__ import annotations
+
+from aefs_tpu.core.params import ParamSpec, init_params
+
+
+class EffectModel:
+    kind: str = ""
+    PARAMS: dict[str, ParamSpec] = {}
+
+    def __init__(self, fs: int, blocksize: int, channels: int = 2, **config):
+        self.fs = int(fs)
+        self.blocksize = int(blocksize)
+        self.channels = int(channels)
+        self.config = dict(config)
+
+    # -- static helpers -------------------------------------------------
+    @classmethod
+    def split_config(cls, config: dict):
+        """Split a chain-config params dict into (live targets, static)."""
+        live = {k: v for k, v in config.items() if k in cls.PARAMS}
+        static = {k: v for k, v in config.items() if k not in cls.PARAMS}
+        return live, static
+
+    def initial_params(self, config: dict) -> dict:
+        return init_params(self.PARAMS, config)
+
+    # -- to implement ---------------------------------------------------
+    def init_state(self):
+        """Return the effect's state pytree (all-zero history)."""
+        return {}
+
+    def process(self, state, p, x):
+        """Pure block transform: (state, params, (C, N)) -> (state, (C, N))."""
+        raise NotImplementedError

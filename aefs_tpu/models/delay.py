@@ -1,0 +1,65 @@
+"""Stereo feedback delay / echo (parity target: reference delay.py).
+
+Independent L/R delay lines with the right channel offset for width
+(delay.py:84); dry/wet mix and hard clip after the wet sum
+(delay.py:94-96).  The per-sample ring-buffer loop (delay_kernel,
+delay.py:7-22) becomes a blocked fixed-point feedback solve
+(ops/ringbuf.py:feedback_delay_block).
+
+``min_delay_ms`` is static and sets the fixed-point iteration count
+K = ceil(N / min_delay_samples).  Streaming uses the spec lower bound
+(1 ms, delay.py:54); file mode passes the configured delay since smoothed
+params start at their targets there (engine.py builds a fresh chain per
+file, engine.py:86-99).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aefs_tpu.core.params import ParamSpec
+from aefs_tpu.models.base import EffectModel
+from aefs_tpu.ops.ringbuf import feedback_delay_block
+
+
+class StereoDelay(EffectModel):
+    kind = "delay"
+
+    # Bounds/steps from StereoDelayEffect (delay.py:48-58).
+    PARAMS = {
+        "delay_ms": ParamSpec(375.0, 1.0, 1499.0, smooth="step_ms", step=2.0),
+        "feedback": ParamSpec(0.2, 0.0, 0.95, smooth="step", step=0.02),
+        "mix_dry": ParamSpec(0.8, 0.0, 2.0),
+        "mix_wet": ParamSpec(0.8, 0.0, 2.0),
+        "offset_ms": ParamSpec(30.0, 0.0, 1500.0),
+    }
+
+    def __init__(self, fs, blocksize, channels=2, max_delay_ms=1500.0,
+                 min_delay_ms=1.0, **config):
+        super().__init__(fs, blocksize, channels)
+        self.max_delay_ms = float(max_delay_ms)
+        # Ring size: int(fs * max_delay_ms / 1000) + 1 (delay.py:33).
+        self.size = int(fs * self.max_delay_ms / 1000.0) + 1
+        self.min_delay = max(1, int(fs * float(min_delay_ms) / 1000.0))
+
+    def init_state(self):
+        return {"lines": jnp.zeros((2, self.size), jnp.float32)}
+
+    def process(self, state, p, x):
+        d_l_ms = p["delay_ms"]
+        d_r_ms = jnp.minimum(d_l_ms + p["offset_ms"], self.max_delay_ms - 1.0)
+        fb = p["feedback"]
+
+        def to_samples(ms):
+            d = (jnp.float32(self.fs) * ms / 1000.0).astype(jnp.int32)
+            return jnp.clip(d, 0, self.size - 1)  # delay.py:38-40
+
+        d_samples = jnp.stack([to_samples(d_l_ms), to_samples(d_r_ms)])
+
+        wet, lines = jax.vmap(
+            lambda h, xi, d: feedback_delay_block(h, xi, d, fb, self.min_delay)
+        )(state["lines"], x, d_samples)
+
+        y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
+        return {"lines": lines}, y

@@ -1,0 +1,135 @@
+"""Schroeder/Moorer algorithmic reverb (parity target: reference reverb.py).
+
+Topology per side (reverb.py:208-272): pre-delay -> 4 parallel damped
+feedback combs summed -> 2 serial Gardner allpass diffusers -> dry/wet mix
+with hard clip.  L/R are decorrelated by +-0.3 ms lag jitter
+(reverb.py:158-177, :186-187).  Per-comb feedback derives from RT60:
+g = 10^(-3 L / fs / rt60) (reverb.py:205-206).
+
+TPU mapping: the comb bank is one vectorized ``comb_bank_block`` (a
+gather + first-order associative scan per fixed-point step — the bank axis
+is also the natural "model-parallel" shard axis, see parallel/); the short
+allpasses (5.0 / 1.7 ms < blocksize) are exact lag-affine scans over
+residue classes (ops/scan.py:lag_affine_scan) — "hard part #1" of
+SURVEY.md §7 — and the pre-delay is a pure gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aefs_tpu.core.params import ParamSpec
+from aefs_tpu.models.base import EffectModel
+from aefs_tpu.ops.ringbuf import comb_bank_block, allpass_block, delay_read, ring_push
+
+
+class Reverb(EffectModel):
+    kind = "reverb"
+
+    # Bounds/steps from ReverbEffect (reverb.py:112-119).
+    PARAMS = {
+        "rt60_s": ParamSpec(1.5, 0.1, 10.0, smooth="step", step=0.05),
+        "damp": ParamSpec(0.3, 0.0, 0.99, smooth="step", step=0.02),
+        "pre_delay_ms": ParamSpec(0.0, 0.0, 100.0, smooth="step_ms", step=2.0),
+        "mix_dry": ParamSpec(0.7, 0.0, 2.0),
+        "mix_wet": ParamSpec(0.5, 0.0, 2.0),
+    }
+
+    def __init__(
+        self,
+        fs,
+        blocksize,
+        channels=2,
+        comb_times_ms=(29.7, 37.1, 41.1, 43.7),
+        allpass_times_ms=(5.0, 1.7),
+        allpass_gain=0.6,
+        jitter_ms=0.3,
+        max_delay_ms=200.0,
+        max_pre_delay_ms=100.0,
+        **config,
+    ):
+        super().__init__(fs, blocksize, channels)
+        self.ap_gain = float(allpass_gain)
+        self.pre_size = max(1, int(fs * float(max_pre_delay_ms) / 1000.0) + 1)
+
+        def lags(times_ms, jitter, scale):
+            out = []
+            for base in times_ms:
+                ms = min(float(base) + jitter * scale, float(max_delay_ms) - 1.0)
+                out.append(max(1, int(fs * ms / 1000.0)))
+            return out
+
+        # Static per-side lags (reverb.py:158-177): jitter +0.3 L / -0.3 R.
+        j = float(jitter_ms)
+        self.comb_lags = [lags(comb_times_ms, +j, 1.0), lags(comb_times_ms, -j, 1.0)]
+        self.ap_lags = [lags(allpass_times_ms, +j, 0.2), lags(allpass_times_ms, -j, 0.2)]
+        self.comb_lmax = max(max(side) for side in self.comb_lags)
+        self.comb_lmin = min(min(side) for side in self.comb_lags)
+        self.n_combs = len(comb_times_ms)
+
+    def init_state(self):
+        f32 = jnp.float32
+        return {
+            "pre": jnp.zeros((2, self.pre_size), f32),
+            "combs": jnp.zeros((2, self.n_combs, self.comb_lmax), f32),
+            "lps": jnp.zeros((2, self.n_combs), f32),
+            "aps": tuple(
+                tuple(jnp.zeros((lag,), f32) for lag in self.ap_lags[side])
+                for side in range(2)
+            ),
+        }
+
+    def process(self, state, p, x):
+        fs = jnp.float32(self.fs)
+        rt60 = p["rt60_s"]
+        damp = p["damp"]
+        pre_d = (fs * p["pre_delay_ms"] / 1000.0).astype(jnp.int32)
+        pre_d = jnp.minimum(pre_d, self.pre_size - 1)  # reverb.py:224-225
+
+        # Pre-delay (pure gather) per side.
+        pre_out = jax.vmap(lambda h, xi: delay_read(h, xi, pre_d))(state["pre"], x)
+        new_pre = ring_push(state["pre"], x)
+
+        new_combs = []
+        new_lps = []
+        new_aps = []
+        wet_sides = []
+        for side in range(2):
+            lags = jnp.asarray(self.comb_lags[side], jnp.int32)
+            # g per comb from RT60 (reverb.py:205-206).
+            g = jnp.power(
+                10.0, -3.0 * (lags.astype(jnp.float32) / fs) / jnp.maximum(1e-3, rt60)
+            )
+            y, hists, lps = comb_bank_block(
+                state["combs"][side],
+                state["lps"][side],
+                pre_out[side],
+                lags,
+                g,
+                damp,
+                self.comb_lmin,
+            )
+            new_combs.append(hists)
+            new_lps.append(lps)
+            sig = jnp.sum(y, axis=0)  # comb sum (reverb.py:234-241)
+
+            side_aps = []
+            for stage, lag in enumerate(self.ap_lags[side]):
+                sig, ap_hist = allpass_block(
+                    state["aps"][side][stage], sig, self.ap_gain, lag
+                )
+                side_aps.append(ap_hist)
+            new_aps.append(tuple(side_aps))
+            wet_sides.append(sig)
+
+        wet = jnp.stack(wet_sides)
+        y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
+        new_state = {
+            "pre": new_pre,
+            "combs": jnp.stack(new_combs),
+            "lps": jnp.stack(new_lps),
+            "aps": tuple(new_aps),
+        }
+        return new_state, y

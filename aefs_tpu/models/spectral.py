@@ -1,0 +1,82 @@
+"""STFT spectral noise gate (parity target: reference spectral.py).
+
+Overlap-add noise reduction: 50%-overlap Hann-windowed frames, per-bin
+binary mask against a linear threshold, temporal mask smoothing
+(alpha = 0.8), mono analysis applied to both channels (spectral.py:44-100).
+
+TPU mapping: all hops inside a processing block are framed and rfft'd as a
+batch; the only sequential piece — the temporal mask IIR across frames —
+is a first-order associative scan over the frame axis.  The hop is pinned
+to the *stream* block size (256) regardless of the on-device superblock, so
+file mode and mic mode produce identical spectra.  (This deliberately
+diverges from the reference's file-mode quirk of one whole-file FFT,
+core.py:123-129 + spectral.py:34-42 — see SURVEY.md §7, "blockwise +
+parity waiver".)
+
+The reference's magnitude/phase decompose-recompose
+(mag * mask * exp(i*phase), spectral.py:74) is algebraically just
+``fft * mask``; we use the direct product.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from aefs_tpu.core.params import ParamSpec
+from aefs_tpu.models.base import EffectModel
+from aefs_tpu.ops.fftops import hann_window, frame_signal, overlap_add
+from aefs_tpu.ops.scan import affine_scan
+
+
+class SpectralFilter(EffectModel):
+    kind = "spectral"
+
+    # Bounds/steps from SpectralFilter (spectral.py:8-9, :46-47).
+    PARAMS = {
+        "threshold_db": ParamSpec(-40.0, -80.0, 0.0, smooth="step", step=1.0),
+        "reduction": ParamSpec(0.5, 0.0, 1.0, smooth="step", step=0.05),
+    }
+
+    def __init__(self, fs, blocksize, channels=2, hop=256, smoothing=0.8, **config):
+        super().__init__(fs, blocksize, channels)
+        if blocksize % hop != 0:
+            raise ValueError(f"blocksize {blocksize} must be a multiple of hop {hop}")
+        self.hop = int(hop)
+        self.n_fft = 2 * self.hop
+        self.alpha = float(smoothing)
+        self.window = hann_window(self.n_fft)
+
+    def init_state(self):
+        f32 = jnp.float32
+        return {
+            "in_tail": jnp.zeros((self.n_fft - self.hop,), f32),
+            "ola_tail": jnp.zeros((self.hop,), f32),
+            "mask": jnp.ones((self.n_fft // 2 + 1,), f32),
+        }
+
+    def process(self, state, p, x):
+        hop = self.hop
+        thresh = jnp.power(10.0, p["threshold_db"] / 20.0)
+        red = p["reduction"]
+
+        mono = jnp.mean(x, axis=0)  # mono analysis (spectral.py:55)
+        frames, in_tail = frame_signal(state["in_tail"], mono, self.n_fft, hop)
+        spec = jnp.fft.rfft(frames * self.window[None, :], axis=-1)  # (k, bins)
+
+        mag = jnp.abs(spec)
+        cur_mask = jnp.where(mag > thresh, 1.0, red)  # spectral.py:68
+        # Temporal smoothing across frames (spectral.py:71) — first-order scan.
+        mask = affine_scan(
+            jnp.float32(self.alpha),
+            (1.0 - self.alpha) * cur_mask,
+            state["mask"],
+            axis=0,
+        )
+
+        frames_out = jnp.fft.irfft(spec * mask, axis=-1).astype(jnp.float32)
+        y_mono, ola_tail = overlap_add(frames_out, state["ola_tail"], hop)
+
+        new_state = {"in_tail": in_tail, "ola_tail": ola_tail, "mask": mask[-1]}
+        # Same cleaned mono signal on every output channel (spectral.py:92-96).
+        y = jnp.broadcast_to(y_mono[None, :], x.shape)
+        return new_state, y

@@ -1,0 +1,102 @@
+"""On-device STFT framing and overlap-add.
+
+Replaces the reference's host-side NumPy FFT path (spectral.py:53-100) and
+generalizes it into the machinery for partitioned FFT convolution (the
+convolution-reverb benchmark config, BASELINE.md config 4).  All transforms
+run on-device via ``jnp.fft.rfft/irfft``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def hann_window(n_fft: int, dtype=jnp.float32):
+    """Symmetric Hann window, identical to np.hanning (spectral.py:17)."""
+    return jnp.asarray(np.hanning(n_fft), dtype=dtype)
+
+
+def frame_signal(tail, x, n_fft: int, hop: int):
+    """Slice a block into overlapping analysis frames.
+
+    tail: (n_fft - hop,) carried samples preceding this block.
+    x: (N,) current block, N must be a multiple of ``hop``.
+
+    Returns (frames, new_tail) where frames is (N // hop, n_fft): frame i
+    covers stream samples [i*hop, i*hop + n_fft) of ``tail ++ x`` — the
+    sliding in_buffer of the reference (spectral.py:53-56) batched over all
+    hops in the block.
+    """
+    n = x.shape[-1]
+    k = n // hop
+    stream = jnp.concatenate([tail, x])
+    idx = jnp.arange(k)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = jnp.take(stream, idx, axis=-1)
+    new_tail = stream[n:]
+    return frames, new_tail
+
+
+def overlap_add(frames, tail, hop: int):
+    """50%-overlap-add synthesis (port of spectral.py:77-100).
+
+    frames: (k, 2*hop) processed time-domain frames.
+    tail: (hop,) carried second half of the previous frame.
+
+    Returns (y, new_tail): y is (k*hop,) — frame i's first half plus frame
+    i-1's second half, exactly the reference's out_accum shift pattern.
+    """
+    k = frames.shape[0]
+    halves = jnp.concatenate([tail[None, :], frames[:-1, hop:]], axis=0)
+    y = (frames[:, :hop] + halves).reshape(k * hop)
+    return y, frames[-1, hop:]
+
+
+def partitioned_fft_conv(spec_hist, in_tail, x, ir_spectra, hop: int):
+    """Uniformly-partitioned FFT convolution (frequency-domain delay line).
+
+    The impulse response is split into P partitions of ``hop`` samples;
+    each partition's rfft (length 2*hop) is a row of ``ir_spectra``
+    (P, hop+1) complex64.  Per hop we push the input frame spectrum into a
+    P-deep history and accumulate sum_p X[t-p] * H[p] — overlap-save.
+
+    spec_hist: (P-1, hop+1) complex64 — previous input-frame spectra,
+      chronological (newest last).
+    in_tail: (hop,) previous input block (for the overlap-save frame).
+    x: (N,) input, N a multiple of ``hop``.
+
+    Returns (y, new_spec_hist, new_in_tail).
+    """
+    p, _ = ir_spectra.shape
+    n = x.shape[-1]
+    k = n // hop
+
+    frames, new_in_tail = frame_signal(in_tail, x, 2 * hop, hop)
+    specs = jnp.fft.rfft(frames, axis=-1)  # (k, hop+1)
+
+    # Chronological spectra: P-1 carried, then k new.  Output hop j needs
+    # X_{j-q} = full[p-1+j-q] for q = 0..P-1.
+    full = jnp.concatenate([spec_hist, specs], axis=0)  # (p-1+k, hop+1)
+    base = jnp.arange(k)[:, None] + (p - 1 - jnp.arange(p))[None, :]  # (k, p)
+    windows = jnp.take(full, base, axis=0)  # (k, p, hop+1)
+    y_spec = jnp.sum(windows * ir_spectra[None, :, :], axis=1)  # (k, hop+1)
+
+    y_frames = jnp.fft.irfft(y_spec, axis=-1)  # (k, 2*hop)
+    # Overlap-save: the second half of each frame is the valid output.
+    y = y_frames[:, hop:].reshape(n).astype(x.dtype)
+
+    new_hist = full[k:] if p > 1 else full[:0]
+    return y, new_hist, new_in_tail
+
+
+def partition_ir(ir, hop: int):
+    """Split an impulse response into rfft'd partitions for
+    ``partitioned_fft_conv``: partition q covers ir[q*hop:(q+1)*hop],
+    zero-padded to 2*hop.  Returns (P, hop+1) complex64."""
+    ir = np.asarray(ir, np.float32)
+    p = max(1, -(-len(ir) // hop))
+    padded = np.zeros((p, 2 * hop), np.float32)
+    for q in range(p):
+        part = ir[q * hop : (q + 1) * hop]
+        padded[q, : len(part)] = part
+    return jnp.asarray(np.fft.rfft(padded, axis=-1).astype(np.complex64))

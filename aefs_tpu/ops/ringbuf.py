@@ -1,0 +1,231 @@
+"""Chronological ring buffers and blocked delay-line solvers.
+
+The reference keeps ring buffers as (buf, write-pointer) pairs updated one
+sample at a time inside Numba loops (delay.py:7-22, reverb.py:11-67,
+octaver.py:17-82).  Here every buffer is *chronological*: ``hist[..., -1]``
+is the most recently written sample and a block update is a single
+``concat(hist, new)[... , -S:]``.  Reads become slices / gathers, which XLA
+maps onto the VPU with no scatter or modular arithmetic.
+
+Feedback through a delay line shorter than the block is solved by
+fixed-point iteration: each application of the block map propagates
+correctness by ``dS`` samples, so ``ceil(N / dS_min)`` iterations
+(a static count) reach the exact solution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ring_push(hist, new):
+    """Append ``new`` (time-last) and keep the trailing window of hist's size."""
+    size = hist.shape[-1]
+    return jnp.concatenate([hist, new], axis=-1)[..., -size:]
+
+
+def _shift_dyn(y, d, n_idx):
+    """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar)."""
+    idx = jnp.clip(n_idx - d, 0, y.shape[-1] - 1)
+    return jnp.where(n_idx >= d, jnp.take(y, idx, axis=-1), 0.0)
+
+
+def delay_read(hist, x, d_samples):
+    """Pure delay: y[n] = stream[n - d], stream = hist ++ x.
+
+    Port of ``pure_delay_kernel`` (reverb.py:12-31).  ``d_samples`` is a
+    traced int32 scalar in [0, S] where S = hist length; d = 0 passes
+    ``x`` through unchanged (reverb.py:14-22).
+
+    hist: (..., S) chronological; x: (..., N).  Returns y: (..., N).
+    """
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    ext = jnp.concatenate([hist, x], axis=-1)
+    idx = s + jnp.arange(n) - d_samples
+    return jnp.take(ext, idx, axis=-1)
+
+
+def feedback_delay_block(hist, x, d_samples, feedback, min_delay: int):
+    """Feedback echo over one block (port of delay_kernel, delay.py:7-22).
+
+        y[n] = w[n - d]           (the delayed read)
+        w[n] = x[n] + feedback * y[n]   (written back into the line)
+
+    hist: (S,) chronological history of *written* values w.
+    d_samples: traced int32 in [min_delay, S].
+    min_delay: static lower bound on d, sets the fixed-point iteration
+      count K = ceil(N / min_delay).
+
+    Returns (y, new_hist).
+    """
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    n_idx = jnp.arange(n)
+
+    # Reads that land in the history region (n < d): gather once.
+    ext = jnp.concatenate([hist, jnp.zeros((n,), hist.dtype)], axis=-1)
+    base_hist = jnp.take(ext, jnp.clip(s + n_idx - d_samples, 0, s + n - 1), axis=-1)
+    x_shift = _shift_dyn(x, d_samples, n_idx)
+    in_hist = n_idx < d_samples
+
+    k = max(1, -(-n // max(1, min_delay)))
+    y = jnp.zeros_like(x)
+    for _ in range(k):
+        y = jnp.where(in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples, n_idx))
+
+    w = x + feedback * y
+    return y, ring_push(hist, w)
+
+
+def comb_damped_block(hist, lp_prev, x, g, h):
+    """Damped feedback comb over one block (port of comb_damped_kernel,
+    reverb.py:33-46).  Lag equals the history length L (static).
+
+        y[n]      = w[n - L]
+        damped[n] = (1-h) * y[n] + h * damped[n-1]
+        w[n]      = x[n] + g * damped[n]
+
+    hist: (L,) chronological written values; lp_prev: scalar damping state.
+    Returns (y, new_hist, new_lp).
+    """
+    from aefs_tpu.ops.scan import affine_scan
+
+    lag = hist.shape[-1]
+    n = x.shape[-1]
+
+    if n <= lag:
+        # All reads predate this block: y is just the history head.
+        y = hist[:n]
+        damped = affine_scan(h, (1.0 - h) * y, lp_prev)
+    else:
+        # Fixed point: corrections propagate L samples per iteration.
+        n_idx = jnp.arange(n)
+        hist_pad = jnp.pad(hist, (0, n - lag))
+        x_shift = jnp.concatenate([jnp.zeros((lag,), x.dtype), x[:-lag]])
+        in_hist = n_idx < lag
+        k = -(-n // lag)
+        y = jnp.zeros_like(x)
+        damped = jnp.zeros_like(x)
+        for _ in range(k):
+            damped = affine_scan(h, (1.0 - h) * y, lp_prev)
+            d_shift = jnp.concatenate([jnp.zeros((lag,), x.dtype), damped[:-lag]])
+            y = jnp.where(in_hist, hist_pad, x_shift + g * d_shift)
+        damped = affine_scan(h, (1.0 - h) * y, lp_prev)
+
+    w = x + g * damped
+    return y, ring_push(hist, w), damped[-1]
+
+
+def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
+    """A bank of damped feedback combs sharing one input (the reverb's four
+    parallel combs per side, reverb.py:234-241), vectorized over the bank.
+
+    Buffers are padded to a common length: ``hists[b, -lags[b]:]`` is comb
+    b's real chronological window; reads at lag L land at
+    ``hists[b, Lmax - L + n]`` so differing lags stay a single gather.
+
+    hists: (B, Lmax); lps: (B,) damping states; x: (N,) shared input;
+    lags: (B,) int32; g: (B,) feedback gains; h: scalar damping;
+    min_lag: static lower bound of lags, sets the fixed-point count.
+
+    Returns (y, new_hists, new_lps) with y: (B, N) raw delayed outputs
+    (the comb output is the undamped read, reverb.py:41-43).
+    """
+    from aefs_tpu.ops.scan import affine_scan
+
+    b, lmax = hists.shape
+    n = x.shape[-1]
+    n_idx = jnp.arange(n)
+
+    ext = jnp.concatenate([hists, jnp.zeros((b, n), hists.dtype)], axis=-1)
+    idx = jnp.clip(lmax - lags[:, None] + n_idx[None, :], 0, lmax + n - 1)
+    base_hist = jnp.take_along_axis(ext, idx, axis=-1)  # valid where n < lag
+    in_hist = n_idx[None, :] < lags[:, None]
+
+    shift = jax.vmap(_shift_dyn, in_axes=(0, 0, None))
+    x_shift = shift(jnp.broadcast_to(x, (b, n)), lags, n_idx)
+    lps_col = lps[:, None]
+    g_col = g[:, None]
+
+    k = max(1, -(-n // max(1, min_lag)))
+    y = jnp.zeros((b, n), x.dtype)
+    for _ in range(k):
+        damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
+        y = jnp.where(in_hist, base_hist, x_shift + g_col * shift(damped, lags, n_idx))
+    damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
+
+    w = x[None, :] + g_col * damped
+    new_hists = jnp.concatenate([hists, w], axis=-1)[:, -lmax:]
+    return y, new_hists, damped[:, -1]
+
+
+def allpass_block(hist, x, a, lag: int):
+    """Gardner/Moorer allpass diffuser over one block (port of
+    allpass_kernel, reverb.py:48-67).  ``lag`` is static (reverb topology
+    is fixed at prepare time, reverb.py:158-177).
+
+        y[n] = w[n - lag] - a * x[n]
+        w[n] = x[n] + a * y[n]
+
+    which unrolls to the lag-affine recurrence
+        y[n] = base[n] + a * y[n - lag],
+        base[n] = (hist[n] if n < lag else x[n - lag]) - a * x[n]
+
+    hist: (lag,) chronological written values.  Returns (y, new_hist).
+    """
+    from aefs_tpu.ops.scan import lag_affine_scan
+
+    n = x.shape[-1]
+    if n <= lag:
+        delayed = hist[:n]
+        y = delayed - a * x
+    else:
+        head = hist - a * x[:lag]
+        tail = x[: n - lag] - a * x[lag:]
+        base = jnp.concatenate([head, tail])
+        y = lag_affine_scan(base, a, lag)
+
+    w = x + a * y
+    return y, ring_push(hist, w)
+
+
+def cubic_hermite(frac, y0, y1, y2, y3):
+    """4-point Hermite interpolation (port of cubic_interp, octaver.py:9-15)."""
+    c0 = y1
+    c1 = 0.5 * (y2 - y0)
+    c2 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+    c3 = 0.5 * (y3 - y0) + 1.5 * (y1 - y2)
+    return ((c3 * frac + c2) * frac + c1) * frac + c0
+
+
+def fractional_read_cubic(hist, x, ago):
+    """Cubic-interpolated tap at a fractional distance into the past.
+
+    Port of the tap logic in pitch_shift_kernel_cubic (octaver.py:37-62),
+    re-derived in chronological coordinates: the reference reads ring
+    positions floor(w - a + size) + {-1, 0, 1, 2} (mod size), which are the
+    samples (ceil(a) + {1, 0, -1, -2}) mod size in the past, interpolated at
+    frac = ceil(a) - a.
+
+    hist: (S,) last S input samples (the octaver writes raw input, so the
+      whole extended stream is known up front and the read is one parallel
+      gather — no recurrence).
+    x: (N,) current block; ago: (N,) float distances a = p * size in [0, S).
+
+    Returns (N,) interpolated samples.
+    """
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    ext = jnp.concatenate([hist, x])
+    ca = jnp.ceil(ago)
+    frac = (ca - ago).astype(x.dtype)
+    ca = ca.astype(jnp.int32)
+    base = s + jnp.arange(n)
+
+    def tap(offset):
+        back = jnp.mod(ca + offset, s)
+        return jnp.take(ext, base - back, axis=-1)
+
+    return cubic_hermite(frac, tap(1), tap(0), tap(-1), tap(-2))

@@ -1,0 +1,142 @@
+"""Blocked linear-recurrence solvers (associative scans).
+
+The reference implements every IIR recurrence as a per-sample Numba loop
+(biquad_kernel filter.py:8-40, comb damping reverb.py:39-41, gate smoothing
+gate.py:33-36).  On TPU a per-sample loop serializes the VPU; instead we
+solve each recurrence for a whole block at once:
+
+- first-order affine recurrences  y[n] = m[n]*y[n-1] + b[n]
+  -> ``affine_scan`` (log-depth ``lax.associative_scan``)
+- second-order recurrences (biquad) -> ``biquad_block`` via 2x2
+  companion-matrix prefix products
+- lag-L recurrences  y[n] = b[n] + a*y[n-L]  (allpass diffusers)
+  -> ``lag_affine_scan``: reshape to (M, L) residue classes, scan over rows
+
+All math is float32 end-to-end (matching the reference kernels); parity vs
+the float64 NumPy oracles is enforced at <= -80 dBFS by tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def affine_scan(mult, add, init, axis: int = 0):
+    """Solve y[n] = mult[n] * y[n-1] + add[n] with y[-1] = init.
+
+    Args:
+      mult: multiplier per step; broadcastable to ``add`` along ``axis``
+        (e.g. shape ``(N, 1)`` against ``add`` of ``(N, L)``, or ``(N,)``).
+      add: additive term per step, scan runs along ``axis``.
+      init: carried-in value y[-1] (broadcastable to one slice of ``add``).
+
+    Returns:
+      y with the same shape as ``add``.
+    """
+    add = jnp.asarray(add)
+    mult = jnp.broadcast_to(jnp.asarray(mult, add.dtype), _bshape(mult, add, axis))
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a2 * a1, a2 * b1 + b2
+
+    a_cum, b_cum = lax.associative_scan(combine, (mult, add), axis=axis)
+    return a_cum * init + b_cum
+
+
+def _bshape(mult, add, axis):
+    """Shape for mult: same scan-axis length as add, broadcast elsewhere."""
+    mult = jnp.asarray(mult)
+    if mult.ndim == 0:
+        shape = [1] * add.ndim
+        shape[axis] = add.shape[axis]
+        return tuple(shape)
+    return mult.shape
+
+
+def lag_affine_scan(base, a, lag: int):
+    """Solve y[n] = base[n] + a * y[n-lag] for n >= lag, y[n] = base[n] else.
+
+    ``lag`` must be static.  Samples fall into ``lag`` independent residue
+    classes; reshaping to (M, lag) rows turns the recurrence into a
+    first-order scan over rows, vectorized across the lag lanes.
+
+    base: (N,) float32.  Returns y: (N,).
+    """
+    n = base.shape[-1]
+    m = -(-n // lag)  # ceil
+    padded = jnp.pad(base, (0, m * lag - n)).reshape(m, lag)
+    y = affine_scan(jnp.asarray(a, base.dtype), padded, jnp.zeros((lag,), base.dtype))
+    return y.reshape(m * lag)[:n]
+
+
+def linrec2(v, a1, a2, y1, y2):
+    """Solve y[n] = v[n] - a1*y[n-1] - a2*y[n-2] with y[-1]=y1, y[-2]=y2.
+
+    v: (N,) float32; coefficients and initial conditions are scalars.
+    Returns y: (N,).  Uses a 2x2 companion-matrix associative scan:
+    s[n] = M @ s[n-1] + [v[n], 0],  M = [[-a1, -a2], [1, 0]],
+    s[n] = [y[n], y[n-1]].
+    """
+    n = v.shape[0]
+    dt = v.dtype
+    a1 = jnp.asarray(a1, dt)
+    a2 = jnp.asarray(a2, dt)
+    # Companion matrix components, constant across the block.
+    p = jnp.broadcast_to(-a1, (n,))
+    q = jnp.broadcast_to(-a2, (n,))
+    r = jnp.ones((n,), dt)
+    s = jnp.zeros((n,), dt)
+    bu = v
+    bv = jnp.zeros((n,), dt)
+
+    def combine(e1, e2):
+        # e = (p, q, r, s, bu, bv): matrix [[p, q], [r, s]], vector [bu, bv].
+        p1, q1, r1, s1, u1, v1 = e1
+        p2, q2, r2, s2, u2, v2 = e2
+        # M2 @ M1
+        np_ = p2 * p1 + q2 * r1
+        nq = p2 * q1 + q2 * s1
+        nr = r2 * p1 + s2 * r1
+        ns = r2 * q1 + s2 * s1
+        # M2 @ b1 + b2
+        nu = p2 * u1 + q2 * v1 + u2
+        nv = r2 * u1 + s2 * v1 + v2
+        return np_, nq, nr, ns, nu, nv
+
+    cp, cq, cr, cs, cu, cv = lax.associative_scan(combine, (p, q, r, s, bu, bv))
+    # s[n] = Mcum @ [y1, y2] + bcum ; output is the first component.
+    return cp * y1 + cq * y2 + cu
+
+
+def biquad_block(x, b0, b1, b2, a1, a2, state):
+    """Direct-Form-I biquad over a block, per channel.
+
+    Port of the reference biquad recurrence (filter.py:8-40) as an
+    FIR part (shift-and-scale, fully parallel) + second-order scan.
+
+    x: (C, N) float32
+    state: (C, 4) float32, [x1, x2, y1, y2] per channel
+    coefficients: traced scalars (constant within the block,
+    filter.py:100-107).
+
+    Returns (y, new_state).
+    """
+    c, n = x.shape
+    x1 = state[:, 0:1]
+    x2 = state[:, 1:2]
+    y1 = state[:, 2]
+    y2 = state[:, 3]
+
+    xm1 = jnp.concatenate([x1, x[:, :-1]], axis=1)  # x[n-1]
+    xm2 = jnp.concatenate([x2, x1, x[:, :-2]], axis=1)  # x[n-2]
+    v = b0 * x + b1 * xm1 + b2 * xm2
+
+    y = jax.vmap(lambda vv, i1, i2: linrec2(vv, a1, a2, i1, i2))(v, y1, y2)
+
+    ym2 = y[:, -2] if n >= 2 else y1
+    new_state = jnp.stack([x[:, -1], xm1[:, -1], y[:, -1], ym2], axis=1)
+    return y, new_state

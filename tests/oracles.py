@@ -1,0 +1,398 @@
+"""Float64 NumPy oracles: faithful per-sample ports of the reference DSP.
+
+Each oracle replays the reference kernel's recurrence sample-by-sample in
+float64 (the reference runs float32 fastmath Numba; these oracles are the
+mathematical ground truth the BASELINE parity bar is measured against).
+Citations point at the reference kernels being modeled:
+
+  delay_kernel            /root/reference/src/audioblocks/delay.py:7-22
+  pure_delay_kernel       reverb.py:11-31
+  comb_damped_kernel      reverb.py:33-46
+  allpass_kernel          reverb.py:48-67
+  biquad_kernel           filter.py:8-40
+  gate_kernel             gate.py:6-42
+  pitch_shift_kernel      octaver.py:17-82
+  SpectralFilter          spectral.py:44-100
+
+They are deliberately simple (per-sample python loops over numpy scalars)
+— clarity over speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class OracleSmooth:
+    """SmoothParam.step_towards (core.py:56-77) in float64."""
+
+    def __init__(self, value, lo=-np.inf, hi=np.inf):
+        self.current = float(value)
+        self.target = float(value)
+        self.lo, self.hi = lo, hi
+
+    def set_target(self, v):
+        self.target = min(max(float(v), self.lo), self.hi)
+
+    def step(self, max_step):
+        d = self.target - self.current
+        self.current += min(max(d, -max_step), max_step)
+        return self.current
+
+
+class OracleDelayLine:
+    """Feedback echo line (delay_kernel semantics)."""
+
+    def __init__(self, fs, max_delay_ms=1500.0):
+        self.fs = fs
+        self.size = int(fs * max_delay_ms / 1000.0) + 1
+        self.buf = np.zeros(self.size)
+        self.w = 0
+
+    def process(self, x, delay_ms, feedback):
+        d = min(int(self.fs * delay_ms / 1000.0), self.size - 1)
+        y = np.zeros(len(x))
+        for n in range(len(x)):
+            r = (self.w - d) % self.size
+            delayed = self.buf[r]
+            y[n] = delayed
+            self.buf[self.w] = x[n] + delayed * feedback
+            self.w = (self.w + 1) % self.size
+        return y
+
+
+class OracleStereoDelay:
+    """StereoDelayEffect (delay.py:43-96), constant params."""
+
+    def __init__(self, fs, delay_ms=375.0, feedback=0.2, mix_dry=0.8,
+                 mix_wet=0.8, offset_ms=30.0, max_delay_ms=1500.0):
+        self.p = dict(delay_ms=delay_ms, feedback=feedback, mix_dry=mix_dry,
+                      mix_wet=mix_wet, offset_ms=offset_ms)
+        self.max_delay_ms = max_delay_ms
+        self.L = OracleDelayLine(fs, max_delay_ms)
+        self.R = OracleDelayLine(fs, max_delay_ms)
+
+    def process(self, x):  # x: (N, 2)
+        p = self.p
+        d_l = p["delay_ms"]
+        d_r = min(d_l + p["offset_ms"], self.max_delay_ms - 1.0)
+        wet_l = self.L.process(x[:, 0], d_l, p["feedback"])
+        wet_r = self.R.process(x[:, 1], d_r, p["feedback"])
+        out = np.stack(
+            [p["mix_dry"] * x[:, 0] + p["mix_wet"] * wet_l,
+             p["mix_dry"] * x[:, 1] + p["mix_wet"] * wet_r], axis=1)
+        return np.clip(out, -1.0, 1.0)
+
+
+class OraclePureDelay:
+    def __init__(self, size):
+        self.size = size
+        self.buf = np.zeros(size)
+        self.w = 0
+
+    def process(self, x, d):
+        y = np.zeros(len(x))
+        for n in range(len(x)):
+            if d == 0:
+                y[n] = x[n]
+            else:
+                y[n] = self.buf[(self.w - d) % self.size]
+            self.buf[self.w] = x[n]
+            self.w = (self.w + 1) % self.size
+        return y
+
+
+class OracleComb:
+    def __init__(self, lag):
+        self.lag = lag
+        self.size = lag + 1
+        self.buf = np.zeros(self.size)
+        self.w = 0
+        self.lp = 0.0
+
+    def process(self, x, g, h):
+        y = np.zeros(len(x))
+        for n in range(len(x)):
+            r = (self.w - self.lag) % self.size
+            v = self.buf[r]
+            damped = (1.0 - h) * v + h * self.lp
+            self.lp = damped
+            y[n] = v
+            self.buf[self.w] = x[n] + g * damped
+            self.w = (self.w + 1) % self.size
+        return y
+
+
+class OracleAllpass:
+    def __init__(self, lag):
+        self.lag = lag
+        self.size = lag + 1
+        self.buf = np.zeros(self.size)
+        self.w = 0
+
+    def process(self, x, a):
+        y = np.zeros(len(x))
+        for n in range(len(x)):
+            delayed = self.buf[(self.w - self.lag) % self.size]
+            y[n] = delayed - a * x[n]
+            self.buf[self.w] = x[n] + a * y[n]
+            self.w = (self.w + 1) % self.size
+        return y
+
+
+class OracleReverb:
+    """ReverbEffect (reverb.py:72-277), constant params."""
+
+    COMB_MS = (29.7, 37.1, 41.1, 43.7)
+    AP_MS = (5.0, 1.7)
+
+    def __init__(self, fs, rt60_s=1.5, damp=0.3, pre_delay_ms=0.0,
+                 mix_dry=0.7, mix_wet=0.5, jitter_ms=0.3, ap_gain=0.6,
+                 max_delay_ms=200.0, max_pre_delay_ms=100.0):
+        self.fs = fs
+        self.p = dict(rt60_s=rt60_s, damp=damp, pre_delay_ms=pre_delay_ms,
+                      mix_dry=mix_dry, mix_wet=mix_wet)
+        self.ap_gain = ap_gain
+        pre_size = max(1, int(fs * max_pre_delay_ms / 1000.0) + 1)
+        self.pre = [OraclePureDelay(pre_size), OraclePureDelay(pre_size)]
+        self.pre_size = pre_size
+
+        def lags(times, jit, scale):
+            return [max(1, int(fs * min(t + jit * scale, max_delay_ms - 1.0) / 1000.0))
+                    for t in times]
+
+        self.combs = [
+            [OracleComb(l) for l in lags(self.COMB_MS, +jitter_ms, 1.0)],
+            [OracleComb(l) for l in lags(self.COMB_MS, -jitter_ms, 1.0)],
+        ]
+        self.aps = [
+            [OracleAllpass(l) for l in lags(self.AP_MS, +jitter_ms, 0.2)],
+            [OracleAllpass(l) for l in lags(self.AP_MS, -jitter_ms, 0.2)],
+        ]
+
+    def process(self, x):  # (N, 2)
+        p = self.p
+        d = min(int(self.fs * p["pre_delay_ms"] / 1000.0), self.pre_size - 1)
+        out = np.zeros_like(x)
+        for side in range(2):
+            pre = self.pre[side].process(x[:, side], d)
+            acc = np.zeros(len(x))
+            for comb in self.combs[side]:
+                g = 10.0 ** (-3.0 * (comb.lag / self.fs) / max(1e-3, p["rt60_s"]))
+                acc += comb.process(pre, g, p["damp"])
+            for ap in self.aps[side]:
+                acc = ap.process(acc, self.ap_gain)
+            out[:, side] = p["mix_dry"] * x[:, side] + p["mix_wet"] * acc
+        return np.clip(out, -1.0, 1.0)
+
+
+class OracleBiquad:
+    """FilterEffect (filter.py:42-113), constant params."""
+
+    def __init__(self, fs, filter_type=0.0, cutoff_hz=1000.0, q=0.707, channels=2):
+        self.fs = fs
+        self.p = dict(filter_type=filter_type, cutoff_hz=cutoff_hz, q=q)
+        self.state = np.zeros((channels, 4))
+
+    def coeffs(self):
+        fc, q = self.p["cutoff_hz"], self.p["q"]
+        w0 = 2.0 * np.pi * fc / self.fs
+        cw, sw = np.cos(w0), np.sin(w0)
+        alpha = sw / (2.0 * q)
+        t = int(round(self.p["filter_type"]))
+        if t == 0:
+            b0, b1, b2 = (1 - cw) / 2, 1 - cw, (1 - cw) / 2
+        elif t == 1:
+            b0, b1, b2 = (1 + cw) / 2, -(1 + cw), (1 + cw) / 2
+        else:
+            b0, b1, b2 = alpha, 0.0, -alpha
+        a0, a1, a2 = 1 + alpha, -2 * cw, 1 - alpha
+        return b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+
+    def process(self, x):  # (N, C)
+        b0, b1, b2, a1, a2 = self.coeffs()
+        y = np.zeros_like(x)
+        for c in range(x.shape[1]):
+            x1, x2, y1, y2 = self.state[c]
+            for i in range(x.shape[0]):
+                x0 = x[i, c]
+                y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+                y[i, c] = y0
+                x2, x1, y2, y1 = x1, x0, y1, y0
+            self.state[c] = [x1, x2, y1, y2]
+        return y
+
+
+class OracleGate:
+    """NoiseGateEffect (gate.py:45-90), constant params."""
+
+    def __init__(self, fs, threshold_db=-40.0, attack_ms=10.0, release_ms=100.0):
+        self.fs = fs
+        self.p = dict(threshold_db=threshold_db, attack_ms=attack_ms,
+                      release_ms=release_ms)
+        self.gain = 0.0
+
+    def _coeff(self, ms):
+        t = max(1e-3, ms * 1e-3)
+        return 1.0 - np.exp(-2.2 / (t * self.fs))
+
+    def process(self, x):  # (N, C)
+        thresh = 10.0 ** (self.p["threshold_db"] / 20.0)
+        att = self._coeff(self.p["attack_ms"])
+        rel = self._coeff(self.p["release_ms"])
+        y = np.zeros_like(x)
+        g = self.gain
+        for i in range(x.shape[0]):
+            lvl = np.max(np.abs(x[i]))
+            target = 1.0 if lvl > thresh else 0.0
+            if g < target:
+                g = (1.0 - att) * g + att * target
+            else:
+                g = (1.0 - rel) * g + rel * target
+            y[i] = x[i] * g
+        self.gain = g
+        return y
+
+
+def _cubic(frac, y0, y1, y2, y3):
+    c0 = y1
+    c1 = 0.5 * (y2 - y0)
+    c2 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+    c3 = 0.5 * (y3 - y0) + 1.5 * (y1 - y2)
+    return ((c3 * frac + c2) * frac + c1) * frac + c0
+
+
+class OracleOctaver:
+    """OctaverEffect (octaver.py:84-150), constant params."""
+
+    def __init__(self, fs, semitones=-12.0, mix=0.5, window_ms=40.0):
+        self.fs = fs
+        self.p = dict(semitones=semitones, mix=mix)
+        self.size = max(int(fs * window_ms / 1000.0), 16)
+        self.buf = np.zeros(self.size)
+        self.w = 0
+        self.phasor = 0.0
+
+    def process(self, x):  # (N, C)
+        size = self.size
+        ratio = 2.0 ** (self.p["semitones"] / 12.0)
+        step = (1.0 - ratio) / size
+        mix = self.p["mix"]
+        mono = x.mean(axis=1)
+        wet = np.zeros(len(x))
+        for i in range(len(x)):
+            self.buf[self.w] = mono[i]
+            p1 = self.phasor
+            p2 = p1 + 0.5
+            if p2 >= 1.0:
+                p2 -= 1.0
+            samples = []
+            for p in (p1, p2):
+                raw = self.w - p * size + size
+                fl = int(raw)
+                frac = raw - fl
+                taps = [self.buf[(fl + k) % size] for k in (-1, 0, 1, 2)]
+                samples.append(_cubic(frac, *taps))
+            g1 = 0.5 * (1.0 - np.cos(2 * np.pi * p1))
+            g2 = 0.5 * (1.0 - np.cos(2 * np.pi * p2))
+            wet[i] = samples[0] * g1 + samples[1] * g2
+            self.w = (self.w + 1) % size
+            self.phasor += step
+            if self.phasor >= 1.0:
+                self.phasor -= 1.0
+            elif self.phasor < 0.0:
+                self.phasor += 1.0
+        out = x * (1.0 - mix) + wet[:, None] * mix
+        return out
+
+
+class OracleSpectral:
+    """SpectralFilter (spectral.py:5-100), constant params, hop=blocksize."""
+
+    def __init__(self, fs, threshold_db=-40.0, reduction=0.5, smoothing=0.8,
+                 hop=256):
+        self.p = dict(threshold_db=threshold_db, reduction=reduction)
+        self.hop = hop
+        self.n_fft = 2 * hop
+        self.window = np.hanning(self.n_fft)
+        self.in_buffer = np.zeros(self.n_fft)
+        self.out_accum = np.zeros(self.n_fft)
+        self.mask = np.ones(self.n_fft // 2 + 1)
+        self.alpha = smoothing
+
+    def process(self, x):  # (N, C), N == hop
+        hop = self.hop
+        thresh = 10.0 ** (self.p["threshold_db"] / 20.0)
+        red = self.p["reduction"]
+        self.in_buffer[:-hop] = self.in_buffer[hop:]
+        self.in_buffer[-hop:] = x.mean(axis=1)
+        spec = np.fft.rfft(self.in_buffer * self.window)
+        mag = np.abs(spec)
+        cur = np.where(mag > thresh, 1.0, red)
+        self.mask = self.alpha * self.mask + (1.0 - self.alpha) * cur
+        processed = np.fft.irfft(spec * self.mask)
+        self.out_accum += processed
+        valid = self.out_accum[:hop].copy()
+        self.out_accum[:-hop] = self.out_accum[hop:]
+        self.out_accum[-hop:] = 0.0
+        return np.repeat(valid[:, None], x.shape[1], axis=1)
+
+
+class OracleWaveshaper:
+    def __init__(self, drive=4.0, shape=1, mix=1.0, out_gain=1.0):
+        self.p = dict(drive=drive, shape=shape, mix=mix, out_gain=out_gain)
+
+    def process(self, x):
+        p = self.p
+        u = p["drive"] * x
+        t = int(round(p["shape"]))
+        if t == 0:
+            wet = np.clip(u, -1, 1)
+        elif t == 1:
+            wet = np.tanh(u)
+        else:
+            c = np.clip(u, -1, 1)
+            wet = 1.5 * c - 0.5 * c**3
+        y = p["out_gain"] * (p["mix"] * wet + (1 - p["mix"]) * x)
+        return np.clip(y, -1, 1)
+
+
+class OracleConvReverb:
+    """Exact streaming FIR convolution with the same IR."""
+
+    def __init__(self, ir, mix_dry=0.7, mix_wet=0.4):
+        self.ir = np.asarray(ir, np.float64)  # (C, L)
+        self.p = dict(mix_dry=mix_dry, mix_wet=mix_wet)
+        self.tail = np.zeros((self.ir.shape[0], self.ir.shape[1] - 1))
+
+    def process(self, x):  # (N, C)
+        n = x.shape[0]
+        out = np.zeros_like(x)
+        for c in range(x.shape[1]):
+            full = np.convolve(x[:, c], self.ir[c])
+            full[: self.tail.shape[1]] += self.tail[c]
+            out[:, c] = full[:n]
+            new_tail = np.zeros(self.ir.shape[1] - 1)
+            new_tail[: len(full) - n] = full[n:]
+            self.tail[c] = new_tail
+        wet = out
+        y = self.p["mix_dry"] * x + self.p["mix_wet"] * wet
+        return np.clip(y, -1, 1)
+
+
+def run_oracle_blocks(oracle, x, blocksize):
+    """Feed (frames, C) float audio through an oracle in fixed blocks."""
+    frames = x.shape[0]
+    pad = (-frames) % blocksize
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, x.shape[1]))])
+    out = np.zeros_like(x)
+    for i in range(0, len(x), blocksize):
+        out[i : i + blocksize] = oracle.process(x[i : i + blocksize])
+    return out[:frames]
+
+
+def err_dbfs(a, b):
+    """Peak error in dB relative to full scale (1.0)."""
+    e = float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+    return -np.inf if e == 0 else 20.0 * np.log10(e)

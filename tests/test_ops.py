@@ -1,0 +1,236 @@
+"""Unit tests for the blocked scan / ring-buffer op library."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aefs_tpu.ops.scan import affine_scan, lag_affine_scan, linrec2, biquad_block
+from aefs_tpu.ops.ringbuf import (
+    ring_push,
+    delay_read,
+    feedback_delay_block,
+    comb_damped_block,
+    comb_bank_block,
+    allpass_block,
+    fractional_read_cubic,
+)
+from aefs_tpu.ops.fftops import (
+    frame_signal,
+    overlap_add,
+    partitioned_fft_conv,
+    partition_ir,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def test_affine_scan_matches_loop():
+    n = 300
+    m = RNG.uniform(0.2, 0.99, n).astype(np.float32)
+    b = RNG.standard_normal(n).astype(np.float32)
+    init = np.float32(0.7)
+    y = np.asarray(affine_scan(jnp.asarray(m), jnp.asarray(b), init))
+    ref = np.zeros(n)
+    prev = float(init)
+    for i in range(n):
+        prev = m[i] * prev + b[i]
+        ref[i] = prev
+    assert np.max(np.abs(y - ref)) < 1e-4
+
+
+def test_affine_scan_axis_and_broadcast():
+    k, l = 7, 13
+    add = RNG.standard_normal((k, l)).astype(np.float32)
+    y = np.asarray(affine_scan(jnp.float32(0.5), jnp.asarray(add), jnp.zeros(l, jnp.float32), axis=0))
+    ref = np.zeros((k, l))
+    prev = np.zeros(l)
+    for i in range(k):
+        prev = 0.5 * prev + add[i]
+        ref[i] = prev
+    assert np.max(np.abs(y - ref)) < 1e-5
+
+
+def test_lag_affine_scan():
+    n, lag, a = 500, 37, 0.6
+    base = RNG.standard_normal(n).astype(np.float32)
+    y = np.asarray(lag_affine_scan(jnp.asarray(base), a, lag))
+    ref = np.zeros(n)
+    for i in range(n):
+        ref[i] = base[i] + (a * ref[i - lag] if i >= lag else 0.0)
+    assert np.max(np.abs(y - ref)) < 1e-5
+
+
+def test_linrec2_matches_loop():
+    n = 400
+    v = RNG.standard_normal(n).astype(np.float32)
+    a1, a2 = -1.2, 0.8  # stable-ish resonant pair
+    y = np.asarray(linrec2(jnp.asarray(v), a1, a2, 0.3, -0.1))
+    ref = np.zeros(n)
+    p1, p2 = 0.3, -0.1
+    for i in range(n):
+        cur = v[i] - a1 * p1 - a2 * p2
+        ref[i] = cur
+        p2, p1 = p1, cur
+    assert np.max(np.abs(y - ref)) < 2e-4
+
+
+def test_biquad_block_state_continuity():
+    """Two half blocks must equal one full block."""
+    x = RNG.standard_normal((2, 512)).astype(np.float32)
+    coeffs = (0.2, 0.3, 0.1, -0.5, 0.2)
+    st0 = jnp.zeros((2, 4), jnp.float32)
+    y_full, _ = biquad_block(jnp.asarray(x), *coeffs, st0)
+    y1, st = biquad_block(jnp.asarray(x[:, :256]), *coeffs, st0)
+    y2, _ = biquad_block(jnp.asarray(x[:, 256:]), *coeffs, st)
+    y_split = jnp.concatenate([y1, y2], axis=1)
+    assert np.max(np.abs(np.asarray(y_full) - np.asarray(y_split))) < 1e-5
+
+
+def test_ring_push_and_delay_read():
+    hist = jnp.arange(10, dtype=jnp.float32)  # chronological 0..9
+    x = jnp.asarray([100.0, 101.0, 102.0], jnp.float32)
+    assert np.allclose(np.asarray(ring_push(hist, x))[-3:], [100, 101, 102])
+    # delay 2: y[n] = stream[n-2]; stream index 10+n-2
+    y = np.asarray(delay_read(hist, x, jnp.int32(2)))
+    assert np.allclose(y, [8, 9, 100])
+    y0 = np.asarray(delay_read(hist, x, jnp.int32(0)))
+    assert np.allclose(y0, [100, 101, 102])
+
+
+def test_feedback_delay_block_vs_loop():
+    """Fixed-point solve vs per-sample simulation, including dS < N."""
+    s, n = 64, 256
+    for d in (5, 17, 63, 200 % s or 50):
+        hist = RNG.standard_normal(s).astype(np.float32) * 0.1
+        x = RNG.standard_normal(n).astype(np.float32) * 0.3
+        fb = 0.5
+        y, new_hist = feedback_delay_block(
+            jnp.asarray(hist), jnp.asarray(x), jnp.int32(d), fb, min_delay=5
+        )
+        # reference loop in chronological coordinates
+        stream = list(hist)
+        ref = np.zeros(n)
+        for i in range(n):
+            ref[i] = stream[s + i - d]
+            stream.append(x[i] + fb * ref[i])
+        assert np.max(np.abs(np.asarray(y) - ref)) < 1e-4, f"d={d}"
+        assert np.allclose(np.asarray(new_hist), stream[-s:], atol=1e-4)
+
+
+def test_comb_damped_block_vs_loop():
+    for lag, n in ((100, 64), (100, 100), (50, 256)):
+        hist = RNG.standard_normal(lag).astype(np.float32) * 0.1
+        x = RNG.standard_normal(n).astype(np.float32) * 0.3
+        g, h, lp0 = 0.8, 0.3, 0.05
+        y, new_hist, lp = comb_damped_block(
+            jnp.asarray(hist), jnp.float32(lp0), jnp.asarray(x), g, h
+        )
+        # reference loop: read index is (written count so far) - lag
+        stream = list(hist)
+        ref = np.zeros(n)
+        lp_ref = lp0
+        for i in range(n):
+            v = stream[len(stream) - lag]
+            damped = (1 - h) * v + h * lp_ref
+            lp_ref = damped
+            ref[i] = v
+            stream.append(x[i] + g * damped)
+        assert np.max(np.abs(np.asarray(y) - ref)) < 1e-4, (lag, n)
+        assert abs(float(lp) - lp_ref) < 1e-4
+        assert np.allclose(np.asarray(new_hist), stream[-lag:], atol=1e-4)
+
+
+def test_comb_bank_block_matches_scalar():
+    lags = [90, 100, 110]
+    lmax = max(lags)
+    n = 256
+    x = RNG.standard_normal(n).astype(np.float32) * 0.3
+    g = np.asarray([0.7, 0.8, 0.75], np.float32)
+    h = 0.25
+    hists_pad = np.zeros((3, lmax), np.float32)
+    raw_hists = []
+    for i, lag in enumerate(lags):
+        hh = RNG.standard_normal(lag).astype(np.float32) * 0.1
+        raw_hists.append(hh)
+        hists_pad[i, -lag:] = hh
+    lps = np.asarray([0.01, -0.02, 0.0], np.float32)
+
+    y, new_hists, new_lps = comb_bank_block(
+        jnp.asarray(hists_pad), jnp.asarray(lps), jnp.asarray(x),
+        jnp.asarray(lags, jnp.int32), jnp.asarray(g), jnp.float32(h),
+        min_lag=min(lags),
+    )
+    for i, lag in enumerate(lags):
+        ys, nh, nlp = comb_damped_block(
+            jnp.asarray(raw_hists[i]), jnp.float32(lps[i]), jnp.asarray(x),
+            jnp.float32(g[i]), jnp.float32(h),
+        )
+        assert np.max(np.abs(np.asarray(y[i]) - np.asarray(ys))) < 1e-4
+        assert np.allclose(np.asarray(new_hists[i, -lag:]), np.asarray(nh), atol=1e-4)
+        assert abs(float(new_lps[i]) - float(nlp)) < 1e-4
+
+
+def test_allpass_block_vs_loop():
+    for lag, n in ((81, 256), (240, 256), (300, 256), (81, 1024)):
+        hist = RNG.standard_normal(lag).astype(np.float32) * 0.1
+        x = RNG.standard_normal(n).astype(np.float32) * 0.3
+        a = 0.6
+        y, new_hist = allpass_block(jnp.asarray(hist), jnp.asarray(x), a, lag)
+        stream = list(hist)
+        ref = np.zeros(n)
+        for i in range(n):
+            delayed = stream[len(stream) - lag]
+            ref[i] = delayed - a * x[i]
+            stream.append(x[i] + a * ref[i])
+        assert np.max(np.abs(np.asarray(y) - ref)) < 1e-4, (lag, n)
+        assert np.allclose(np.asarray(new_hist), stream[-lag:], atol=1e-4)
+
+
+def test_fractional_read_cubic_integer_ago():
+    """At integer distances with frac=0 the tap is an exact read."""
+    s, n = 32, 8
+    hist = RNG.standard_normal(s).astype(np.float32)
+    x = RNG.standard_normal(n).astype(np.float32)
+    ago = np.full(n, 5.0, np.float32)
+    y = np.asarray(fractional_read_cubic(jnp.asarray(hist), jnp.asarray(x), jnp.asarray(ago)))
+    ext = np.concatenate([hist, x])
+    expect = ext[s + np.arange(n) - 5]
+    assert np.max(np.abs(y - expect)) < 1e-5
+
+
+def test_frame_and_overlap_roundtrip():
+    hop, k = 64, 5
+    n_fft = 2 * hop
+    tail = np.zeros(n_fft - hop, np.float32)
+    x = RNG.standard_normal(k * hop).astype(np.float32)
+    frames, new_tail = frame_signal(jnp.asarray(tail), jnp.asarray(x), n_fft, hop)
+    assert frames.shape == (k, n_fft)
+    assert np.allclose(np.asarray(frames)[2], np.concatenate([tail, x])[2 * hop : 2 * hop + n_fft])
+    assert np.allclose(np.asarray(new_tail), x[-hop:])
+
+    ola_tail = np.zeros(hop, np.float32)
+    y, nt = overlap_add(frames, jnp.asarray(ola_tail), hop)
+    ref = np.zeros(k * hop)
+    fr = np.asarray(frames)
+    for i in range(k):
+        ref[i * hop : (i + 1) * hop] += fr[i, :hop]
+        if i + 1 < k:
+            ref[(i + 1) * hop : (i + 2) * hop] += fr[i, hop:]
+    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-5
+
+
+def test_partitioned_conv_matches_direct():
+    hop = 64
+    ir = (RNG.standard_normal(300) * np.exp(-np.arange(300) / 80)).astype(np.float32)
+    spectra = partition_ir(ir, hop)
+    x = RNG.standard_normal(8 * hop).astype(np.float32) * 0.5
+
+    p = spectra.shape[0]
+    spec_hist = jnp.zeros((p - 1, hop + 1), jnp.complex64)
+    in_tail = jnp.zeros(hop, jnp.float32)
+    # stream in two chunks to exercise the carried state
+    y1, spec_hist, in_tail = partitioned_fft_conv(spec_hist, in_tail, jnp.asarray(x[: 4 * hop]), spectra, hop)
+    y2, _, _ = partitioned_fft_conv(spec_hist, in_tail, jnp.asarray(x[4 * hop :]), spectra, hop)
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)])
+
+    ref = np.convolve(x.astype(np.float64), ir.astype(np.float64))[: len(x)]
+    assert np.max(np.abs(y - ref)) < 1e-3  # float32 FFT conv vs float64 direct
