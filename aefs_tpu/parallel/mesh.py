@@ -1,0 +1,121 @@
+"""Multi-chip scaling: sharded multi-stream processing over a device mesh.
+
+The reference has no model parallelism (SURVEY.md §2: two processes + an
+audio thread).  The TPU-native scaling axes for this domain are:
+
+- **data ("dp")**: independent audio streams/sessions — embarrassingly
+  parallel, sharded over the ``data`` mesh axis.  This is the production
+  serving axis: one backend hosting hundreds of live chains.
+- **model ("tp")**: parallel branches *inside* an effect — the reverb's
+  comb bank (4 combs per side, reverb.py:234-241) shards over the
+  ``model`` axis; the comb-sum reduction becomes an XLA-inserted
+  reduce/all-gather over ICI.  The spectral/conv FFT bin axis is the other
+  natural model axis (future work).
+- a cross-stream metering collective (global peak) exercises a psum across
+  the whole mesh every step — the framework's heartbeat for clipping
+  telemetry.
+
+Sharding is expressed with ``NamedSharding`` + ``jax.jit`` (GSPMD): we
+annotate placements, XLA inserts the collectives (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, model_parallel=1, devices=None):
+    """Build a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+class ShardedStreams:
+    """Run S independent effect chains (one per stream) across a mesh.
+
+    State pytrees gain a leading stream axis (vmap of the chain step);
+    streams shard over ``data``.  Reverb comb banks additionally shard
+    their bank axis over ``model``.  Returns a per-step global peak meter
+    (a cross-mesh collective).
+    """
+
+    def __init__(self, chain, mesh: Mesh, n_streams: int):
+        self.chain = chain
+        self.mesh = mesh
+        self.n_streams = int(n_streams)
+        data_size = mesh.shape["data"]
+        if self.n_streams % data_size:
+            raise ValueError(
+                f"n_streams={n_streams} must divide over data axis {data_size}"
+            )
+        self._step = None
+
+    # -- sharding rules --------------------------------------------------
+    def _state_shardings(self, state_batched):
+        """Leading axis (streams) -> 'data'; reverb comb-bank leaves also
+        shard combs over 'model'."""
+        mesh = self.mesh
+
+        def spec_for(path, leaf):
+            keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+            if "combs" in keys and leaf.ndim >= 4:
+                # (S, sides, combs, Lmax): shard combs over model.
+                return NamedSharding(mesh, P("data", None, "model", None))
+            if "lps" in keys and leaf.ndim >= 3:
+                return NamedSharding(mesh, P("data", None, "model"))
+            spec = ("data",) + (None,) * (leaf.ndim - 1)
+            return NamedSharding(mesh, P(*spec))
+
+        return jax.tree_util.tree_map_with_path(spec_for, state_batched)
+
+    def init_state(self, configs=None):
+        """Batched, sharded initial state for all streams."""
+        one = self.chain.init_state(configs)
+        batched = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(
+                leaf[None], (self.n_streams,) + leaf.shape
+            ).copy(),
+            one,
+        )
+        shardings = self._state_shardings(batched)
+        return jax.device_put(batched, shardings), shardings
+
+    def input_sharding(self):
+        return NamedSharding(self.mesh, P("data", None, None))
+
+    # -- compiled step ---------------------------------------------------
+    def step_fn(self):
+        """Jitted (state, targets, x:(S, ci, N)) ->
+        (state, y:(S, co, N), peak) with GSPMD partitioning."""
+        if self._step is None:
+            chain = self.chain
+
+            def one_stream(state, targets, x):
+                return chain.process_block(state, targets, x)
+
+            def step(state, targets, x):
+                state, y = jax.vmap(one_stream, in_axes=(0, None, 0))(
+                    state, targets, x
+                )
+                # Global clip meter: reduction over every stream on every
+                # device — XLA lowers this to an ICI all-reduce.
+                peak = jnp.max(jnp.abs(y))
+                return state, y, peak
+
+            self._step = jax.jit(step, donate_argnums=(0,))
+        return self._step
+
+    def run_block(self, state, targets, x):
+        """x: (S, ci, N) host array."""
+        x = jax.device_put(jnp.asarray(x), self.input_sharding())
+        return self.step_fn()(state, targets, x)

@@ -1,0 +1,184 @@
+"""Benchmark harness — the five BASELINE.json configs on real hardware.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value        = realtime factor on the 48 kHz stereo 5-effect chain
+               (BASELINE config 5 topology, file-mode superblock scan —
+               the same per-256-block semantics as streaming, one device
+               dispatch for the whole signal).
+vs_baseline  = value / 1.0: the reference's implied operating point is the
+               PortAudio realtime deadline (1.0x, engine.py:18-19 — it must
+               process 256 samples in 5.33 ms); the north-star target is
+               >= 1000x (BASELINE.json).
+
+Detail lines for every config (including p50/p99 streaming block latency)
+go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+FS = 48000
+DURATION_S = 18.6  # rain-raw.wav length (BASELINE.md demo asset)
+
+
+def rain_like(duration_s=DURATION_S, fs=FS, channels=1, seed=7):
+    """Deterministic stand-in for music/rain-raw.wav: broadband noise with
+    a slow amplitude ripple and sparse droplet transients."""
+    n = int(duration_s * fs)
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    base = rng.standard_normal((n, channels)) * 0.12
+    ripple = (0.6 + 0.4 * np.sin(2 * np.pi * 0.31 * t))[:, None]
+    drops = np.zeros((n, channels), np.float32)
+    idx = rng.integers(0, n - 400, 600)
+    for i in idx:
+        env = np.exp(-np.arange(400) / 60.0)
+        drops[i : i + 400, 0] += 0.25 * env * np.sin(
+            2 * np.pi * rng.uniform(800, 4000) * np.arange(400) / fs
+        )
+    return np.clip(base * ripple + drops, -1, 1).astype(np.float32)
+
+
+CONFIGS = {
+    # BASELINE.json configs 1-5
+    "1_biquad_lowpass": [
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 1000, "q": 0.707}},
+    ],
+    "2_rain_delay": [
+        {"effect_id": "d", "type": "delay",
+         "params": {"feedback": 0.2, "delay_ms": 375, "mix_dry": 1,
+                    "mix_wet": 1, "offset_ms": 0}},
+        {"effect_id": "r", "type": "reverb",
+         "params": {"rt60_s": 2.1, "mix_wet": 0.4, "mix_dry": 0.8,
+                    "damp": 0.05, "pre_delay_ms": 0}},
+    ],
+    "3_distortion": [
+        {"effect_id": "w", "type": "waveshaper",
+         "params": {"drive": 8.0, "shape": 1, "mix": 1.0, "out_gain": 0.7}},
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 3500, "q": 0.9}},
+    ],
+    "4_conv_reverb": [
+        {"effect_id": "c", "type": "convreverb",
+         "params": {"ir_seconds": 2.5, "mix_dry": 0.7, "mix_wet": 0.4}},
+    ],
+    "5_five_effect": [
+        {"effect_id": "g", "type": "gate",
+         "params": {"threshold_db": -45, "attack_ms": 5, "release_ms": 100}},
+        {"effect_id": "o", "type": "octaver",
+         "params": {"semitones": -12, "mix": 0.4}},
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 4000, "q": 0.8}},
+        {"effect_id": "d", "type": "delay",
+         "params": {"delay_ms": 375, "feedback": 0.2, "mix_dry": 1.0,
+                    "mix_wet": 0.6, "offset_ms": 10}},
+        {"effect_id": "r", "type": "reverb",
+         "params": {"rt60_s": 2.1, "damp": 0.05, "pre_delay_ms": 0,
+                    "mix_dry": 0.8, "mix_wet": 0.4}},
+    ],
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def file_static_overrides(cfgs):
+    from aefs_tpu.engine.engine import _file_static_overrides
+
+    return _file_static_overrides(cfgs)
+
+
+def bench_file_mode(name, cfgs, x, superblock, repeats=3):
+    import jax
+    from aefs_tpu.core.chain import build_chain
+
+    chain, state, tmap = build_chain(
+        cfgs, FS, superblock, channels_in=1,
+        static_overrides=file_static_overrides(cfgs),
+    )
+    targets = chain.targets(tmap)
+    init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
+
+    t0 = time.time()
+    chain.process_array(state, targets, x)  # compile + first run
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(repeats):
+        st = chain.init_state(init_cfg)
+        t0 = time.time()
+        _, out = chain.process_array(st, targets, x)
+        best = min(best, time.time() - t0)
+    rtf = (len(x) / FS) / best
+    log(f"[bench] {name}: {best*1000:.1f} ms for {len(x)/FS:.1f} s audio "
+        f"-> {rtf:.0f}x realtime (superblock {superblock}, compile {compile_s:.1f} s)")
+    return rtf
+
+
+def bench_stream_latency(cfgs, n_blocks=200):
+    import jax
+    import jax.numpy as jnp
+    from aefs_tpu.core.chain import build_chain
+
+    chain, state, tmap = build_chain(cfgs, FS, 256, channels_in=1)
+    targets = chain.targets(tmap)
+    step = chain.step()
+    xb = jnp.asarray(rain_like(256 / FS)[:256].T)
+    state, y = step(state, targets, xb)
+    jax.block_until_ready(y)
+    lats = []
+    for _ in range(n_blocks):
+        t0 = time.time()
+        state, y = step(state, targets, xb)
+        jax.block_until_ready(y)
+        lats.append(time.time() - t0)
+    lats = np.asarray(lats) * 1000
+    p50, p99 = np.percentile(lats, 50), np.percentile(lats, 99)
+    log(f"[bench] stream 256-block latency: p50={p50:.2f} ms p99={p99:.2f} ms "
+        f"(deadline 5.33 ms)")
+    return p50, p99
+
+
+def main():
+    import jax
+
+    log(f"[bench] devices: {jax.devices()}")
+    x = rain_like()
+
+    superblock = 4096
+    results = {}
+    for name, cfgs in CONFIGS.items():
+        try:
+            results[name] = bench_file_mode(name, cfgs, x, superblock)
+        except Exception as e:  # keep the headline alive if one config dies
+            log(f"[bench] {name} FAILED: {type(e).__name__}: {e}")
+            results[name] = 0.0
+
+    try:
+        p50, p99 = bench_stream_latency(CONFIGS["5_five_effect"])
+        results["stream_p50_ms"] = p50
+    except Exception as e:
+        log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
+
+    headline = results.get("5_five_effect", 0.0)
+    print(json.dumps({
+        "metric": "realtime_factor_48k_stereo_5fx_chain",
+        "value": round(headline, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(headline, 1),
+        "detail": {k: round(v, 2) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
