@@ -1,0 +1,167 @@
+"""WebSocket serving layer — wire-compatible with the reference backend
+(src/backend.py): same JSON commands
+
+    {"command": "start_mic" | "stop" | "build_chain" | "update_param"
+               | "process_file", ...}
+
+and the same responses ({"type": "plot_data", ...} at ~30 FPS,
+{"type": "file_processed", ...}).  Single client at a time
+(backend.py:73-75), 500 MB max message (backend.py:128), GC disabled while
+serving (backend.py:123).
+
+Additions over the reference: the plot pump can attach on-device STFT
+spectra + chroma (utils/analysis.py) so the browser renders without its
+own FFT; raw sample lists stay in the payload for wire parity.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import gc
+import json
+import os
+import queue
+
+import numpy as np
+
+from aefs_tpu.core.config import PLOT_FPS, PLOT_QUEUE_BLOCKS, WS_MAX_MESSAGE
+from aefs_tpu.engine.engine import AudioEngine
+
+try:
+    import websockets as ws
+except ImportError:  # pragma: no cover - baked into the image
+    ws = None
+
+connected_client = None
+SEND_ANALYSIS = os.environ.get("AEFS_SERVER_ANALYSIS", "1") == "1"
+
+
+def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None):
+    """Concatenate queued blocks and serialize the plot payload — CPU-heavy,
+    runs in an executor off the event loop (backend.py:15-29, :49-58)."""
+    in_chunk = np.concatenate(in_frames)
+    out_chunk = np.concatenate(out_frames)
+    payload = {
+        "type": "plot_data",
+        "input": in_chunk[:, 0].tolist(),
+        "output": out_chunk[:, 0].tolist(),
+        "sample_rate": sample_rate,
+    }
+    if analysis is not None:
+        payload["analysis"] = analysis
+    return json.dumps(payload)
+
+
+async def data_sender(websocket, data_queues, audio_engine, analyzer=None):
+    """~30 FPS pump draining the plot queues (backend.py:32-67)."""
+    loop = asyncio.get_running_loop()
+    while True:
+        try:
+            in_frames, out_frames = [], []
+            while True:
+                try:
+                    in_frames.append(data_queues["input"].get_nowait())
+                    out_frames.append(data_queues["output"].get_nowait())
+                except queue.Empty:
+                    break
+
+            if in_frames:
+                analysis = None
+                if analyzer is not None:
+                    try:
+                        analysis = analyzer.update(
+                            np.concatenate(in_frames)[:, 0],
+                            np.concatenate(out_frames)[:, 0],
+                        )
+                    except Exception:
+                        analysis = None
+                payload = await loop.run_in_executor(
+                    None,
+                    serialize_audio_data,
+                    in_frames,
+                    out_frames,
+                    audio_engine.current_sample_rate,
+                    analysis,
+                )
+                await websocket.send(payload)
+            await asyncio.sleep(1.0 / PLOT_FPS)
+        except queue.Empty:
+            await asyncio.sleep(0.1)
+        except Exception:
+            break
+
+
+async def handler(websocket):
+    global connected_client
+    if connected_client is not None:
+        print("Warning: client already connected. Rejecting new connection")
+        return
+
+    connected_client = websocket
+    print("Connected to frontend client")
+    data_queues = {
+        "input": queue.Queue(maxsize=PLOT_QUEUE_BLOCKS),
+        "output": queue.Queue(maxsize=PLOT_QUEUE_BLOCKS),
+    }
+    audio_engine = AudioEngine(data_queues)
+
+    analyzer = None
+    if SEND_ANALYSIS:
+        try:
+            from aefs_tpu.utils.analysis import PlotAnalyzer
+
+            analyzer = PlotAnalyzer(audio_engine.current_sample_rate)
+        except Exception as e:
+            print(f"Warning: on-device plot analysis unavailable: {e}")
+
+    sender_task = asyncio.create_task(
+        data_sender(websocket, data_queues, audio_engine, analyzer)
+    )
+
+    try:
+        async for message in websocket:
+            try:
+                cmd = json.loads(message)
+                command = cmd.get("command")
+                if command == "start_mic":
+                    audio_engine.start_mic_stream()
+                elif command == "stop":
+                    audio_engine.stop_stream()
+                elif command == "build_chain":
+                    audio_engine.build_chain(cmd.get("config", []))
+                elif command == "update_param":
+                    audio_engine.update_param(
+                        cmd.get("effect_id"), cmd.get("param"), cmd.get("value")
+                    )
+                elif command == "process_file":
+                    asyncio.create_task(
+                        audio_engine.process_wav_file(cmd.get("contents"), websocket)
+                    )
+            except json.JSONDecodeError:
+                print(f"Error: message is not valid JSON: {message}")
+            except Exception as e:
+                print(f"Error processing command: {e}")
+    finally:
+        audio_engine.stop_stream()
+        sender_task.cancel()
+        connected_client = None
+        print("Disconnected from frontend client")
+
+
+async def main():
+    gc.disable()  # GC pauses would glitch the audio path (backend.py:123)
+    from aefs_tpu.utils.platform import select_platform
+
+    backend_name = select_platform()
+    port = int(os.environ.get("PORT", 8765))
+    print(f"Audio effects server initialized on port {port} (jax backend: {backend_name})")
+    async with ws.serve(handler, "0.0.0.0", port, max_size=WS_MAX_MESSAGE):
+        await asyncio.Future()
+
+
+if __name__ == "__main__":
+    try:
+        asyncio.run(main())
+    except KeyboardInterrupt:
+        print("\nClosing server")
+        gc.enable()

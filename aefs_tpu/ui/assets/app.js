@@ -1,0 +1,278 @@
+/* Control-plane SPA: WebSocket client, chain CRUD, presets, file mode.
+ * Speaks the same wire protocol as the reference backend
+ * (src/backend.py:95-108 commands; plot_data / file_processed responses;
+ * 3 s auto-reconnect like assets/02_custom.js:357-394). */
+"use strict";
+
+let CONFIG = null;
+let socket = null;
+let chain = [];            // [{effect_id, type, params}]
+const WINDOW_SAMPLES = 131072;
+const ringIn = new Float32Array(WINDOW_SAMPLES);
+const ringOut = new Float32Array(WINDOW_SAMPLES);
+let lastAnalysis = null;
+let fileData = null;       // {original, processed, fs}
+let sampleRate = 48000;
+
+const $ = (id) => document.getElementById(id);
+
+/* ---------------- WebSocket ---------------- */
+
+function wsUrl() {
+  const host = window.location.hostname || "localhost";
+  return `ws://${host}:${CONFIG.ws_port}`;
+}
+
+function connect() {
+  socket = new WebSocket(wsUrl());
+  socket.onopen = () => $("status-dot").classList.add("connected");
+  socket.onclose = () => {
+    $("status-dot").classList.remove("connected");
+    setTimeout(connect, 3000);
+  };
+  socket.onmessage = (ev) => {
+    const msg = JSON.parse(ev.data);
+    if (msg.type === "plot_data") onPlotData(msg);
+    else if (msg.type === "file_processed") onFileProcessed(msg);
+  };
+}
+
+function send(cmd) {
+  if (socket && socket.readyState === WebSocket.OPEN) socket.send(JSON.stringify(cmd));
+}
+
+/* ---------------- live plots ---------------- */
+
+function pushRing(ring, data) {
+  const n = Math.min(data.length, WINDOW_SAMPLES);
+  ring.copyWithin(0, n);
+  for (let i = 0; i < n; i++) ring[WINDOW_SAMPLES - n + i] = data[data.length - n + i];
+}
+
+function onPlotData(msg) {
+  sampleRate = msg.sample_rate || sampleRate;
+  pushRing(ringIn, msg.input);
+  pushRing(ringOut, msg.output);
+  if (msg.analysis) lastAnalysis = msg.analysis;
+  renderLive();
+}
+
+function renderLive() {
+  drawTime($("plot-time"), ringIn, ringOut);
+  if (lastAnalysis) {
+    drawSpectrum($("plot-spectrum"), lastAnalysis.input.spectrum_db, lastAnalysis.output.spectrum_db);
+    drawChroma($("plot-chroma"), lastAnalysis.input.chroma, lastAnalysis.output.chroma);
+  }
+}
+
+/* ---------------- chain CRUD ---------------- */
+
+function uuid() {
+  return crypto.randomUUID ? crypto.randomUUID() :
+    "xxxx-xxxx".replace(/x/g, () => Math.random().toString(16).slice(2, 6));
+}
+
+function sendChain() {
+  send({ command: "build_chain", config: chain });
+  renderChain();
+}
+
+function addEffect(type) {
+  const params = Object.assign({}, CONFIG.effect_defaults[type]);
+  chain.push({ effect_id: uuid(), type, params });
+  sendChain();
+}
+
+function deleteEffect(id) {
+  chain = chain.filter((e) => e.effect_id !== id);
+  sendChain();
+}
+
+function moveEffect(idx, delta) {
+  const j = idx + delta;
+  if (j < 0 || j >= chain.length) return;
+  [chain[idx], chain[j]] = [chain[j], chain[idx]];
+  sendChain();
+}
+
+function paramChanged(id, param, value) {
+  const fx = chain.find((e) => e.effect_id === id);
+  if (!fx) return;
+  fx.params[param] = value;
+  send({ command: "update_param", effect_id: id, param, value });
+}
+
+function renderChain() {
+  const root = $("chain");
+  root.innerHTML = "";
+  chain.forEach((fx, idx) => {
+    const card = document.createElement("div");
+    card.className = "effect-card";
+    const title = document.createElement("h3");
+    title.textContent = fx.type[0].toUpperCase() + fx.type.slice(1) + " effect";
+    card.appendChild(title);
+
+    const mk = (txt, cls, fn, hidden) => {
+      const b = document.createElement("button");
+      b.textContent = txt; b.className = "card-btn " + (cls || "");
+      b.onclick = fn;
+      if (hidden) b.style.visibility = "hidden";
+      card.appendChild(b);
+    };
+    mk("↑", "", () => moveEffect(idx, -1), idx === 0);
+    mk("↓", "", () => moveEffect(idx, +1), idx === chain.length - 1);
+    mk("X", "delete", () => deleteEffect(fx.effect_id));
+
+    (CONFIG.ui_controls[fx.type] || []).forEach(([param, label, min, max, step]) => {
+      const row = document.createElement("div");
+      row.className = "row";
+      const lab = document.createElement("label");
+      lab.textContent = label;
+      const slider = document.createElement("input");
+      slider.type = "range"; slider.min = min; slider.max = max; slider.step = step;
+      slider.value = fx.params[param] ?? min;
+      const num = document.createElement("input");
+      num.type = "number"; num.min = min; num.max = max; num.step = step;
+      num.value = fx.params[param] ?? min;
+      slider.oninput = () => { num.value = slider.value; paramChanged(fx.effect_id, param, parseFloat(slider.value)); };
+      num.onchange = () => { slider.value = num.value; paramChanged(fx.effect_id, param, parseFloat(num.value)); };
+      row.append(lab, slider, num);
+      card.appendChild(row);
+    });
+    root.appendChild(card);
+  });
+}
+
+/* ---------------- presets (localStorage) ---------------- */
+
+function getPresets() {
+  const stored = localStorage.getItem("aefs-presets");
+  if (stored) return JSON.parse(stored);
+  const seed = CONFIG.default_presets;
+  localStorage.setItem("aefs-presets", JSON.stringify(seed));
+  return seed;
+}
+
+function setPresets(p) {
+  localStorage.setItem("aefs-presets", JSON.stringify(p));
+  renderPresets();
+}
+
+function renderPresets() {
+  const sel = $("preset-select");
+  sel.innerHTML = "";
+  Object.keys(getPresets()).forEach((name) => {
+    const o = document.createElement("option");
+    o.value = o.textContent = name;
+    sel.appendChild(o);
+  });
+}
+
+function loadPreset(name) {
+  const p = getPresets()[name];
+  if (!p) return;
+  // Regenerate ids so live updates route to the fresh instances (app.py:644-647).
+  chain = p.map((fx) => ({ effect_id: uuid(), type: fx.type, params: Object.assign({}, fx.params) }));
+  sendChain();
+}
+
+/* ---------------- file mode ---------------- */
+
+function onFileProcessed(msg) {
+  $("busy-spinner").classList.add("hidden");
+  $("players").classList.remove("hidden");
+  fileData = {
+    original: msg.original_samples,
+    processed: msg.processed_samples,
+    fs: msg.sample_rate,
+  };
+  $("audio-original").src = msg.original_b64;
+  $("audio-processed").src = msg.processed_b64;
+  drawFileWindow(0);
+}
+
+function drawFileWindow(tSec) {
+  if (!fileData) return;
+  const fs = fileData.fs, half = Math.floor(WINDOW_SAMPLES / 2);
+  const c = Math.floor(tSec * fs);
+  const lo = Math.max(0, c - half), hi = Math.min(fileData.original.length, c + half);
+  drawTime($("plot-time"), fileData.original.slice(lo, hi), fileData.processed.slice(lo, hi));
+}
+
+function activePlayer() {
+  return $("player-select").value === "original" ? $("audio-original") : $("audio-processed");
+}
+
+function playbackLoop() {
+  const p = activePlayer();
+  if (fileData && p && !p.paused) drawFileWindow(p.currentTime + 0.12);
+  requestAnimationFrame(playbackLoop);
+}
+
+/* ---------------- wiring ---------------- */
+
+async function init() {
+  CONFIG = await (await fetch("/config.json")).json();
+
+  const typeSel = $("effect-type");
+  Object.keys(CONFIG.effect_defaults).forEach((t) => {
+    const o = document.createElement("option");
+    o.value = t; o.textContent = t;
+    typeSel.appendChild(o);
+  });
+
+  $("add-effect").onclick = () => addEffect(typeSel.value);
+  $("start-mic").onclick = () => send({ command: "start_mic" });
+  $("stop-mic").onclick = () => send({ command: "stop" });
+  $("load-preset").onclick = () => loadPreset($("preset-select").value);
+  $("delete-preset").onclick = () => {
+    const p = getPresets(); delete p[$("preset-select").value]; setPresets(p);
+  };
+  $("save-preset").onclick = () => {
+    const name = $("preset-name").value.trim();
+    if (!name) return;
+    const p = getPresets();
+    p[name] = JSON.parse(JSON.stringify(chain));
+    setPresets(p);
+    $("preset-name").value = "";
+  };
+
+  document.querySelectorAll('input[name="mode"]').forEach((r) => {
+    r.onchange = () => {
+      const file = document.querySelector('input[name="mode"]:checked').value === "file";
+      $("file-controls").classList.toggle("hidden", !file);
+      $("mic-controls").classList.toggle("hidden", file);
+      if (file) send({ command: "stop" });
+    };
+  });
+
+  $("file-input").onchange = () => {
+    const f = $("file-input").files[0];
+    if (!f) return;
+    const reader = new FileReader();
+    reader.onload = () => {
+      $("busy-spinner").classList.remove("hidden");
+      send({ command: "process_file", contents: reader.result });
+    };
+    reader.readAsDataURL(f);
+  };
+
+  $("player-select").onchange = () => {
+    const orig = $("player-select").value === "original";
+    const a = $("audio-original"), b = $("audio-processed");
+    const from = orig ? b : a, to = orig ? a : b;
+    to.currentTime = from.currentTime;
+    const wasPlaying = !from.paused;
+    from.pause();
+    a.classList.toggle("hidden", !orig);
+    b.classList.toggle("hidden", orig);
+    if (wasPlaying) to.play();
+  };
+
+  renderPresets();
+  renderChain();
+  connect();
+  playbackLoop();
+}
+
+window.addEventListener("load", init);

@@ -1,0 +1,58 @@
+"""Launcher: spawn the WebSocket backend and the UI frontend, monitor both,
+tear down together (mirror of reference run.py:21-65).
+
+    python run.py [--backend-port 8765] [--ui-port 8050]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def run_services(backend_port: int, ui_port: int):
+    env = dict(os.environ, PORT=str(backend_port), BACKEND_PORT=str(backend_port))
+    procs = {}
+    try:
+        print(f"Starting backend on port {backend_port}...")
+        procs["backend"] = subprocess.Popen(
+            [sys.executable, "-m", "aefs_tpu.server.backend"], env=env
+        )
+        time.sleep(1)
+        print(f"Starting UI on port {ui_port}...")
+        env_ui = dict(env, UI_PORT=str(ui_port))
+        procs["ui"] = subprocess.Popen(
+            [sys.executable, "-m", "aefs_tpu.ui.app"], env=env_ui
+        )
+        print(f"Open http://localhost:{ui_port}")
+
+        while True:
+            time.sleep(1)
+            for name, p in procs.items():
+                if p.poll() is not None:
+                    print(f"Service '{name}' exited ({p.returncode}); shutting down")
+                    return
+    except KeyboardInterrupt:
+        print("\nShutting down...")
+    finally:
+        for p in procs.values():
+            if p.poll() is None:
+                p.send_signal(signal.SIGTERM)
+        deadline = time.time() + 5
+        for p in procs.values():
+            try:
+                p.wait(timeout=max(0.1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend-port", type=int, default=int(os.environ.get("PORT", 8765)))
+    ap.add_argument("--ui-port", type=int, default=int(os.environ.get("UI_PORT", 8050)))
+    args = ap.parse_args()
+    run_services(args.backend_port, args.ui_port)

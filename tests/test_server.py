@@ -1,0 +1,79 @@
+"""End-to-end WebSocket protocol test: a real client against a real server
+process speaking the reference wire protocol (backend.py:95-108)."""
+
+import asyncio
+import base64
+import json
+
+import numpy as np
+import pytest
+
+from aefs_tpu.engine.wavio import encode_wav_int16, decode_wav
+
+
+def test_ws_protocol_round_trip(tmp_path):
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**29)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**29) as client:
+                # build a chain
+                await client.send(json.dumps({
+                    "command": "build_chain",
+                    "config": [
+                        {"effect_id": "f1", "type": "filter",
+                         "params": {"filter_type": 0, "cutoff_hz": 1200, "q": 0.707}},
+                    ],
+                }))
+                # live param update (wrong id must not kill the server)
+                await client.send(json.dumps({
+                    "command": "update_param", "effect_id": "nope",
+                    "param": "cutoff_hz", "value": 500}))
+                await client.send(json.dumps({
+                    "command": "update_param", "effect_id": "f1",
+                    "param": "cutoff_hz", "value": 500}))
+                # bad JSON must not kill the server
+                await client.send("this is not json")
+
+                # process a file
+                fs = 48000
+                t = np.arange(fs) / fs
+                sig = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+                wav = encode_wav_int16(sig[:, None], fs)
+                data_url = "data:audio/wav;base64," + base64.b64encode(wav).decode()
+                await client.send(json.dumps({
+                    "command": "process_file", "contents": data_url}))
+
+                # await the file_processed response (plot_data may interleave)
+                for _ in range(50):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 120))
+                    if msg["type"] == "file_processed":
+                        break
+                else:
+                    raise AssertionError("no file_processed response")
+
+                assert msg["sample_rate"] == fs
+                assert len(msg["original_samples"]) == fs
+                assert len(msg["processed_samples"]) == fs
+                audio, pfs = decode_wav(
+                    base64.b64decode(msg["processed_b64"].split(",")[1]))
+                assert pfs == fs and audio.shape == (fs, 2)
+                # 500 Hz low-pass leaves a 220 Hz tone mostly intact
+                rms = float(np.sqrt(np.mean(audio[:, 0] ** 2)))
+                assert 0.1 < rms < 0.4, rms
+
+                # second client must be rejected (single-client rule,
+                # backend.py:73-75): server closes it without handling
+                async with ws.connect(f"ws://127.0.0.1:{port}") as c2:
+                    with pytest.raises(Exception):
+                        await asyncio.wait_for(c2.recv(), 3)
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
