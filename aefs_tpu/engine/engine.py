@@ -55,6 +55,30 @@ def _file_static_overrides(effects_config):
     return overrides
 
 
+def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK):
+    """Whole-file processing through a fresh chain (the file-mode core,
+    engine.py:86-102): (frames, ch) float in -> (mono (frames,1),
+    clipped stereo (frames, 2)) out."""
+    import numpy as np
+
+    if audio.ndim > 1:
+        mono = audio.mean(axis=1, keepdims=True)
+    else:
+        mono = audio.reshape(-1, 1)
+    mono = mono.astype(np.float32)
+
+    chain, state, targets_map = build_chain(
+        chain_config,
+        fs,
+        superblock,
+        channels_in=1,
+        channels_out=2,
+        static_overrides=_file_static_overrides(chain_config),
+    )
+    _, out = chain.process_array(state, chain.targets(targets_map), mono)
+    return mono, np.clip(out, -1.0, 1.0)
+
+
 class AudioEngine:
     def __init__(self, data_queues=None):
         self.data_queues = data_queues or {
@@ -180,23 +204,7 @@ class AudioEngine:
     def process_file_array(self, audio: np.ndarray, fs: int):
         """(frames, ch) float32 -> (frames, 2) float32 through a fresh
         chain built from the last config at the file's sample rate."""
-        if audio.ndim > 1:
-            mono = audio.mean(axis=1, keepdims=True)
-        else:
-            mono = audio.reshape(-1, 1)
-        mono = mono.astype(np.float32)
-
-        blocksize = FILE_SUPERBLOCK
-        chain, state, targets_map = build_chain(
-            self.last_chain_config,
-            fs,
-            blocksize,
-            channels_in=1,
-            channels_out=2,
-            static_overrides=_file_static_overrides(self.last_chain_config),
-        )
-        _, out = chain.process_array(state, chain.targets(targets_map), mono)
-        return mono, np.clip(out, -1.0, 1.0)
+        return process_offline(self.last_chain_config, audio, fs)
 
     async def process_wav_file(self, contents: str, websocket):
         if self.is_processing_file:

@@ -55,15 +55,18 @@ class ConvReverb(EffectModel):
         ir = np.atleast_2d(np.asarray(ir, np.float32))
         if ir.shape[0] == 1 and channels > 1:
             ir = np.repeat(ir, channels, axis=0)
-        # (C, P, hop+1) complex64 partition spectra — static weights.
-        self.ir_spectra = jnp.stack([partition_ir(ch, self.hop) for ch in ir])
-        self.partitions = self.ir_spectra.shape[1]
+        # (C, 2, P, hop+1) float32 partition spectra (real/imag split — the
+        # axon TPU client cannot hold complex buffers) — static weights.
+        self.ir_spectra = jnp.asarray(
+            np.stack([partition_ir(ch, self.hop) for ch in ir])
+        )
+        self.partitions = self.ir_spectra.shape[2]
 
     def init_state(self):
         c = self.channels
         return {
             "spec_hist": jnp.zeros(
-                (c, self.partitions - 1, self.hop + 1), jnp.complex64
+                (c, 2, self.partitions - 1, self.hop + 1), jnp.float32
             ),
             "in_tail": jnp.zeros((c, self.hop), jnp.float32),
         }

@@ -9,6 +9,7 @@ run on-device via ``jnp.fft.rfft/irfft``.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -56,47 +57,56 @@ def partitioned_fft_conv(spec_hist, in_tail, x, ir_spectra, hop: int):
     """Uniformly-partitioned FFT convolution (frequency-domain delay line).
 
     The impulse response is split into P partitions of ``hop`` samples;
-    each partition's rfft (length 2*hop) is a row of ``ir_spectra``
-    (P, hop+1) complex64.  Per hop we push the input frame spectrum into a
-    P-deep history and accumulate sum_p X[t-p] * H[p] — overlap-save.
+    each partition's rfft (length 2*hop) is a row of ``ir_spectra``.
+    Per hop we push the input frame spectrum into a P-deep history and
+    accumulate sum_p X[t-p] * H[p] — overlap-save.
 
-    spec_hist: (P-1, hop+1) complex64 — previous input-frame spectra,
-      chronological (newest last).
+    Complex values live only *inside* the compiled program: carried state
+    and IR weights are split real/imag float32 because the axon TPU client
+    cannot transfer or eagerly operate on complex buffers.
+
+    spec_hist: (2, P-1, hop+1) float32 — previous input-frame spectra
+      (real, imag), chronological (newest last).
     in_tail: (hop,) previous input block (for the overlap-save frame).
     x: (N,) input, N a multiple of ``hop``.
+    ir_spectra: (2, P, hop+1) float32 — partition spectra (real, imag).
 
     Returns (y, new_spec_hist, new_in_tail).
     """
-    p, _ = ir_spectra.shape
+    p = ir_spectra.shape[1]
     n = x.shape[-1]
     k = n // hop
 
     frames, new_in_tail = frame_signal(in_tail, x, 2 * hop, hop)
-    specs = jnp.fft.rfft(frames, axis=-1)  # (k, hop+1)
+    specs = jnp.fft.rfft(frames, axis=-1)  # (k, hop+1) complex
 
     # Chronological spectra: P-1 carried, then k new.  Output hop j needs
     # X_{j-q} = full[p-1+j-q] for q = 0..P-1.
-    full = jnp.concatenate([spec_hist, specs], axis=0)  # (p-1+k, hop+1)
+    hist_c = jax.lax.complex(spec_hist[0], spec_hist[1])
+    ir_c = jax.lax.complex(ir_spectra[0], ir_spectra[1])
+    full = jnp.concatenate([hist_c, specs], axis=0)  # (p-1+k, hop+1)
     base = jnp.arange(k)[:, None] + (p - 1 - jnp.arange(p))[None, :]  # (k, p)
     windows = jnp.take(full, base, axis=0)  # (k, p, hop+1)
-    y_spec = jnp.sum(windows * ir_spectra[None, :, :], axis=1)  # (k, hop+1)
+    y_spec = jnp.sum(windows * ir_c[None, :, :], axis=1)  # (k, hop+1)
 
     y_frames = jnp.fft.irfft(y_spec, axis=-1)  # (k, 2*hop)
     # Overlap-save: the second half of each frame is the valid output.
     y = y_frames[:, hop:].reshape(n).astype(x.dtype)
 
     new_hist = full[k:] if p > 1 else full[:0]
+    new_hist = jnp.stack([jnp.real(new_hist), jnp.imag(new_hist)]).astype(jnp.float32)
     return y, new_hist, new_in_tail
 
 
 def partition_ir(ir, hop: int):
     """Split an impulse response into rfft'd partitions for
     ``partitioned_fft_conv``: partition q covers ir[q*hop:(q+1)*hop],
-    zero-padded to 2*hop.  Returns (P, hop+1) complex64."""
+    zero-padded to 2*hop.  Returns (2, P, hop+1) float32 (real, imag)."""
     ir = np.asarray(ir, np.float32)
     p = max(1, -(-len(ir) // hop))
     padded = np.zeros((p, 2 * hop), np.float32)
     for q in range(p):
         part = ir[q * hop : (q + 1) * hop]
         padded[q, : len(part)] = part
-    return jnp.asarray(np.fft.rfft(padded, axis=-1).astype(np.complex64))
+    spec = np.fft.rfft(padded, axis=-1)
+    return np.stack([spec.real, spec.imag]).astype(np.float32)

@@ -224,8 +224,8 @@ def test_partitioned_conv_matches_direct():
     spectra = partition_ir(ir, hop)
     x = RNG.standard_normal(8 * hop).astype(np.float32) * 0.5
 
-    p = spectra.shape[0]
-    spec_hist = jnp.zeros((p - 1, hop + 1), jnp.complex64)
+    p = spectra.shape[1]
+    spec_hist = jnp.zeros((2, p - 1, hop + 1), jnp.float32)
     in_tail = jnp.zeros(hop, jnp.float32)
     # stream in two chunks to exercise the carried state
     y1, spec_hist, in_tail = partitioned_fft_conv(spec_hist, in_tail, jnp.asarray(x[: 4 * hop]), spectra, hop)
