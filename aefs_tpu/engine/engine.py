@@ -213,8 +213,10 @@ class AudioEngine:
         self.is_processing_file = True
         try:
             print("Info: Processing WAV")
+            from aefs_tpu import native
+
             _, content_string = contents.split(",")
-            decoded = base64.b64decode(content_string)
+            decoded = native.b64decode(content_string)
             audio, fs = decode_wav(decoded)
 
             loop = asyncio.get_running_loop()
@@ -222,17 +224,23 @@ class AudioEngine:
                 None, self.process_file_array, audio, fs
             )
 
-            wav_bytes = encode_wav_int16(processed, fs)
-            b64 = base64.b64encode(wav_bytes).decode("ascii")
-            response = {
-                "type": "file_processed",
-                "original_b64": contents,
-                "processed_b64": f"data:audio/wav;base64,{b64}",
-                "sample_rate": int(fs),
-                "original_samples": mono.flatten().tolist(),
-                "processed_samples": processed.mean(axis=1).flatten().tolist(),
-            }
-            await websocket.send(json.dumps(response))
+            def serialize():
+                wav_bytes = encode_wav_int16(processed, fs)
+                b64 = native.b64encode(wav_bytes).decode("ascii")
+                head = json.dumps({
+                    "type": "file_processed",
+                    "original_b64": contents,
+                    "processed_b64": f"data:audio/wav;base64,{b64}",
+                    "sample_rate": int(fs),
+                })
+                return (
+                    head[:-1]
+                    + ',"original_samples":' + native.json_f32_array(mono.flatten())
+                    + ',"processed_samples":' + native.json_f32_array(processed.mean(axis=1))
+                    + "}"
+                )
+
+            await websocket.send(await loop.run_in_executor(None, serialize))
         except Exception as e:
             print(f"Error processing WAV file: {e}")
         finally:

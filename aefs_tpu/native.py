@@ -1,0 +1,182 @@
+"""ctypes bindings for the native runtime library (native/aefs_native.cpp).
+
+Builds the .so on first use with g++ if it is missing; every consumer has a
+pure-Python/NumPy fallback so the framework works without a compiler.
+
+    from aefs_tpu import native
+    native.available() -> bool
+    native.json_f32_array(np_float32_1d) -> str   ('[v0,v1,...]')
+    native.f32_to_i16 / i16_to_f32 / interleave
+    native.b64encode / b64decode
+    native.SpscRing(block_floats, capacity)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_HERE, "native", "aefs_native.cpp")
+_SO = os.path.join(_HERE, "native", "libaefs_native.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        i64, f32p, i16p, u8p, charp = (
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p,
+        )
+        lib.json_f32_array.restype = i64
+        lib.json_f32_array.argtypes = [f32p, i64, ctypes.c_char_p]
+        lib.f32_to_i16.argtypes = [f32p, i16p, i64]
+        lib.i16_to_f32.argtypes = [i16p, f32p, i64]
+        lib.interleave_f32.argtypes = [f32p, f32p, i64, i64]
+        lib.b64_encode.restype = i64
+        lib.b64_encode.argtypes = [u8p, i64, ctypes.c_char_p]
+        lib.b64_decode.restype = i64
+        lib.b64_decode.argtypes = [charp, i64, u8p]
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [i64, i64]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.ring_push.restype = ctypes.c_int32
+        lib.ring_push.argtypes = [ctypes.c_void_p, f32p]
+        lib.ring_pop.restype = i64
+        lib.ring_pop.argtypes = [ctypes.c_void_p, f32p, i64]
+        lib.ring_size.restype = i64
+        lib.ring_size.argtypes = [ctypes.c_void_p]
+        lib.ring_dropped.restype = i64
+        lib.ring_dropped.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    try:
+        return _load() is not None
+    except Exception:
+        return False
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def json_f32_array(arr) -> str:
+    """float32 1-D array -> JSON list text (the plot-pump hot path)."""
+    arr = np.ascontiguousarray(arr, np.float32)
+    try:
+        lib = _load()
+    except Exception:
+        return "[" + ",".join(f"{float(v):.5g}" for v in arr) + "]"
+    buf = ctypes.create_string_buffer(arr.size * 16 + 2)
+    n = lib.json_f32_array(_f32p(arr), arr.size, buf)
+    return buf.raw[:n].decode("ascii")
+
+
+def f32_to_i16(arr):
+    arr = np.ascontiguousarray(arr, np.float32)
+    try:
+        lib = _load()
+    except Exception:
+        return (np.clip(arr, -1, 1) * 32767.0).astype(np.int16)
+    out = np.empty(arr.shape, np.int16)
+    lib.f32_to_i16(_f32p(arr), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), arr.size)
+    return out
+
+
+def i16_to_f32(arr):
+    arr = np.ascontiguousarray(arr, np.int16)
+    try:
+        lib = _load()
+    except Exception:
+        return arr.astype(np.float32) / 32768.0
+    out = np.empty(arr.shape, np.float32)
+    lib.i16_to_f32(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _f32p(out), arr.size)
+    return out
+
+
+def b64encode(data: bytes) -> bytes:
+    try:
+        lib = _load()
+    except Exception:
+        import base64
+
+        return base64.b64encode(data)
+    src = np.frombuffer(data, np.uint8)
+    buf = ctypes.create_string_buffer((len(data) + 2) // 3 * 4 + 1)
+    n = lib.b64_encode(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), buf)
+    return buf.raw[:n]
+
+
+def b64decode(text) -> bytes:
+    if isinstance(text, str):
+        text = text.encode("ascii")
+    try:
+        lib = _load()
+    except Exception:
+        import base64
+
+        return base64.b64decode(text)
+    out = np.empty(len(text) * 3 // 4 + 3, np.uint8)
+    n = lib.b64_decode(text, len(text), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:n].tobytes()
+
+
+class SpscRing:
+    """Lock-free single-producer/single-consumer float32-block queue with
+    drop-on-full semantics (native replacement for the plot-tap
+    queue.Queue, core.py:99-106 / backend.py:80-83)."""
+
+    def __init__(self, block_floats: int, capacity: int):
+        self._lib = _load()
+        self.block_floats = int(block_floats)
+        self.capacity = int(capacity)
+        self._h = self._lib.ring_create(self.block_floats, self.capacity)
+
+    def push(self, block) -> bool:
+        block = np.ascontiguousarray(block, np.float32)
+        assert block.size == self.block_floats
+        return bool(self._lib.ring_push(self._h, _f32p(block)))
+
+    def pop(self, max_blocks: int):
+        out = np.empty((max_blocks, self.block_floats), np.float32)
+        n = self._lib.ring_pop(self._h, _f32p(out), max_blocks)
+        return out[:n]
+
+    def __len__(self):
+        return int(self._lib.ring_size(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.ring_dropped(self._h))
+
+    def __del__(self):
+        try:
+            self._lib.ring_destroy(self._h)
+        except Exception:
+            pass
