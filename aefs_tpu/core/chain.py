@@ -116,6 +116,26 @@ class Chain:
             self._jit_cache[key] = jax.jit(run, donate_argnums=(0,))
         return self._jit_cache[key]
 
+    def process_whole(self, state, targets, x):
+        """Whole-signal pass: like ``process_block`` but routed through each
+        effect's ``process_file`` fast path (one parameter-smoothing step,
+        then every effect transforms the entire signal in closed form —
+        no per-block scan)."""
+        buf = self._fan_in(x)
+        new_fx, new_params = [], []
+        for i, (eid, model) in enumerate(self.effects):
+            pcur = smooth_all(model.PARAMS, state["params"][i], targets[i], self.fs)
+            st, buf = model.process_file(state["fx"][i], pcur, buf)
+            new_fx.append(st)
+            new_params.append(pcur)
+        return {"fx": tuple(new_fx), "params": tuple(new_params)}, buf
+
+    def fast_file_fn(self, n_samples: int):
+        key = ("fast", n_samples)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self.process_whole, donate_argnums=(0,))
+        return self._jit_cache[key]
+
     def warmup(self, state, targets):
         """Compile + run two dummy blocks (core.py:131-136); returns a fresh
         state identical to ``state`` (the dummy run is discarded)."""
@@ -127,8 +147,13 @@ class Chain:
         jax.block_until_ready(st)
         return self.init_state()
 
-    def process_array(self, state, targets, audio):
-        """Process a whole (frames, ci) array blockwise on-device.
+    def process_array(self, state, targets, audio, fast: bool = False):
+        """Process a whole (frames, ci) array on-device.
+
+        fast=False: lax.scan of the block step over superblocks (works from
+        any carried state).
+        fast=True: one whole-signal pass through the effects'
+        ``process_file`` closed forms — requires fresh state (file mode).
 
         Returns (new_state, (frames, co) float32).  Frames are padded up to
         a multiple of the blocksize; the pad is trimmed from the output.
@@ -139,9 +164,14 @@ class Chain:
         pad = (-frames) % n
         if pad:
             audio = np.concatenate([audio, np.zeros((pad, audio.shape[1]), np.float32)])
-        blocks = jnp.asarray(audio.T.reshape(self.ci, -1, n).transpose(1, 0, 2))
-        state, ys = self.file_fn(blocks.shape[0])(state, targets, blocks)
-        out = np.asarray(ys.transpose(1, 0, 2).reshape(self.co, -1).T)
+        if fast:
+            x = jnp.asarray(audio.T)  # (ci, N)
+            state, y = self.fast_file_fn(x.shape[-1])(state, targets, x)
+            out = np.asarray(y).T
+        else:
+            blocks = jnp.asarray(audio.T.reshape(self.ci, -1, n).transpose(1, 0, 2))
+            state, ys = self.file_fn(blocks.shape[0])(state, targets, blocks)
+            out = np.asarray(ys.transpose(1, 0, 2).reshape(self.co, -1).T)
         return state, out[:frames]
 
 
@@ -150,8 +180,9 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
     """Chain factory from a JSON-style config list (engine.py:38-65).
 
     effects_config: [{"effect_id": str, "type": str, "params": {...}}, ...]
-    static_overrides: optional {effect_type: {kw: val}} extra static config
-      (e.g. delay min_delay_ms for file mode).
+    static_overrides: optional extra static config, keyed by effect_id
+      (takes precedence) or effect type (e.g. delay min_delay_ms for file
+      mode).
 
     Returns (chain, state, targets_map) where targets_map is the host-side
     {effect_id: params} dict mirroring the initial state.
@@ -171,6 +202,7 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
         params = dict(cfg.get("params", {}))
         live, static = cls.split_config(params)
         static.update(static_overrides.get(etype, {}))
+        static.update(static_overrides.get(eid, {}))
         model = cls(fs, blocksize, channels=channels_out, **static)
         effects.append((eid, model))
         configs[eid] = live

@@ -45,13 +45,20 @@ except (ImportError, OSError):
 
 def _file_static_overrides(effects_config):
     """File mode builds a fresh chain whose smoothed params start at their
-    targets, so the delay's fixed-point iteration count can key off the
-    configured delay instead of the 1 ms spec floor."""
+    targets, so the delay's lags can be baked static (per effect id):
+    min_delay_ms bounds the blockwise fixed point, file_delay/offset enable
+    the whole-file lag-affine fast path."""
     overrides = {}
-    for cfg in effects_config:
+    for i, cfg in enumerate(effects_config):
         if cfg.get("type") == "delay":
-            d = float(cfg.get("params", {}).get("delay_ms", 375.0))
-            overrides["delay"] = {"min_delay_ms": max(1.0, min(d, 1499.0))}
+            params = cfg.get("params", {})
+            d = float(params.get("delay_ms", 375.0))
+            eid = cfg.get("effect_id") or f"fx{i}"
+            overrides[eid] = {
+                "min_delay_ms": max(1.0, min(d, 1499.0)),
+                "file_delay_ms": d,
+                "file_offset_ms": float(params.get("offset_ms", 30.0)),
+            }
     return overrides
 
 
@@ -75,7 +82,7 @@ def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK):
         channels_out=2,
         static_overrides=_file_static_overrides(chain_config),
     )
-    _, out = chain.process_array(state, chain.targets(targets_map), mono)
+    _, out = chain.process_array(state, chain.targets(targets_map), mono, fast=True)
     return mono, np.clip(out, -1.0, 1.0)
 
 
@@ -93,6 +100,9 @@ class AudioEngine:
         self.last_chain_config = []
         self._lock = threading.Lock()
         self._targets_map = {}
+        from aefs_tpu.utils.metrics import BlockTimer
+
+        self.metrics = BlockTimer(self.current_sample_rate, BLOCKSIZE)
         self.build_chain([])
 
     # -- chain lifecycle (engine.py:38-65) ------------------------------
@@ -142,9 +152,10 @@ class AudioEngine:
             chain, state, targets = self.chain, self.chain_state, self._targets
         import jax.numpy as jnp
 
-        x = jnp.asarray(in_block.T)
-        state, y = chain.step()(state, targets, x)
-        out = np.asarray(y).T
+        with self.metrics.block():
+            x = jnp.asarray(in_block.T)
+            state, y = chain.step()(state, targets, x)
+            out = np.asarray(y).T
         with self._lock:
             # Chain may have been swapped mid-block; matching the
             # reference's benign race, the old block's state is dropped.

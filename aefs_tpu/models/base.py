@@ -50,3 +50,14 @@ class EffectModel:
     def process(self, state, p, x):
         """Pure block transform: (state, params, (C, N)) -> (state, (C, N))."""
         raise NotImplementedError
+
+    def process_file(self, state, p, x):
+        """Whole-signal transform for the file-mode fast path: one call over
+        the entire (padded) signal with constant params and fresh state.
+
+        The default delegates to ``process`` — valid for every effect whose
+        block algorithm is N-agnostic (gate/filter/spectral/waveshaper/
+        convreverb/octaver).  Effects whose blockwise solver cost scales
+        with N/lag (delay fixed point, reverb comb bank) override this with
+        a closed-form whole-file algorithm."""
+        return self.process(state, p, x)

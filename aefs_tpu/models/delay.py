@@ -36,12 +36,23 @@ class StereoDelay(EffectModel):
     }
 
     def __init__(self, fs, blocksize, channels=2, max_delay_ms=1500.0,
-                 min_delay_ms=1.0, **config):
+                 min_delay_ms=1.0, file_delay_ms=None, file_offset_ms=None,
+                 **config):
         super().__init__(fs, blocksize, channels)
         self.max_delay_ms = float(max_delay_ms)
         # Ring size: int(fs * max_delay_ms / 1000) + 1 (delay.py:33).
         self.size = int(fs * self.max_delay_ms / 1000.0) + 1
         self.min_delay = max(1, int(fs * float(min_delay_ms) / 1000.0))
+        # Static lags for the whole-file fast path (file mode builds fresh
+        # chains whose smoothed params equal their config targets, so the
+        # engine bakes the configured delay/offset in).
+        self.file_lags = None
+        if file_delay_ms is not None:
+            d_l = min(float(file_delay_ms), self.max_delay_ms - 1.0)
+            d_r = min(d_l + float(file_offset_ms or 0.0), self.max_delay_ms - 1.0)
+            self.file_lags = tuple(
+                min(max(int(fs * d / 1000.0), 1), self.size - 1) for d in (d_l, d_r)
+            )
 
     def init_state(self):
         return {"lines": jnp.zeros((2, self.size), jnp.float32)}
@@ -61,5 +72,35 @@ class StereoDelay(EffectModel):
             lambda h, xi, d: feedback_delay_block(h, xi, d, fb, self.min_delay)
         )(state["lines"], x, d_samples)
 
+        y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
+        return {"lines": lines}, y
+
+    def process_file(self, state, p, x):
+        """Whole-file fast path: with static lags the feedback echo is a
+        pure lag-affine recurrence y[n] = x[n-d] + fb*y[n-d], solved by one
+        residue-class associative scan per side — no fixed-point iteration,
+        no per-block scan.  Requires fresh (zero) line state and the
+        engine-baked static delays; falls back to the blockwise solver
+        otherwise."""
+        if self.file_lags is None:
+            return self.process(state, p, x)
+        from aefs_tpu.ops.scan import lag_affine_scan
+
+        fb = p["feedback"]
+        n = x.shape[-1]
+        wets = []
+        writes = []
+        for side, lag in enumerate(self.file_lags):
+            base = jnp.concatenate(
+                [jnp.zeros((lag,), x.dtype), x[side, : n - lag]]
+            ) if lag < n else jnp.zeros((n,), x.dtype)
+            y = lag_affine_scan(base, fb, lag)
+            wets.append(y)
+            writes.append(x[side] + fb * y)
+        wet = jnp.stack(wets)
+        w = jnp.stack(writes)
+        lines = jnp.concatenate(
+            [jnp.zeros((2, self.size), x.dtype), w], axis=-1
+        )[:, -self.size:]
         y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
         return {"lines": lines}, y

@@ -58,20 +58,34 @@ class Octaver(EffectModel):
 
         mono = jnp.mean(x, axis=0)  # octaver.py:126-128
 
-        # Phase path in split-float32 so the result is blocksize-invariant:
-        # Veltkamp-split step into a 12-bit-mantissa high part (n * s_hi is
-        # then exact for n < 4096, and its mod-1 residue exactly
-        # representable) plus a small low part whose product rounding is
-        # ~1e-11.  Without this, fl(n * step) at n ~ 2048 carries ~2^-15
-        # absolute error -> 0.06-sample tap jitter.
-        c = step * jnp.float32(4097.0)
-        s_hi = c - (c - step)
-        s_lo = step - s_hi
-        n_idx = jnp.arange(n, dtype=jnp.float32)
-        p1 = jnp.mod(
-            jnp.mod(n_idx * s_hi, 1.0) + state["phasor"] + n_idx * s_lo + state["comp"],
-            1.0,
-        )
+        # Phase path in split-float32 so the result is blocksize-invariant
+        # from 256-sample streaming blocks up to whole files: Veltkamp-split
+        # the step into a 12-bit-mantissa high part (j * s_hi is exact for
+        # j < 4096 and its mod-1 residue exactly representable) plus a low
+        # part whose product rounding is ~1e-11.  Blocks longer than 4096
+        # use a second level over superblock strides m * (4096 * step) —
+        # fl(n * step) directly at n ~ 10^6 would carry ~2^-12 absolute
+        # error (a 0.1+ sample tap jitter).
+        def split12(v):
+            c = v * jnp.float32(4097.0)
+            hi = c - (c - v)
+            return hi, v - hi
+
+        inner_n = min(n, 4096)
+        m = -(-n // inner_n)
+        s_hi, s_lo = split12(step)
+        j_idx = jnp.arange(inner_n, dtype=jnp.float32)
+        inner = jnp.mod(j_idx * s_hi, 1.0) + j_idx * s_lo
+        base = state["phasor"] + state["comp"]
+        if m > 1:
+            delta = jnp.float32(inner_n) * step  # exact: 2^12 scale
+            d_hi, d_lo = split12(delta)
+            m_idx = jnp.arange(m, dtype=jnp.float32)
+            outer = jnp.mod(m_idx * d_hi, 1.0) + m_idx * d_lo
+            p1 = jnp.mod(outer[:, None] + inner[None, :] + base, 1.0)
+            p1 = p1.reshape(m * inner_n)[:n]
+        else:
+            p1 = jnp.mod(inner[:n] + base, 1.0)
         p2 = jnp.mod(p1 + 0.5, 1.0)
 
         hist = state["hist"]
@@ -83,18 +97,26 @@ class Octaver(EffectModel):
         g2 = 0.5 * (1.0 - jnp.cos(two_pi * p2))
         wet = s1 * g1 + s2 * g2
 
-        # Compensated phasor carry: advance by n*step (split form), fold all
-        # rounding into the TwoSum compensation term so cross-block drift
-        # stays at the eps^2 level.
-        nf = jnp.float32(n)
-        a = jnp.mod(nf * s_hi, 1.0)  # exact
-        s1, e1 = _two_sum(a, state["phasor"])
-        s2, e2 = _two_sum(s1, nf * s_lo)
-        s3, e3 = _two_sum(s2, state["comp"])
+        # Compensated phasor carry: advance by n*step decomposed as
+        # q*(4096*step) + r*step with each product split so its mod-1
+        # residue is exact; all rounding folds into the TwoSum compensation
+        # term, keeping cross-block drift at the eps^2 level.
+        q, r = divmod(n, 4096)
+        delta = jnp.float32(4096) * step
+        d_hi, d_lo = split12(delta)
+        parts = []
+        if q:
+            parts += [jnp.mod(jnp.float32(q) * d_hi, 1.0), jnp.float32(q) * d_lo]
+        if r:
+            parts += [jnp.mod(jnp.float32(r) * s_hi, 1.0), jnp.float32(r) * s_lo]
+        acc, err = state["phasor"], state["comp"]
+        for part in parts:
+            acc, e = _two_sum(acc, part)
+            err = err + e
         new_state = {
             "hist": ring_push(hist, mono),
-            "phasor": jnp.mod(s3, 1.0),  # exact integer subtraction
-            "comp": e1 + e2 + e3,
+            "phasor": jnp.mod(acc, 1.0),  # exact integer subtraction
+            "comp": err,
         }
 
         # Linear dry/wet blend preserving the dry stereo image

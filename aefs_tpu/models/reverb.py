@@ -133,3 +133,60 @@ class Reverb(EffectModel):
             "aps": tuple(new_aps),
         }
         return new_state, y
+
+    def process_file(self, state, p, x):
+        """Whole-file fast path: the comb bank runs as a chunked
+        closed-form pass (ops/ringbuf.py:comb_bank_file — one T_h matmul
+        per min-lag chunk instead of a per-block fixed point), the allpass
+        diffusers as residue-class scans over the full signal, the
+        pre-delay as one gather.  Requires fresh (zero) reverb state, which
+        file mode guarantees (fresh chain per file, engine.py:86-99)."""
+        from aefs_tpu.ops.ringbuf import comb_bank_file
+
+        fs = jnp.float32(self.fs)
+        rt60 = p["rt60_s"]
+        damp = p["damp"]
+        pre_d = (fs * p["pre_delay_ms"] / 1000.0).astype(jnp.int32)
+        pre_d = jnp.minimum(pre_d, self.pre_size - 1)
+
+        pre_out = jax.vmap(lambda h, xi: delay_read(h, xi, pre_d))(state["pre"], x)
+        new_pre = ring_push(state["pre"], x)
+
+        new_combs, new_lps, new_aps, wet_sides = [], [], [], []
+        for side in range(2):
+            lags = self.comb_lags[side]
+            g = jnp.power(
+                10.0,
+                -3.0
+                * (jnp.asarray(lags, jnp.float32) / fs)
+                / jnp.maximum(1e-3, rt60),
+            )
+            xb = jnp.broadcast_to(pre_out[side], (self.n_combs, x.shape[-1]))
+            y, damped = comb_bank_file(xb, lags, g, damp)
+            w = xb + g[:, None] * damped
+            new_combs.append(
+                jnp.concatenate(
+                    [jnp.zeros((self.n_combs, self.comb_lmax), x.dtype), w], axis=-1
+                )[:, -self.comb_lmax:]
+            )
+            new_lps.append(damped[:, -1])
+            sig = jnp.sum(y, axis=0)
+
+            side_aps = []
+            for stage, lag in enumerate(self.ap_lags[side]):
+                sig, ap_hist = allpass_block(
+                    state["aps"][side][stage], sig, self.ap_gain, lag
+                )
+                side_aps.append(ap_hist)
+            new_aps.append(tuple(side_aps))
+            wet_sides.append(sig)
+
+        wet = jnp.stack(wet_sides)
+        y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
+        new_state = {
+            "pre": new_pre,
+            "combs": jnp.stack(new_combs),
+            "lps": jnp.stack(new_lps),
+            "aps": tuple(new_aps),
+        }
+        return new_state, y

@@ -32,8 +32,15 @@ def frame_signal(tail, x, n_fft: int, hop: int):
     n = x.shape[-1]
     k = n // hop
     stream = jnp.concatenate([tail, x])
-    idx = jnp.arange(k)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = jnp.take(stream, idx, axis=-1)
+    if n_fft == 2 * hop:
+        # 50% overlap: frame i = chunk[i] ++ chunk[i+1] — pure reshape +
+        # concat, no gather (TPU gathers are expensive; this path covers
+        # every framing in the framework).
+        chunks = stream.reshape(k + 1, hop)
+        frames = jnp.concatenate([chunks[:-1], chunks[1:]], axis=1)
+    else:
+        idx = jnp.arange(k)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        frames = jnp.take(stream, idx, axis=-1)
     new_tail = stream[n:]
     return frames, new_tail
 

@@ -161,6 +161,83 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     return y, new_hists, damped[:, -1]
 
 
+def comb_bank_file(x, lags, g, h, chunk=None):
+    """Whole-signal damped comb bank from *fresh* state — the file-mode
+    fast path (one pass over the entire signal, no per-block scan).
+
+    The joint recurrence (reverb.py:33-46, rewritten on the damped state)
+
+        y[n]      = x[n - L] + g * damped[n - L]          (comb output)
+        damped[n] = h * damped[n-1] + (1 - h) * y[n]
+
+    is solved in chunks of C = min(lags) samples.  Because the comb
+    topology satisfies max(lags) < 2 * min(lags), every lag-L read lands in
+    the previous two chunks — never the current one — so each chunk is a
+    *closed-form* function of carried state: the in-chunk damping scan
+    becomes one lower-triangular Toeplitz matmul T_h[j,i] = h^(j-i) (MXU
+    work), and the lag reads are static gathers.  ~8 XLA ops per chunk for
+    the whole bank versus ~10^3 for a blockwise fixed-point scan.
+
+    x: (B, N) per-comb input (broadcast the side signal across its bank).
+    lags: static python ints (B,); g: (B,) traced gains; h: traced damping.
+
+    Returns (y, damped) both (B, N): raw comb outputs and damping states
+    (from which final ring state is reconstructed: w = x + g * damped).
+    """
+    import numpy as np
+    from jax import lax
+
+    b, n = x.shape
+    if chunk:
+        c = int(chunk)
+    else:
+        # Largest lane-aligned chunk satisfying C <= L < 2C for all lags
+        # (aligned chunks keep the per-chunk T_h matmul off the MXU padding
+        # path); fall back to min(lags) if alignment can't satisfy it.
+        c = (min(lags) // 128) * 128
+        if not c or not all(c <= lag < 2 * c for lag in lags):
+            c = min(lags)
+    if not all(c <= lag < 2 * c for lag in lags):
+        raise ValueError(f"comb lags {lags} violate C <= L < 2C for C={c}")
+    m = -(-n // c)
+    n_pad = m * c
+    # x[n - L] per comb: static per-comb shifts (lags are compile-time),
+    # no gather anywhere in this op.
+    xs = jnp.stack(
+        [jnp.pad(x[i], (lag, n_pad - n))[:n_pad] for i, lag in enumerate(lags)]
+    ).reshape(b, m, c)
+
+    # In-chunk damping propagator: T_h[j, i] = h^(j-i) for j >= i.
+    j_i = jnp.arange(c)[:, None] - jnp.arange(c)[None, :]
+    t_h = jnp.where(j_i >= 0, jnp.power(h, jnp.maximum(j_i, 0).astype(x.dtype)), 0.0)
+    hpow = jnp.power(h, jnp.arange(1, c + 1, dtype=x.dtype))  # h^(j+1)
+
+    g_col = g[:, None]
+    one_mh = 1.0 - h
+
+    def step(carry, x_parts):
+        prev2, prev1, d_last = carry
+        xs_chunk = x_parts  # (B, C)
+        ext = jnp.concatenate([prev2, prev1], axis=1)  # (B, 2C)
+        # damped[n - L] = ext[b, 2C - L + j]: a static slice per comb.
+        r = jnp.stack([ext[i, 2 * c - lag : 3 * c - lag] for i, lag in enumerate(lags)])
+        y = xs_chunk + g_col * r
+        damped = (
+            jnp.einsum("ji,bi->bj", t_h, one_mh * y) + d_last[:, None] * hpow[None, :]
+        )
+        return (prev1, damped, damped[:, -1]), (y, damped)
+
+    zeros = jnp.zeros((b, c), x.dtype)
+    _, (ys, damps) = lax.scan(
+        step,
+        (zeros, zeros, jnp.zeros((b,), x.dtype)),
+        jnp.moveaxis(xs, 1, 0),  # (M, B, C)
+    )
+    y = jnp.moveaxis(ys, 0, 1).reshape(b, n_pad)[:, :n]
+    damped = jnp.moveaxis(damps, 0, 1).reshape(b, n_pad)[:, :n]
+    return y, damped
+
+
 def allpass_block(hist, x, a, lag: int):
     """Gardner/Moorer allpass diffuser over one block (port of
     allpass_kernel, reverb.py:48-67).  ``lag`` is static (reverb topology
@@ -226,6 +303,6 @@ def fractional_read_cubic(hist, x, ago):
 
     def tap(offset):
         back = jnp.mod(ca + offset, s)
-        return jnp.take(ext, base - back, axis=-1)
+        return jnp.take(ext, base - back, axis=-1, mode="clip")
 
     return cubic_hermite(frac, tap(1), tap(0), tap(-1), tap(-2))

@@ -142,6 +142,17 @@ async def handler(websocket):
                     asyncio.create_task(
                         audio_engine.process_wav_file(cmd.get("contents"), websocket)
                     )
+                elif command == "get_stats":
+                    # Additive protocol extension: operational metrics
+                    # (per-block p50/p99, deadline misses — the xrun
+                    # counter the reference incremented but never surfaced,
+                    # engine.py:157-158).
+                    await websocket.send(json.dumps({
+                        "type": "stats",
+                        "engine": audio_engine.metrics.snapshot(),
+                        "is_running": audio_engine.is_running,
+                        "sample_rate": audio_engine.current_sample_rate,
+                    }))
             except json.JSONDecodeError:
                 print(f"Error: message is not valid JSON: {message}")
             except Exception as e:

@@ -99,7 +99,18 @@ def file_static_overrides(cfgs):
 
 
 def bench_file_mode(name, cfgs, x, superblock, repeats=3):
+    """Device realtime factor for one config via the whole-file fast path.
+
+    Timing is device-execution only (input staged on device beforehand,
+    completion forced by a scalar readback — ``block_until_ready`` does not
+    synchronize on the remote axon backend).  Host<->device transfer time
+    is measured separately and reported in the detail lines: on this
+    development tunnel transfers run at single-digit MB/s, which is an
+    artifact of the remote link, not the framework or a production
+    host-attached TPU.
+    """
     import jax
+    import jax.numpy as jnp
     from aefs_tpu.core.chain import build_chain
 
     chain, state, tmap = build_chain(
@@ -109,19 +120,37 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=3):
     targets = chain.targets(tmap)
     init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
 
+    pad = (-len(x)) % superblock
+    xp = np.concatenate([x, np.zeros((pad, 1), np.float32)])
+    fn = chain.fast_file_fn(len(xp))
+
     t0 = time.time()
-    chain.process_array(state, targets, x)  # compile + first run
+    xd = jnp.asarray(xp.T)
+    float(jnp.sum(xd))
+    h2d_s = time.time() - t0
+
+    t0 = time.time()
+    st, y = fn(state, targets, xd)
+    float(jnp.sum(jnp.abs(y[:, -4:])))
     compile_s = time.time() - t0
 
     best = float("inf")
     for _ in range(repeats):
         st = chain.init_state(init_cfg)
+        float(jnp.sum(st["params"][0][next(iter(st["params"][0]))]))  # sync
         t0 = time.time()
-        _, out = chain.process_array(st, targets, x)
+        st, y = fn(st, targets, xd)
+        float(jnp.sum(jnp.abs(y[:, -4:])))  # force execution + tiny readback
         best = min(best, time.time() - t0)
+
+    t0 = time.time()
+    out = np.asarray(y)
+    d2h_s = time.time() - t0
+
     rtf = (len(x) / FS) / best
-    log(f"[bench] {name}: {best*1000:.1f} ms for {len(x)/FS:.1f} s audio "
-        f"-> {rtf:.0f}x realtime (superblock {superblock}, compile {compile_s:.1f} s)")
+    log(f"[bench] {name}: device {best*1000:.1f} ms for {len(x)/FS:.1f} s audio "
+        f"-> {rtf:.0f}x realtime (compile {compile_s:.1f} s, "
+        f"h2d {h2d_s*1000:.0f} ms, d2h {d2h_s*1000:.0f} ms)")
     return rtf
 
 
@@ -135,12 +164,12 @@ def bench_stream_latency(cfgs, n_blocks=200):
     step = chain.step()
     xb = jnp.asarray(rain_like(256 / FS)[:256].T)
     state, y = step(state, targets, xb)
-    jax.block_until_ready(y)
+    float(jnp.sum(y))
     lats = []
     for _ in range(n_blocks):
         t0 = time.time()
         state, y = step(state, targets, xb)
-        jax.block_until_ready(y)
+        float(jnp.sum(y[:, -4:]))  # forced sync (remote backend)
         lats.append(time.time() - t0)
     lats = np.asarray(lats) * 1000
     p50, p99 = np.percentile(lats, 50), np.percentile(lats, 99)

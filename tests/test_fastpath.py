@@ -1,0 +1,78 @@
+"""Whole-file fast path vs blockwise scan: identical waveforms.
+
+The fast path replaces the per-superblock lax.scan with closed-form
+whole-signal passes (delay -> lag-affine scan, reverb combs -> chunked
+T_h-matmul solve, octaver -> two-level split phases).  Since the blockwise
+path is oracle-verified, bit-near agreement here certifies the fast path.
+"""
+
+import numpy as np
+import pytest
+
+from aefs_tpu.core.chain import build_chain
+from aefs_tpu.engine.engine import _file_static_overrides
+
+from helpers import noise, bursts
+from oracles import err_dbfs
+
+FS = 48000
+
+FIVE_FX = [
+    {"effect_id": "g", "type": "gate",
+     "params": {"threshold_db": -45, "attack_ms": 5, "release_ms": 100}},
+    {"effect_id": "o", "type": "octaver", "params": {"semitones": -12, "mix": 0.4}},
+    {"effect_id": "f", "type": "filter",
+     "params": {"filter_type": 0, "cutoff_hz": 4000, "q": 0.8}},
+    {"effect_id": "d", "type": "delay",
+     "params": {"delay_ms": 375, "feedback": 0.2, "mix_dry": 1.0,
+                "mix_wet": 0.6, "offset_ms": 10}},
+    {"effect_id": "r", "type": "reverb",
+     "params": {"rt60_s": 2.1, "damp": 0.05, "pre_delay_ms": 0,
+                "mix_dry": 0.8, "mix_wet": 0.4}},
+]
+
+
+def run(cfgs, x, fast, blocksize=4096):
+    chain, state, tmap = build_chain(
+        cfgs, FS, blocksize, channels_in=x.shape[1],
+        static_overrides=_file_static_overrides(cfgs),
+    )
+    _, out = chain.process_array(state, chain.targets(tmap), x, fast=fast)
+    return out
+
+
+@pytest.mark.parametrize("etype,params,tol", [
+    ("delay", {"delay_ms": 375, "feedback": 0.5, "mix_dry": 1.0,
+               "mix_wet": 1.0, "offset_ms": 25}, -80),
+    ("delay", {"delay_ms": 55, "feedback": 0.7, "mix_dry": 0.6,
+               "mix_wet": 0.9, "offset_ms": 0}, -80),
+    ("reverb", {"rt60_s": 2.1, "damp": 0.05, "pre_delay_ms": 0,
+                "mix_dry": 0.8, "mix_wet": 0.4}, -80),
+    ("reverb", {"rt60_s": 6.0, "damp": 0.6, "pre_delay_ms": 40,
+                "mix_dry": 0.5, "mix_wet": 0.7}, -80),
+    ("octaver", {"semitones": -12, "mix": 1.0}, -80),
+    ("gate", {"threshold_db": -40, "attack_ms": 5, "release_ms": 100}, -80),
+    ("spectral", {"threshold_db": -45, "reduction": 0.2}, -80),
+    ("convreverb", {"ir_seconds": 0.5, "mix_dry": 0.7, "mix_wet": 0.4}, -80),
+])
+def test_fast_matches_blockwise_per_effect(etype, params, tol):
+    x = noise(12 * 4096, amp=0.25, seed=11)
+    cfg = [{"effect_id": "e", "type": etype, "params": params}]
+    slow = run(cfg, x, fast=False)
+    fastv = run(cfg, x, fast=True)
+    assert err_dbfs(slow, fastv) <= tol, err_dbfs(slow, fastv)
+
+
+def test_fast_matches_blockwise_five_effect_chain():
+    x = bursts(12 * 4096, amp=0.4, seed=3)
+    slow = run(FIVE_FX, x, fast=False)
+    fastv = run(FIVE_FX, x, fast=True)
+    assert err_dbfs(slow, fastv) <= -75, err_dbfs(slow, fastv)
+
+
+def test_fast_path_short_file():
+    """Files shorter than one superblock must still work."""
+    x = noise(1000, amp=0.3, seed=4)
+    fastv = run(FIVE_FX, x, fast=True)
+    assert fastv.shape == (1000, 2)
+    assert np.all(np.isfinite(fastv))

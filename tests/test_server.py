@@ -67,6 +67,17 @@ def test_ws_protocol_round_trip(tmp_path):
                 rms = float(np.sqrt(np.mean(audio[:, 0] ** 2)))
                 assert 0.1 < rms < 0.4, rms
 
+                # stats extension: per-block metrics snapshot
+                await client.send(json.dumps({"command": "get_stats"}))
+                for _ in range(20):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 30))
+                    if msg["type"] == "stats":
+                        break
+                else:
+                    raise AssertionError("no stats response")
+                assert msg["sample_rate"] == 48000
+                assert "xruns" in msg["engine"]
+
                 # second client must be rejected (single-client rule,
                 # backend.py:73-75): server closes it without handling
                 async with ws.connect(f"ws://127.0.0.1:{port}") as c2:
