@@ -26,9 +26,13 @@ def ring_push(hist, new):
 
 
 def _shift_dyn(y, d, n_idx):
-    """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar)."""
-    idx = jnp.clip(n_idx - d, 0, y.shape[-1] - 1)
-    return jnp.where(n_idx >= d, jnp.take(y, idx, axis=-1), 0.0)
+    """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar).
+
+    A contiguous dynamic_slice of the zero-padded signal — never a gather
+    (TPU gathers cost ~10-100x a sliced copy)."""
+    n = y.shape[-1]
+    padded = jnp.concatenate([jnp.zeros_like(y), y], axis=-1)
+    return jax.lax.dynamic_slice_in_dim(padded, n - d, n, axis=-1)
 
 
 def delay_read(hist, x, d_samples):
@@ -36,15 +40,15 @@ def delay_read(hist, x, d_samples):
 
     Port of ``pure_delay_kernel`` (reverb.py:12-31).  ``d_samples`` is a
     traced int32 scalar in [0, S] where S = hist length; d = 0 passes
-    ``x`` through unchanged (reverb.py:14-22).
+    ``x`` through unchanged (reverb.py:14-22).  The read window is
+    contiguous, so it lowers to one dynamic_slice.
 
     hist: (..., S) chronological; x: (..., N).  Returns y: (..., N).
     """
     s = hist.shape[-1]
     n = x.shape[-1]
     ext = jnp.concatenate([hist, x], axis=-1)
-    idx = s + jnp.arange(n) - d_samples
-    return jnp.take(ext, idx, axis=-1)
+    return jax.lax.dynamic_slice_in_dim(ext, s - d_samples, n, axis=-1)
 
 
 def feedback_delay_block(hist, x, d_samples, feedback, min_delay: int):
@@ -64,9 +68,9 @@ def feedback_delay_block(hist, x, d_samples, feedback, min_delay: int):
     n = x.shape[-1]
     n_idx = jnp.arange(n)
 
-    # Reads that land in the history region (n < d): gather once.
+    # Reads that land in the history region (n < d): one dynamic_slice.
     ext = jnp.concatenate([hist, jnp.zeros((n,), hist.dtype)], axis=-1)
-    base_hist = jnp.take(ext, jnp.clip(s + n_idx - d_samples, 0, s + n - 1), axis=-1)
+    base_hist = jax.lax.dynamic_slice_in_dim(ext, s - d_samples, n, axis=-1)
     x_shift = _shift_dyn(x, d_samples, n_idx)
     in_hist = n_idx < d_samples
 
@@ -301,8 +305,30 @@ def fractional_read_cubic(hist, x, ago):
     ca = ca.astype(jnp.int32)
     base = s + jnp.arange(n)
 
-    def tap(offset):
-        back = jnp.mod(ca + offset, s)
-        return jnp.take(ext, base - back, axis=-1, mode="clip")
+    # The four taps sit at consecutive ext indices (ago = ca+1 .. ca-2), so
+    # the bulk fetch is ONE 4-wide sliced gather (descriptor count N, not
+    # 4N — TPU gather cost scales with descriptors).  The reference's
+    # mod-size wrap (octaver.py:45-48) only reorders taps when ca is within
+    # 1 of the ring boundary; the wrapped ago values are then all in
+    # {0, 1, 2} or {s-3, s-2, s-1}, whose reads are *static shifts* of the
+    # stream — selected per lane with no extra gather.
+    start = jnp.clip(base - (ca + 1), 0, s + n - 4)
+    quads = jax.vmap(lambda i: jax.lax.dynamic_slice(ext, (i,), (4,)))(start)
 
-    return cubic_hermite(frac, tap(1), tap(0), tap(-1), tap(-2))
+    shifts = {
+        j: ext[s - j : s - j + n] for j in (0, 1, 2, s - 3, s - 2, s - 1)
+    }
+
+    def wrap_tap(offset):
+        back = jnp.mod(ca + offset, s)
+        out = shifts[0]
+        for j in (1, 2, s - 3, s - 2, s - 1):
+            out = jnp.where(back == j, shifts[j], out)
+        return out
+
+    needs_wrap = (ca <= 1) | (ca >= s - 1)
+    taps = []
+    for k, col in ((1, 0), (0, 1), (-1, 2), (-2, 3)):
+        taps.append(jnp.where(needs_wrap, wrap_tap(k), quads[:, col]))
+
+    return cubic_hermite(frac, *taps)

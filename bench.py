@@ -98,7 +98,7 @@ def file_static_overrides(cfgs):
     return _file_static_overrides(cfgs)
 
 
-def bench_file_mode(name, cfgs, x, superblock, repeats=3):
+def bench_file_mode(name, cfgs, x, superblock, repeats=6):
     """Device realtime factor for one config via the whole-file fast path.
 
     Timing is device-execution only (input staged on device beforehand,
@@ -134,21 +134,39 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=3):
     float(jnp.sum(jnp.abs(y[:, -4:])))
     compile_s = time.time() - t0
 
-    best = float("inf")
-    for _ in range(repeats):
-        st = chain.init_state(init_cfg)
-        float(jnp.sum(st["params"][0][next(iter(st["params"][0]))]))  # sync
-        t0 = time.time()
-        st, y = fn(st, targets, xd)
-        float(jnp.sum(jnp.abs(y[:, -4:])))  # force execution + tiny readback
-        best = min(best, time.time() - t0)
+    # Pipelined steady-state timing: dispatch K independent jobs
+    # back-to-back and synchronize once.  A single dispatch pays the
+    # tunnel's ~30 ms round trip, which would floor the measurement; a
+    # production server keeps the device queue full, so amortized time is
+    # the honest throughput number.  The single-dispatch latency is
+    # reported alongside.
+    k = max(2, int(repeats))
+    states = [chain.init_state(init_cfg) for _ in range(k)]
+    jax.block_until_ready(states)
+    t0 = time.time()
+    st, y = fn(states[0], targets, xd)
+    float(jnp.sum(jnp.abs(y[:, -4:])))
+    single_s = time.time() - t0
+
+    states = [chain.init_state(init_cfg) for _ in range(k)]
+    jax.block_until_ready(states)
+    ys = []
+    t0 = time.time()
+    for i in range(k):
+        _, y = fn(states[i], targets, xd)
+        ys.append(y)
+    for y in ys:
+        float(jnp.sum(jnp.abs(y[:, -4:])))
+    total = time.time() - t0
+    best = max((total - single_s) / max(k - 1, 1), 1e-9)
 
     t0 = time.time()
-    out = np.asarray(y)
+    out = np.asarray(ys[-1])
     d2h_s = time.time() - t0
 
     rtf = (len(x) / FS) / best
-    log(f"[bench] {name}: device {best*1000:.1f} ms for {len(x)/FS:.1f} s audio "
+    log(f"[bench] {name}: device {best*1000:.1f} ms/run pipelined "
+        f"({single_s*1000:.1f} ms single-dispatch) for {len(x)/FS:.1f} s audio "
         f"-> {rtf:.0f}x realtime (compile {compile_s:.1f} s, "
         f"h2d {h2d_s*1000:.0f} ms, d2h {d2h_s*1000:.0f} ms)")
     return rtf
