@@ -34,8 +34,11 @@ function connect() {
     const msg = JSON.parse(ev.data);
     if (msg.type === "plot_data") onPlotData(msg);
     else if (msg.type === "file_processed") onFileProcessed(msg);
+    else if (msg.type === "stats") onStats(msg);
   };
 }
+
+setInterval(() => send({ command: "get_stats" }), 2000);
 
 function send(cmd) {
   if (socket && socket.readyState === WebSocket.OPEN) socket.send(JSON.stringify(cmd));
@@ -47,6 +50,14 @@ function pushRing(ring, data) {
   const n = Math.min(data.length, WINDOW_SAMPLES);
   ring.copyWithin(0, n);
   for (let i = 0; i < n; i++) ring[WINDOW_SAMPLES - n + i] = data[data.length - n + i];
+}
+
+function onStats(msg) {
+  const e = msg.engine || {};
+  $("stats").textContent = e.blocks
+    ? `${e.blocks} blocks · p50 ${e.p50_ms} ms · p99 ${e.p99_ms} ms · ` +
+      `xruns ${e.xruns} · ${e.realtime_factor}x realtime`
+    : `idle · fs ${msg.sample_rate}`;
 }
 
 function onPlotData(msg) {

@@ -196,10 +196,44 @@ def bench_stream_latency(cfgs, n_blocks=200):
     return p50, p99
 
 
+def wait_for_device(max_wait_s=600):
+    """The development TPU tunnel wedges transfers for ~10 min after a
+    process is killed mid-claim; probe with a tiny round trip from a
+    daemon thread (a hung transfer completes when the tunnel recovers)
+    and wait until the device actually answers before benchmarking."""
+    import threading
+
+    import jax.numpy as jnp
+
+    ready = threading.Event()
+
+    def probe():
+        try:
+            d = jnp.asarray(np.ones(256, np.float32))
+            float(jnp.sum(d))
+            ready.set()
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] device probe failed: {e}")
+
+    t0 = time.time()
+    threading.Thread(target=probe, daemon=True).start()
+    while not ready.is_set() and time.time() - t0 < max_wait_s:
+        time.sleep(5)
+    log(f"[bench] device ready={ready.is_set()} after {time.time()-t0:.0f}s")
+    return ready.is_set()
+
+
 def main():
     import jax
 
+    try:  # persistent compile cache: reruns skip the remote-compile cost
+        jax.config.update("jax_compilation_cache_dir", "/tmp/aefs_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     log(f"[bench] devices: {jax.devices()}")
+    wait_for_device()
     x = rain_like()
 
     superblock = 4096
