@@ -50,14 +50,20 @@ def _file_static_overrides(effects_config):
     the whole-file lag-affine fast path."""
     overrides = {}
     for i, cfg in enumerate(effects_config):
+        params = cfg.get("params", {})
+        eid = cfg.get("effect_id") or f"fx{i}"
         if cfg.get("type") == "delay":
-            params = cfg.get("params", {})
             d = float(params.get("delay_ms", 375.0))
-            eid = cfg.get("effect_id") or f"fx{i}"
             overrides[eid] = {
                 "min_delay_ms": max(1.0, min(d, 1499.0)),
                 "file_delay_ms": d,
                 "file_offset_ms": float(params.get("offset_ms", 30.0)),
+            }
+        elif cfg.get("type") == "octaver":
+            # Bake the pitch ratio so the resample window shrinks to
+            # ratio * tile (models/octaver.py).
+            overrides[eid] = {
+                "file_semitones": float(params.get("semitones", -12.0)),
             }
     return overrides
 

@@ -13,6 +13,7 @@ eps^2 level instead of a per-block eps random walk.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
@@ -37,10 +38,28 @@ class Octaver(EffectModel):
         "mix": ParamSpec(0.5, 0.0, 1.0, smooth="step", step=0.05),
     }
 
-    def __init__(self, fs, blocksize, channels=2, window_ms=40.0, **config):
+    def __init__(self, fs, blocksize, channels=2, window_ms=40.0,
+                 file_semitones=None, **config):
         super().__init__(fs, blocksize, channels)
         # Grain window; minimum size guards tiny rates (octaver.py:106).
         self.size = max(int(fs * float(window_ms) / 1000.0), 16)
+        # Banded-resample geometry (ops/pallas/resample.py): the per-tile
+        # position span is ratio * tile, so the window can shrink when the
+        # pitch ratio is baked static (file mode); streaming uses the
+        # worst case over the +-24 semitone param range.
+        if file_semitones is not None:
+            ratio = 2.0 ** (abs(float(file_semitones)) / 12.0)
+            self.rs_tile = 256 if ratio <= 2.0 else 128
+            span = int(np.ceil(ratio * self.rs_tile)) + 24
+        else:
+            self.rs_tile = 128
+            span = 4 * self.rs_tile + 24
+        self.rs_window = -(-span // 128) * 128
+        # Resampling needs whole tiles, and the low/high cluster split
+        # assumes clusters (span ratio*tile) are separated by >= size/2.
+        self.use_resample = (
+            blocksize % self.rs_tile == 0 and self.size > 2 * span
+        )
 
     def init_state(self):
         return {
@@ -89,8 +108,18 @@ class Octaver(EffectModel):
         p2 = jnp.mod(p1 + 0.5, 1.0)
 
         hist = state["hist"]
-        s1 = fractional_read_cubic(hist, mono, p1 * size)
-        s2 = fractional_read_cubic(hist, mono, p2 * size)
+        if self.use_resample:
+            from aefs_tpu.ops.ringbuf import fractional_read_resample
+
+            s1 = fractional_read_resample(
+                hist, mono, p1 * size, self.rs_tile, self.rs_window
+            )
+            s2 = fractional_read_resample(
+                hist, mono, p2 * size, self.rs_tile, self.rs_window
+            )
+        else:
+            s1 = fractional_read_cubic(hist, mono, p1 * size)
+            s2 = fractional_read_cubic(hist, mono, p2 * size)
 
         two_pi = jnp.float32(2.0 * jnp.pi)
         g1 = 0.5 * (1.0 - jnp.cos(two_pi * p1))  # Hann crossfade (octaver.py:66-67)

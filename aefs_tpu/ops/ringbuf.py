@@ -332,3 +332,44 @@ def fractional_read_cubic(hist, x, ago):
         taps.append(jnp.where(needs_wrap, wrap_tap(k), quads[:, col]))
 
     return cubic_hermite(frac, *taps)
+
+
+def fractional_read_resample(hist, x, ago, tile: int, window: int,
+                             use_pallas=None):
+    """Same read as ``fractional_read_cubic`` but via the banded
+    Catmull-Rom resampling kernel (ops/pallas/resample.py) instead of
+    gathers: the non-wrap lanes are interpolation of the stream at real
+    position q = (s + n) - ago, mathematically identical to the reference's
+    4-tap Hermite (weights verified term-by-term); the rare ring-boundary
+    wrap lanes (reference semantics octaver.py:45-48) are patched from the
+    same static shifts used by the gather path.
+
+    ``tile``/``window`` are static: window must exceed the per-tile
+    position span (= pitch ratio * tile) plus margin.
+    """
+    from aefs_tpu.ops.pallas.resample import catmull_rom_resample
+
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    if n % tile:
+        raise ValueError(f"block {n} not a multiple of resample tile {tile}")
+    ext = jnp.concatenate([hist, x, jnp.zeros((window,), x.dtype)])
+    out = catmull_rom_resample(ext, ago, s, s, tile, window, use_pallas)
+
+    # Ring-boundary wrap lanes: identical patch machinery to the gather
+    # path (taps at ago in {0,1,2} or {s-3..s-1} are static shifts).
+    ca = jnp.ceil(ago)
+    frac = (ca - ago).astype(x.dtype)
+    ca = ca.astype(jnp.int32)
+    shifts = {j: ext[s - j : s - j + n] for j in (0, 1, 2, s - 3, s - 2, s - 1)}
+
+    def wrap_tap(offset):
+        back = jnp.mod(ca + offset, s)
+        sel = shifts[0]
+        for j in (1, 2, s - 3, s - 2, s - 1):
+            sel = jnp.where(back == j, shifts[j], sel)
+        return sel
+
+    needs_wrap = (ca <= 1) | (ca >= s - 1)
+    wrapped = cubic_hermite(frac, wrap_tap(1), wrap_tap(0), wrap_tap(-1), wrap_tap(-2))
+    return jnp.where(needs_wrap, wrapped, out)
