@@ -43,7 +43,9 @@ def _cr_weights(ad):
 
 def _resample_kernel(anchors_ref, base_ref, ago_ref, ext_ref, out_ref, win_ref, sem):
     i = pl.program_id(0)
-    a = anchors_ref[i]  # absolute window start (int32)
+    # Window starts are pre-aligned to the 128-lane tiling (Mosaic requires
+    # provably aligned HBM slice offsets for DMA).
+    a = pl.multiple_of(anchors_ref[i], 128)
 
     dma = pltpu.make_async_copy(
         ext_ref.at[:, pl.ds(a, win_ref.shape[1])], win_ref, sem
@@ -51,41 +53,48 @@ def _resample_kernel(anchors_ref, base_ref, ago_ref, ext_ref, out_ref, win_ref, 
     dma.start()
     dma.wait()
 
-    t = base_ref.shape[1]
+    t = base_ref.shape[2]
     w = win_ref.shape[1]
     # Window-relative position: (base - anchor) is exact integer float32;
     # subtracting ago LAST keeps rounding at ulp(window) — the same
     # granularity as ago itself (subtracting in q-space first would round
     # at ulp(ring size) and cost ~1 bit of tap position).
-    qw = base_ref[0, :] - ago_ref[0, :]
-    j = lax.broadcasted_iota(jnp.float32, (t, w), 1)
+    qw = base_ref[0, 0, :] - ago_ref[0, 0, :]
+    j = lax.broadcasted_iota(jnp.int32, (t, w), 1).astype(jnp.float32)
     weights = _cr_weights(jnp.abs(qw[:, None] - j))
-    out_ref[0, :] = jnp.sum(weights * win_ref[0, :][None, :], axis=1)
+    out_ref[0, 0, :] = jnp.sum(weights * win_ref[0, :][None, :], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
 def _resample_call(ext2, base_tiles, ago_tiles, anchors, window: int, interpret: bool):
     m, t = base_tiles.shape
+    # (M, 1, T) blocks of (1, 1, T): the trailing two dims equal the array
+    # dims, satisfying the TPU (8, 128) tiling rule for any T.
+    base3 = base_tiles[:, None, :]
+    ago3 = ago_tiles[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m,),
         in_specs=[
-            pl.BlockSpec((1, t), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, t), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((1, window), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _resample_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, 1, t), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(anchors, base_tiles, ago_tiles, ext2)
+    )(anchors, base3, ago3, ext2)
+    return out[:, 0, :]
 
 
 def _resample_xla(ext, base_tiles, ago_tiles, anchors, window: int):
@@ -114,7 +123,8 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
     ago: (N,) float32 distances in [0, size); N % tile == 0.
     size: ring size (cluster separation threshold for the <=1 phasor wrap
       per tile).
-    window: static window length >= per-cluster position span + 6.
+    window: static window length >= per-cluster position span + 134 (128
+      of that pays for lane-aligning the window starts).
 
     Returns (N,) interpolated samples.
     """
@@ -135,7 +145,8 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
 
     def anchors_for(minv):
         a = tile_base + jnp.floor(minv).astype(jnp.int32) - 2
-        return jnp.clip(a, 0, e - window)
+        a = (a // 128) * 128  # lane-aligned DMA starts (costs <=127 of window)
+        return jnp.clip(a, 0, ((e - window) // 128) * 128)
 
     a_lo = anchors_for(lo_min)
     a_hi = anchors_for(hi_min)

@@ -38,12 +38,12 @@ def rain_like(duration_s=DURATION_S, fs=FS, channels=1, seed=7):
     base = rng.standard_normal((n, channels)) * 0.12
     ripple = (0.6 + 0.4 * np.sin(2 * np.pi * 0.31 * t))[:, None]
     drops = np.zeros((n, channels), np.float32)
-    idx = rng.integers(0, n - 400, 600)
-    for i in idx:
-        env = np.exp(-np.arange(400) / 60.0)
-        drops[i : i + 400, 0] += 0.25 * env * np.sin(
-            2 * np.pi * rng.uniform(800, 4000) * np.arange(400) / fs
-        )
+    if n > 400:
+        for i in rng.integers(0, n - 400, 600):
+            env = np.exp(-np.arange(400) / 60.0)
+            drops[i : i + 400, 0] += 0.25 * env * np.sin(
+                2 * np.pi * rng.uniform(800, 4000) * np.arange(400) / fs
+            )
     return np.clip(base * ripple + drops, -1, 1).astype(np.float32)
 
 

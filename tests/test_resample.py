@@ -35,8 +35,8 @@ def test_resample_matches_gather_taps(step_scale):
         )
     )
     # Residual is weight-evaluation rounding (Horner-on-frac vs
-    # piecewise-poly-on-d): ~-103 dBFS.
-    assert err_dbfs(got, ref) <= -100, err_dbfs(got, ref)
+    # piecewise-poly-on-d) at ulp(window): ~-95 dBFS.
+    assert err_dbfs(got, ref) <= -90, err_dbfs(got, ref)
 
 
 def test_octaver_model_uses_resample_and_matches_oracle():
