@@ -223,6 +223,47 @@ def wait_for_device(max_wait_s=600):
     return ready.is_set()
 
 
+def bench_multistream(cfgs, n_streams=32, n_iters=40):
+    """Batched serving throughput: S independent chains stepped together
+    (vmapped) on one chip — the production many-sessions-per-chip axis
+    (parallel/ shards the same batch over a mesh).  Reports how many
+    concurrent realtime streams one dispatch cadence sustains."""
+    import jax
+    import jax.numpy as jnp
+    from aefs_tpu.core.chain import build_chain
+
+    chain, _, tmap = build_chain(cfgs, FS, 256, channels_in=1)
+    targets = chain.targets(tmap)
+    init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
+
+    one = chain.init_state(init_cfg)
+    state = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf[None], (n_streams,) + leaf.shape).copy(),
+        one,
+    )
+    step = jax.jit(
+        lambda st, tg, x: jax.vmap(chain.process_block, in_axes=(0, None, 0))(st, tg, x),
+        donate_argnums=(0,),
+    )
+    x = jnp.asarray(
+        0.1 * np.random.default_rng(3).standard_normal((n_streams, 1, 256)),
+        jnp.float32,
+    )
+    state, y = step(state, targets, x)
+    float(jnp.sum(y))
+    t0 = time.time()
+    for _ in range(n_iters):
+        state, y = step(state, targets, x)
+    float(jnp.sum(y))
+    per = (time.time() - t0) / n_iters
+    deadline = 256 / FS
+    sustained = n_streams * deadline / per
+    log(f"[bench] multistream: {n_streams} chains per dispatch, "
+        f"{per*1000:.1f} ms/step -> sustains {sustained:.0f} concurrent "
+        f"realtime streams at this cadence")
+    return sustained
+
+
 def main():
     import jax
 
@@ -250,6 +291,13 @@ def main():
         results["stream_p50_ms"] = p50
     except Exception as e:
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
+
+    try:
+        results["concurrent_realtime_streams"] = bench_multistream(
+            CONFIGS["5_five_effect"]
+        )
+    except Exception as e:
+        log(f"[bench] multistream FAILED: {type(e).__name__}: {e}")
 
     headline = results.get("5_five_effect", 0.0)
     print(json.dumps({
