@@ -54,8 +54,7 @@ class Octaver(EffectModel):
         else:
             self.rs_tile = 128
             span = 4 * self.rs_tile + 24
-        # +128: window start lane alignment margin (ops/pallas/resample.py).
-        self.rs_window = -(-(span + 134) // 128) * 128
+        self.rs_window = -(-(span + 6) // 128) * 128
         # Resampling needs whole tiles, and the low/high cluster split
         # assumes clusters (span ratio*tile) are separated by >= size/2.
         self.use_resample = (

@@ -10,16 +10,19 @@ read as interpolation of the stream at real position q:
 
 (the reference's cubic_interp coefficients ARE the Catmull-Rom weights,
 verified term-by-term) and evaluates it as a dense banded weight matrix
-times a small VMEM-resident window — VPU/MXU work instead of gathers.
+times a small per-tile window — VPU work instead of gathers.
 
 Positions inside one tile of T outputs form at most two affine ramps (the
 grain phasor wraps at most once per tile since the wrap period is
 >= size/3 samples > T); the caller splits each tile into its low/high
-position cluster, anchors a window per cluster (computed host-side,
-scalar-prefetched), and blends the two kernel passes per lane.
+position cluster and anchors a window per cluster.  Window extraction is
+one cheap M-descriptor sliced gather in XLA (M = N/T tiles); the kernel
+itself is a plain blocked pallas_call, so Mosaic double-buffers the
+window/position blocks automatically.
 
-All positions are tile-relative so float32 never sees absolute sample
-indices (q_abs ~ 10^6 would cost 0.06 ulp of tap position).
+All positions are window-relative with exact-integer bases so float32
+never sees absolute sample indices (q_abs ~ 10^6 would cost 0.06 ulp of
+tap position).
 """
 
 from __future__ import annotations
@@ -41,73 +44,61 @@ def _cr_weights(ad):
     return jnp.where(ad <= 1.0, inner, jnp.where(ad < 2.0, outer, 0.0))
 
 
-def _resample_kernel(anchors_ref, base_ref, ago_ref, ext_ref, out_ref, win_ref, sem):
-    i = pl.program_id(0)
-    # Window starts are pre-aligned to the 128-lane tiling (Mosaic requires
-    # provably aligned HBM slice offsets for DMA).
-    a = pl.multiple_of(anchors_ref[i], 128)
+_ROWS = 8  # tiles per grid program — amortizes per-program overhead
+# Window-anchor alignment: measured on TPU v5e, unaligned window slices
+# (ALIGN=1) beat 128-aligned ones (26.0 vs 29.6 ms for the whole-file
+# octaver) because the extra 128 samples of band width cost more VPU work
+# than the unaligned copy does.
+ALIGN = 1
 
-    dma = pltpu.make_async_copy(
-        ext_ref.at[:, pl.ds(a, win_ref.shape[1])], win_ref, sem
-    )
-    dma.start()
-    dma.wait()
 
-    t = base_ref.shape[2]
-    w = win_ref.shape[1]
+def _resample_kernel(base_ref, ago_ref, win_ref, out_ref):
+    r, t = base_ref.shape[0], base_ref.shape[2]
+    w = win_ref.shape[2]
     # Window-relative position: (base - anchor) is exact integer float32;
     # subtracting ago LAST keeps rounding at ulp(window) — the same
     # granularity as ago itself (subtracting in q-space first would round
     # at ulp(ring size) and cost ~1 bit of tap position).
-    qw = base_ref[0, 0, :] - ago_ref[0, 0, :]
-    j = lax.broadcasted_iota(jnp.int32, (t, w), 1).astype(jnp.float32)
-    weights = _cr_weights(jnp.abs(qw[:, None] - j))
-    out_ref[0, 0, :] = jnp.sum(weights * win_ref[0, :][None, :], axis=1)
+    qw = base_ref[:, 0, :] - ago_ref[:, 0, :]  # (R, T)
+    j = lax.broadcasted_iota(jnp.int32, (r, t, w), 2).astype(jnp.float32)
+    weights = _cr_weights(jnp.abs(qw[:, :, None] - j))
+    win = win_ref[:, 0, :]  # (R, W); Ref indexing can't insert new axes
+    out_ref[:, 0, :] = jnp.sum(weights * win[:, None, :], axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
-def _resample_call(ext2, base_tiles, ago_tiles, anchors, window: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _resample_call(base_tiles, ago_tiles, windows, interpret: bool):
     m, t = base_tiles.shape
-    # (M, 1, T) blocks of (1, 1, T): the trailing two dims equal the array
-    # dims, satisfying the TPU (8, 128) tiling rule for any T.
-    base3 = base_tiles[:, None, :]
-    ago3 = ago_tiles[:, None, :]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(m,),
-        in_specs=[
-            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, window), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
+    w = windows.shape[1]
+    pad = (-m) % _ROWS
+    if pad:
+        base_tiles = jnp.pad(base_tiles, ((0, pad), (0, 0)))
+        ago_tiles = jnp.pad(ago_tiles, ((0, pad), (0, 0)))
+        windows = jnp.pad(windows, ((0, pad), (0, 0)))
+    mp = m + pad
+    spec_t = pl.BlockSpec((_ROWS, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((_ROWS, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _resample_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, 1, t), jnp.float32),
-        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, 1, t), jnp.float32),
+        grid=(mp // _ROWS,),
+        in_specs=[spec_t, spec_t, spec_w],
+        out_specs=spec_t,
         interpret=interpret,
-    )(anchors, base3, ago3, ext2)
-    return out[:, 0, :]
+    )(base_tiles[:, None, :], ago_tiles[:, None, :], windows[:, None, :])
+    return out[:m, 0, :]
 
 
-def _resample_xla(ext, base_tiles, ago_tiles, anchors, window: int):
+def _resample_xla(base_tiles, ago_tiles, windows):
     """Pure-XLA equivalent of the windowed band evaluation (used on CPU and
     by the kernel parity tests)."""
 
-    def one(base, ago, a):
-        win = lax.dynamic_slice_in_dim(ext, a, window)
-        j = jnp.arange(window, dtype=jnp.float32)
+    def one(base, ago, win):
+        j = jnp.arange(win.shape[0], dtype=jnp.float32)
         weights = _cr_weights(jnp.abs((base - ago)[:, None] - j[None, :]))
         return weights @ win
 
-    return jax.vmap(one)(base_tiles, ago_tiles, anchors)
+    return jax.vmap(one)(base_tiles, ago_tiles, windows)
 
 
 def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
@@ -123,8 +114,7 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
     ago: (N,) float32 distances in [0, size); N % tile == 0.
     size: ring size (cluster separation threshold for the <=1 phasor wrap
       per tile).
-    window: static window length >= per-cluster position span + 134 (128
-      of that pays for lane-aligning the window starts).
+    window: static window length >= per-cluster position span + 6.
 
     Returns (N,) interpolated samples.
     """
@@ -145,11 +135,9 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
 
     def anchors_for(minv):
         a = tile_base + jnp.floor(minv).astype(jnp.int32) - 2
-        a = (a // 128) * 128  # lane-aligned DMA starts (costs <=127 of window)
-        return jnp.clip(a, 0, ((e - window) // 128) * 128)
-
-    a_lo = anchors_for(lo_min)
-    a_hi = anchors_for(hi_min)
+        if ALIGN > 1:  # lane-aligned slices (see PERF.md measurement)
+            a = (a // ALIGN) * ALIGN
+        return jnp.clip(a, 0, ((e - window) // ALIGN) * ALIGN)
 
     def bases_for(a):
         # (hist_len + global_n) - anchor: exact in int32, cast to f32.
@@ -157,16 +145,24 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
             (hist_len + tile_base[:, None] + j_int) - a[:, None]
         ).astype(jnp.float32)
 
+    a_lo = anchors_for(lo_min)
+    a_hi = anchors_for(hi_min)
+
+    # Window extraction: one M-descriptor sliced gather (cheap — M is the
+    # tile count, not the sample count).
+    slice_w = jax.vmap(lambda a: lax.dynamic_slice_in_dim(ext, a, window))
+    win_lo = slice_w(a_lo)
+    win_hi = slice_w(a_hi)
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        ext2 = ext[None, :]
-        out_lo = _resample_call(ext2, bases_for(a_lo), at, a_lo, window, False)
-        out_hi = _resample_call(ext2, bases_for(a_hi), at, a_hi, window, False)
+        out_lo = _resample_call(bases_for(a_lo), at, win_lo, False)
+        out_hi = _resample_call(bases_for(a_hi), at, win_hi, False)
     else:
-        out_lo = _resample_xla(ext, bases_for(a_lo), at, a_lo, window)
-        out_hi = _resample_xla(ext, bases_for(a_hi), at, a_hi, window)
+        out_lo = _resample_xla(bases_for(a_lo), at, win_lo)
+        out_hi = _resample_xla(bases_for(a_hi), at, win_hi)
 
     out = jnp.where(hi_mask, out_hi, out_lo)
     return out.reshape(n)

@@ -134,34 +134,27 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
     float(jnp.sum(jnp.abs(y[:, -4:])))
     compile_s = time.time() - t0
 
-    # Pipelined steady-state timing: dispatch K independent jobs
-    # back-to-back and synchronize once.  A single dispatch pays the
-    # tunnel's ~30 ms round trip, which would floor the measurement; a
-    # production server keeps the device queue full, so amortized time is
-    # the honest throughput number.  The single-dispatch latency is
-    # reported alongside.
+    # Steady-state timing: chain k jobs through the same compiled function
+    # (state feeds forward, so the device works back-to-back while the host
+    # queues dispatches — this overlaps the tunnel's ~30 ms round trip,
+    # exactly like a production server keeping the queue full).  The
+    # single-dispatch latency is reported alongside.
     k = max(2, int(repeats))
-    states = [chain.init_state(init_cfg) for _ in range(k)]
-    jax.block_until_ready(states)
+    st = chain.init_state(init_cfg)
+    jax.block_until_ready(st)
     t0 = time.time()
-    st, y = fn(states[0], targets, xd)
+    st, y = fn(st, targets, xd)
     float(jnp.sum(jnp.abs(y[:, -4:])))
     single_s = time.time() - t0
 
-    states = [chain.init_state(init_cfg) for _ in range(k)]
-    jax.block_until_ready(states)
-    ys = []
     t0 = time.time()
-    for i in range(k):
-        _, y = fn(states[i], targets, xd)
-        ys.append(y)
-    for y in ys:
-        float(jnp.sum(jnp.abs(y[:, -4:])))
-    total = time.time() - t0
-    best = max((total - single_s) / max(k - 1, 1), 1e-9)
+    for _ in range(k):
+        st, y = fn(st, targets, xd)
+    float(jnp.sum(jnp.abs(y[:, -4:])))
+    best = max((time.time() - t0) / k, 1e-9)
 
     t0 = time.time()
-    out = np.asarray(ys[-1])
+    out = np.asarray(y)
     d2h_s = time.time() - t0
 
     rtf = (len(x) / FS) / best
