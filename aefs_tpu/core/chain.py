@@ -19,15 +19,12 @@ over on-device superblocks — one dispatch for the whole file.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from aefs_tpu.core.params import smooth_all
-from aefs_tpu.core.config import FILE_SUPERBLOCK
 
 
 class Chain:

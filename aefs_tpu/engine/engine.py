@@ -19,11 +19,9 @@ processing.  Differences from the reference, by design:
 from __future__ import annotations
 
 import asyncio
-import base64
 import json
 import queue
 import threading
-import time
 
 import numpy as np
 

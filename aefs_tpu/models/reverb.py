@@ -16,7 +16,6 @@ SURVEY.md §7 — and the pre-delay is a pure gather.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -152,25 +151,28 @@ class Reverb(EffectModel):
         pre_out = jax.vmap(lambda h, xi: delay_read(h, xi, pre_d))(state["pre"], x)
         new_pre = ring_push(state["pre"], x)
 
+        # Both sides' comb banks in ONE chunked solve (B = 8): the T_h
+        # propagator is fetched once per chunk instead of once per side.
+        all_lags = self.comb_lags[0] + self.comb_lags[1]
+        g_all = jnp.power(
+            10.0,
+            -3.0 * (jnp.asarray(all_lags, jnp.float32) / fs) / jnp.maximum(1e-3, rt60),
+        )
+        xb = jnp.repeat(pre_out, self.n_combs, axis=0)  # (2B, N) side-major
+        y_all, damped_all = comb_bank_file(xb, all_lags, g_all, damp)
+        w_all = xb + g_all[:, None] * damped_all
+
         new_combs, new_lps, new_aps, wet_sides = [], [], [], []
         for side in range(2):
-            lags = self.comb_lags[side]
-            g = jnp.power(
-                10.0,
-                -3.0
-                * (jnp.asarray(lags, jnp.float32) / fs)
-                / jnp.maximum(1e-3, rt60),
-            )
-            xb = jnp.broadcast_to(pre_out[side], (self.n_combs, x.shape[-1]))
-            y, damped = comb_bank_file(xb, lags, g, damp)
-            w = xb + g[:, None] * damped
+            sl = slice(side * self.n_combs, (side + 1) * self.n_combs)
+            w = w_all[sl]
             new_combs.append(
                 jnp.concatenate(
                     [jnp.zeros((self.n_combs, self.comb_lmax), x.dtype), w], axis=-1
                 )[:, -self.comb_lmax:]
             )
-            new_lps.append(damped[:, -1])
-            sig = jnp.sum(y, axis=0)
+            new_lps.append(damped_all[sl, -1])
+            sig = jnp.sum(y_all[sl], axis=0)
 
             side_aps = []
             for stage, lag in enumerate(self.ap_lags[side]):

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -149,8 +148,19 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
     a_hi = anchors_for(hi_min)
 
     # Window extraction: one M-descriptor sliced gather (cheap — M is the
-    # tile count, not the sample count).
-    slice_w = jax.vmap(lambda a: lax.dynamic_slice_in_dim(ext, a, window))
+    # tile count, not the sample count).  Explicit GatherDimensionNumbers
+    # with slice_sizes=(window,) guarantees one descriptor per tile; a
+    # vmapped dynamic_slice may decompose into per-element descriptors.
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def slice_w(a):
+        return lax.gather(
+            ext, a[:, None], dnums, slice_sizes=(window,),
+            mode=lax.GatherScatterMode.CLIP,
+        )
+
     win_lo = slice_w(a_lo)
     win_hi = slice_w(a_hi)
 

@@ -25,7 +25,7 @@ def ring_push(hist, new):
     return jnp.concatenate([hist, new], axis=-1)[..., -size:]
 
 
-def _shift_dyn(y, d, n_idx):
+def _shift_dyn(y, d):
     """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar).
 
     A contiguous dynamic_slice of the zero-padded signal — never a gather
@@ -71,13 +71,13 @@ def feedback_delay_block(hist, x, d_samples, feedback, min_delay: int):
     # Reads that land in the history region (n < d): one dynamic_slice.
     ext = jnp.concatenate([hist, jnp.zeros((n,), hist.dtype)], axis=-1)
     base_hist = jax.lax.dynamic_slice_in_dim(ext, s - d_samples, n, axis=-1)
-    x_shift = _shift_dyn(x, d_samples, n_idx)
+    x_shift = _shift_dyn(x, d_samples)
     in_hist = n_idx < d_samples
 
     k = max(1, -(-n // max(1, min_delay)))
     y = jnp.zeros_like(x)
     for _ in range(k):
-        y = jnp.where(in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples, n_idx))
+        y = jnp.where(in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples))
 
     w = x + feedback * y
     return y, ring_push(hist, w)
@@ -148,8 +148,8 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     base_hist = jnp.take_along_axis(ext, idx, axis=-1)  # valid where n < lag
     in_hist = n_idx[None, :] < lags[:, None]
 
-    shift = jax.vmap(_shift_dyn, in_axes=(0, 0, None))
-    x_shift = shift(jnp.broadcast_to(x, (b, n)), lags, n_idx)
+    shift = jax.vmap(_shift_dyn, in_axes=(0, 0))
+    x_shift = shift(jnp.broadcast_to(x, (b, n)), lags)
     lps_col = lps[:, None]
     g_col = g[:, None]
 
@@ -157,7 +157,7 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     y = jnp.zeros((b, n), x.dtype)
     for _ in range(k):
         damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
-        y = jnp.where(in_hist, base_hist, x_shift + g_col * shift(damped, lags, n_idx))
+        y = jnp.where(in_hist, base_hist, x_shift + g_col * shift(damped, lags))
     damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
 
     w = x[None, :] + g_col * damped
@@ -188,7 +188,6 @@ def comb_bank_file(x, lags, g, h, chunk=None):
     Returns (y, damped) both (B, N): raw comb outputs and damping states
     (from which final ring state is reconstructed: w = x + g * damped).
     """
-    import numpy as np
     from jax import lax
 
     b, n = x.shape
