@@ -83,6 +83,17 @@ class StereoDelay(EffectModel):
         engine-baked static delays; falls back to the blockwise solver
         otherwise."""
         if self.file_lags is None:
+            # Fall back to the blockwise fixed point only when its static
+            # iteration count stays sane; otherwise the caller forgot the
+            # engine's file-mode overrides (file_delay_ms/min_delay_ms).
+            k = -(-x.shape[-1] // self.min_delay)
+            if k > 64:
+                raise ValueError(
+                    "StereoDelay.process_file without baked file delays would "
+                    f"unroll {k} fixed-point iterations; build the chain with "
+                    "engine._file_static_overrides (file_delay_ms) for the "
+                    "whole-file fast path"
+                )
             return self.process(state, p, x)
         from aefs_tpu.ops.scan import lag_affine_scan
 

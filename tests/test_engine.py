@@ -1,0 +1,132 @@
+"""Engine-level tests: WAV codec formats, mic-stream gating, offline core."""
+
+import io
+import struct
+import sys
+import types
+import wave
+
+import numpy as np
+import pytest
+
+from aefs_tpu.engine.wavio import decode_wav, encode_wav_int16
+from aefs_tpu.engine.engine import AudioEngine, process_offline
+from aefs_tpu.core.config import DEFAULT_PRESETS
+
+from helpers import noise
+from oracles import err_dbfs
+
+
+def _pcm_wav(data_i, width, fs=48000, ch=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(fs)
+        w.writeframes(data_i)
+    return buf.getvalue()
+
+
+def test_decode_16bit():
+    x = (np.sin(np.linspace(0, 20, 1000)) * 20000).astype(np.int16)
+    audio, fs = decode_wav(_pcm_wav(x.tobytes(), 2))
+    assert fs == 48000 and audio.shape == (1000, 1)
+    assert err_dbfs(audio[:, 0], x / 32768.0) <= -90
+
+
+def test_decode_24bit():
+    vals = np.asarray([0, 1 << 22, -(1 << 22), (1 << 23) - 1], np.int32)
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    audio, fs = decode_wav(_pcm_wav(raw, 3))
+    expect = vals / float(1 << 23)
+    assert np.allclose(audio[:, 0], expect, atol=1e-6)
+
+
+def test_decode_8bit_and_32bit():
+    x8 = np.asarray([0, 128, 255], np.uint8)
+    a8, _ = decode_wav(_pcm_wav(x8.tobytes(), 1))
+    assert np.allclose(a8[:, 0], [-1.0, 0.0, 127 / 128])
+
+    x32 = np.asarray([0, 1 << 30, -(1 << 30)], np.int32)
+    a32, _ = decode_wav(_pcm_wav(x32.tobytes(), 4))
+    assert np.allclose(a32[:, 0], [0.0, 0.5, -0.5])
+
+
+def test_decode_ieee_float_riff():
+    x = np.asarray([0.0, 0.25, -0.5, 1.0], np.float32)
+    body = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    audio, fs = decode_wav(riff)
+    assert fs == 48000
+    assert np.allclose(audio[:, 0], x)
+
+
+def test_encode_decode_round_trip():
+    x = np.clip(noise(4800, channels=2, amp=0.2), -1, 1).astype(np.float32)
+    data = encode_wav_int16(x, 44100)
+    audio, fs = decode_wav(data)
+    assert fs == 44100 and audio.shape == x.shape
+    assert err_dbfs(audio, x) <= -85  # 16-bit quantization floor ~ -90
+
+
+def test_mic_stream_without_hardware():
+    eng = AudioEngine()
+    eng.start_mic_stream()  # no sounddevice -> "Server Mode" no-op
+    assert not eng.is_running
+    eng.stop_stream()  # no stream -> no-op
+
+
+def test_mic_stream_with_fake_sounddevice(monkeypatch):
+    """Exercise the PortAudio callback path with a fake Stream (the
+    reference's sample-rate renegotiation included, engine.py:177-181)."""
+    import aefs_tpu.engine.engine as eng_mod
+
+    class FakeStream:
+        def __init__(self, samplerate, blocksize, dtype, latency, channels,
+                     callback, prime_output_buffers_using_stream_callback):
+            self.samplerate = samplerate
+            self.blocksize = blocksize
+            self.callback = callback
+            self.started = False
+
+        def start(self):
+            self.started = True
+
+        def stop(self):
+            self.started = False
+
+        def close(self):
+            pass
+
+    fake_sd = types.SimpleNamespace(Stream=FakeStream)
+    monkeypatch.setattr(eng_mod, "sd", fake_sd)
+
+    eng = AudioEngine()
+    eng.build_chain(DEFAULT_PRESETS["Slapback Echo"])
+    eng.start_mic_stream()
+    assert eng.is_running
+
+    indata = noise(256, channels=1, amp=0.3)
+    outdata = np.zeros((256, 2), np.float32)
+    eng.stream.callback(indata, outdata, 256, None, None)
+    assert np.any(outdata != 0)
+    assert eng.metrics.snapshot()["blocks"] >= 1
+    # plot taps fed
+    assert eng.data_queues["input"].qsize() == 1
+    assert eng.data_queues["output"].qsize() == 1
+
+    eng.stop_stream()
+    assert not eng.is_running
+
+
+def test_process_offline_short_odd_rate():
+    out_mono, out = process_offline(
+        DEFAULT_PRESETS["Cathedral"], noise(1000, channels=2), 22050
+    )
+    assert out.shape == (1000, 2)
+    assert np.all(np.isfinite(out))
