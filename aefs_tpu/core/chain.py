@@ -197,10 +197,20 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
             continue  # unknown types are skipped (engine.py:56)
         eid = cfg.get("effect_id") or f"fx{len(effects)}"
         params = dict(cfg.get("params", {}))
-        live, static = cls.split_config(params)
+        _, static = cls.split_config(params)
+        # Extra top-level config keys (e.g. a parallel effect's "branches")
+        # are static constructor config too.
+        static.update(
+            {k: v for k, v in cfg.items() if k not in ("effect_id", "type", "params")}
+        )
         static.update(static_overrides.get(etype, {}))
         static.update(static_overrides.get(eid, {}))
         model = cls(fs, blocksize, channels=channels_out, **static)
+        # Live/static is decided against the *instance* param table — a
+        # parallel effect's lifted branch params exist only per instance,
+        # and their branch-config values seed the target map too.
+        live = {k: v for k, v in params.items() if k in model.PARAMS}
+        live = {**getattr(model, "_initial", {}), **live}
         effects.append((eid, model))
         configs[eid] = live
 

@@ -1,0 +1,35 @@
+"""File-mode static-override derivation.
+
+File mode builds a fresh chain whose smoothed params start at their
+targets, so per-effect statics can be baked from the config for the
+whole-file fast path: the delay's lags (lag-affine residue scans instead
+of fixed-point iteration), the octaver's pitch ratio (shrinks the
+resample window), and the parallel container's recursion flag.
+
+Shared by the engine (top-level chains) and ParallelChains (branches).
+"""
+
+from __future__ import annotations
+
+
+def file_static_overrides(effects_config):
+    """-> {effect_id: {static kwargs}} for a chain-config list."""
+    overrides = {}
+    for i, cfg in enumerate(effects_config):
+        params = cfg.get("params", {})
+        eid = cfg.get("effect_id") or f"fx{i}"
+        etype = cfg.get("type")
+        if etype == "delay":
+            d = float(params.get("delay_ms", 375.0))
+            overrides[eid] = {
+                "min_delay_ms": max(1.0, min(d, 1499.0)),
+                "file_delay_ms": d,
+                "file_offset_ms": float(params.get("offset_ms", 30.0)),
+            }
+        elif etype == "octaver":
+            overrides[eid] = {
+                "file_semitones": float(params.get("semitones", -12.0)),
+            }
+        elif etype == "parallel":
+            overrides[eid] = {"file_mode": True}
+    return overrides

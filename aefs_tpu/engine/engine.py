@@ -41,29 +41,7 @@ except (ImportError, OSError):
     sd = None
 
 
-def _file_static_overrides(effects_config):
-    """File mode builds a fresh chain whose smoothed params start at their
-    targets, so the delay's lags can be baked static (per effect id):
-    min_delay_ms bounds the blockwise fixed point, file_delay/offset enable
-    the whole-file lag-affine fast path."""
-    overrides = {}
-    for i, cfg in enumerate(effects_config):
-        params = cfg.get("params", {})
-        eid = cfg.get("effect_id") or f"fx{i}"
-        if cfg.get("type") == "delay":
-            d = float(params.get("delay_ms", 375.0))
-            overrides[eid] = {
-                "min_delay_ms": max(1.0, min(d, 1499.0)),
-                "file_delay_ms": d,
-                "file_offset_ms": float(params.get("offset_ms", 30.0)),
-            }
-        elif cfg.get("type") == "octaver":
-            # Bake the pitch ratio so the resample window shrinks to
-            # ratio * tile (models/octaver.py).
-            overrides[eid] = {
-                "file_semitones": float(params.get("semitones", -12.0)),
-            }
-    return overrides
+from aefs_tpu.core.fileopts import file_static_overrides as _file_static_overrides
 
 
 def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK):

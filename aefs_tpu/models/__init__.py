@@ -14,6 +14,7 @@ from aefs_tpu.models.reverb import Reverb
 from aefs_tpu.models.spectral import SpectralFilter
 from aefs_tpu.models.waveshaper import Waveshaper
 from aefs_tpu.models.convreverb import ConvReverb, synthetic_ir
+from aefs_tpu.models.parallel_chain import ParallelChains
 
 EFFECT_REGISTRY = {
     "delay": StereoDelay,
@@ -24,6 +25,7 @@ EFFECT_REGISTRY = {
     "filter": BiquadFilter,
     "waveshaper": Waveshaper,
     "convreverb": ConvReverb,
+    "parallel": ParallelChains,
 }
 
 __all__ = [
