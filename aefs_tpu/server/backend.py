@@ -34,6 +34,8 @@ except ImportError:  # pragma: no cover - baked into the image
 
 connected_client = None
 SEND_ANALYSIS = os.environ.get("AEFS_SERVER_ANALYSIS", "1") == "1"
+# Reference wishlist todo:3 "stereo plots": also ship the right channel.
+STEREO_PLOTS = os.environ.get("AEFS_STEREO_PLOTS", "0") == "1"
 
 
 def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None):
@@ -49,10 +51,17 @@ def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None):
     if analysis is not None:
         head["analysis"] = analysis
     head_json = json.dumps(head)
+    extra = ""
+    if STEREO_PLOTS and in_chunk.shape[1] > 1:
+        extra = (
+            ',"input_r":' + native.json_f32_array(in_chunk[:, 1])
+            + ',"output_r":' + native.json_f32_array(out_chunk[:, 1])
+        )
     return (
         head_json[:-1]
         + ',"input":' + native.json_f32_array(in_chunk[:, 0])
         + ',"output":' + native.json_f32_array(out_chunk[:, 0])
+        + extra
         + "}"
     )
 
@@ -137,6 +146,16 @@ async def handler(websocket):
                 elif command == "update_param":
                     audio_engine.update_param(
                         cmd.get("effect_id"), cmd.get("param"), cmd.get("value")
+                    )
+                elif command == "sync_delay_bpm":
+                    # Additive extension (reference wishlist todo:2): set a
+                    # delay's time from a tempo + note division.
+                    from aefs_tpu.utils.tempo import delay_ms_for
+
+                    audio_engine.update_param(
+                        cmd.get("effect_id"),
+                        "delay_ms",
+                        delay_ms_for(cmd.get("bpm", 120), cmd.get("division", 1.0)),
                     )
                 elif command == "process_file":
                     asyncio.create_task(

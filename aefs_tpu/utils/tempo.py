@@ -1,0 +1,30 @@
+"""Tempo helpers: BPM-synced delay times (reference wishlist, todo:2).
+
+``delay_ms_for(bpm, division)`` converts a tempo and a note division into
+the delay time to feed ``update_param(id, "delay_ms", ...)``; divisions
+follow the usual convention (1 = quarter note, 0.5 = eighth, 1.5 = dotted
+quarter, 2/3 = quarter triplet...).
+"""
+
+from __future__ import annotations
+
+NOTE_DIVISIONS = {
+    "1/1": 4.0,
+    "1/2": 2.0,
+    "1/4": 1.0,
+    "1/8": 0.5,
+    "1/16": 0.25,
+    "1/4.": 1.5,
+    "1/8.": 0.75,
+    "1/4T": 2.0 / 3.0,
+    "1/8T": 1.0 / 3.0,
+}
+
+
+def delay_ms_for(bpm: float, division=1.0) -> float:
+    """Delay time in ms for one ``division`` beats at ``bpm``."""
+    if isinstance(division, str):
+        division = NOTE_DIVISIONS[division]
+    if bpm <= 0:
+        raise ValueError("bpm must be positive")
+    return 60000.0 / float(bpm) * float(division)

@@ -1,0 +1,21 @@
+"""BPM-sync helper (wishlist todo:2)."""
+
+import pytest
+
+from aefs_tpu.utils.tempo import delay_ms_for
+
+
+def test_quarter_note_at_120():
+    assert delay_ms_for(120) == 500.0
+
+
+def test_divisions():
+    assert delay_ms_for(120, "1/8") == 250.0
+    assert delay_ms_for(120, "1/4.") == 750.0
+    assert abs(delay_ms_for(120, "1/4T") - 1000.0 / 3.0) < 1e-9
+    assert delay_ms_for(60, 1.0) == 1000.0
+
+
+def test_invalid_bpm():
+    with pytest.raises(ValueError):
+        delay_ms_for(0)
