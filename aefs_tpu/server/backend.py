@@ -38,7 +38,8 @@ SEND_ANALYSIS = os.environ.get("AEFS_SERVER_ANALYSIS", "1") == "1"
 STEREO_PLOTS = os.environ.get("AEFS_STEREO_PLOTS", "0") == "1"
 
 
-def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None):
+def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None,
+                         stereo_in=False):
     """Concatenate queued blocks and serialize the plot payload — CPU-heavy,
     runs in an executor off the event loop (backend.py:15-29, :49-58).
     The float-list body uses the native C++ serializer when available
@@ -52,11 +53,13 @@ def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None):
         head["analysis"] = analysis
     head_json = json.dumps(head)
     extra = ""
-    if STEREO_PLOTS and in_chunk.shape[1] > 1:
-        extra = (
-            ',"input_r":' + native.json_f32_array(in_chunk[:, 1])
-            + ',"output_r":' + native.json_f32_array(out_chunk[:, 1])
-        )
+    if STEREO_PLOTS and out_chunk.shape[1] > 1:
+        # input_r only when the capture is genuinely stereo — mono input is
+        # fanned to two identical columns before the tap, and shipping the
+        # duplicate would just double the hot-path serialization.
+        if stereo_in and in_chunk.shape[1] > 1:
+            extra += ',"input_r":' + native.json_f32_array(in_chunk[:, 1])
+        extra += ',"output_r":' + native.json_f32_array(out_chunk[:, 1])
     return (
         head_json[:-1]
         + ',"input":' + native.json_f32_array(in_chunk[:, 0])
@@ -89,6 +92,8 @@ async def data_sender(websocket, data_queues, audio_engine, analyzer=None):
                         )
                     except Exception:
                         analysis = None
+                from aefs_tpu.core.config import CHANNELS_IN
+
                 payload = await loop.run_in_executor(
                     None,
                     serialize_audio_data,
@@ -96,6 +101,7 @@ async def data_sender(websocket, data_queues, audio_engine, analyzer=None):
                     out_frames,
                     audio_engine.current_sample_rate,
                     analysis,
+                    CHANNELS_IN > 1,
                 )
                 await websocket.send(payload)
             await asyncio.sleep(1.0 / PLOT_FPS)
@@ -149,13 +155,19 @@ async def handler(websocket):
                     )
                 elif command == "sync_delay_bpm":
                     # Additive extension (reference wishlist todo:2): set a
-                    # delay's time from a tempo + note division.
+                    # delay's time from a tempo + note division.  `param`
+                    # defaults to delay_ms but may name a parallel-branch
+                    # lifted param like b0_1_delay_ms.
                     from aefs_tpu.utils.tempo import delay_ms_for
 
+                    ms = delay_ms_for(cmd.get("bpm", 120), cmd.get("division", 1.0))
+                    if ms > 1499.0:
+                        print(
+                            f"Warning: BPM-synced delay {ms:.0f} ms exceeds the "
+                            "1499 ms delay ceiling; clamping loses tempo sync"
+                        )
                     audio_engine.update_param(
-                        cmd.get("effect_id"),
-                        "delay_ms",
-                        delay_ms_for(cmd.get("bpm", 120), cmd.get("division", 1.0)),
+                        cmd.get("effect_id"), cmd.get("param", "delay_ms"), ms
                     )
                 elif command == "process_file":
                     asyncio.create_task(

@@ -14,16 +14,25 @@ NOTE_DIVISIONS = {
     "1/4": 1.0,
     "1/8": 0.5,
     "1/16": 0.25,
+    "1/2.": 3.0,
     "1/4.": 1.5,
     "1/8.": 0.75,
+    "1/16.": 0.375,
+    "1/2T": 4.0 / 3.0,
     "1/4T": 2.0 / 3.0,
     "1/8T": 1.0 / 3.0,
+    "1/16T": 1.0 / 6.0,
 }
 
 
 def delay_ms_for(bpm: float, division=1.0) -> float:
     """Delay time in ms for one ``division`` beats at ``bpm``."""
     if isinstance(division, str):
+        if division not in NOTE_DIVISIONS:
+            raise ValueError(
+                f"unknown division {division!r}; valid names: "
+                + ", ".join(sorted(NOTE_DIVISIONS))
+            )
         division = NOTE_DIVISIONS[division]
     if bpm <= 0:
         raise ValueError("bpm must be positive")
