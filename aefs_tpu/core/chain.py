@@ -35,12 +35,14 @@ class Chain:
         self.co = int(channels_out)
         self.blocksize = int(blocksize)
         self.effects = tuple(effects)  # ordered (effect_id, model)
+        self.config_seeds = {}  # {effect_id: params} captured by build_chain
         self._jit_cache = {}
 
     # -- state ----------------------------------------------------------
     def init_state(self, configs=None):
-        """configs: optional {effect_id: params-dict} initial live values."""
-        configs = configs or {}
+        """configs: optional {effect_id: params-dict} initial live values;
+        defaults to the chain-config seeds captured at build time."""
+        configs = self.config_seeds if configs is None else configs
         fx, params = [], []
         for eid, model in self.effects:
             fx.append(model.init_state())
@@ -76,16 +78,19 @@ class Chain:
             return jnp.concatenate([x[:ch], z], axis=0)
         return x[:ch]
 
-    def process_block(self, state, targets, x):
-        """x: (ci, N) float32 -> (new_state, (co, N))."""
+    def _process(self, state, targets, x, method):
         buf = self._fan_in(x)
         new_fx, new_params = [], []
         for i, (eid, model) in enumerate(self.effects):
             pcur = smooth_all(model.PARAMS, state["params"][i], targets[i], self.fs)
-            st, buf = model.process(state["fx"][i], pcur, buf)
+            st, buf = getattr(model, method)(state["fx"][i], pcur, buf)
             new_fx.append(st)
             new_params.append(pcur)
         return {"fx": tuple(new_fx), "params": tuple(new_params)}, buf
+
+    def process_block(self, state, targets, x):
+        """x: (ci, N) float32 -> (new_state, (co, N))."""
+        return self._process(state, targets, x, "process")
 
     # -- compiled entry points ------------------------------------------
     def step(self):
@@ -118,14 +123,7 @@ class Chain:
         effect's ``process_file`` fast path (one parameter-smoothing step,
         then every effect transforms the entire signal in closed form —
         no per-block scan)."""
-        buf = self._fan_in(x)
-        new_fx, new_params = [], []
-        for i, (eid, model) in enumerate(self.effects):
-            pcur = smooth_all(model.PARAMS, state["params"][i], targets[i], self.fs)
-            st, buf = model.process_file(state["fx"][i], pcur, buf)
-            new_fx.append(st)
-            new_params.append(pcur)
-        return {"fx": tuple(new_fx), "params": tuple(new_params)}, buf
+        return self._process(state, targets, x, "process_file")
 
     def fast_file_fn(self, n_samples: int):
         key = ("fast", n_samples)
@@ -135,14 +133,16 @@ class Chain:
 
     def warmup(self, state, targets):
         """Compile + run two dummy blocks (core.py:131-136); returns a fresh
-        state identical to ``state`` (the dummy run is discarded)."""
+        state identical to ``state`` (the dummy run is discarded — the step
+        donates its input, so the state is rebuilt from the chain-config
+        seeds)."""
         step = self.step()
         dummy = jnp.zeros((self.ci, self.blocksize), jnp.float32)
         st = state
         for _ in range(2):
             st, _ = step(st, targets, dummy)
         jax.block_until_ready(st)
-        return self.init_state()
+        return self.init_state()  # seeded via config_seeds
 
     def process_array(self, state, targets, audio, fast: bool = False):
         """Process a whole (frames, ci) array on-device.
@@ -190,12 +190,14 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
     static_overrides = static_overrides or {}
 
     effects, configs = [], {}
-    for cfg in effects_config:
+    for i, cfg in enumerate(effects_config):
         etype = cfg.get("type")
         cls = registry.get(etype)
         if cls is None:
             continue  # unknown types are skipped (engine.py:56)
-        eid = cfg.get("effect_id") or f"fx{len(effects)}"
+        # Fallback ids use the raw config index — the same convention as
+        # core/fileopts.py, so skipped entries can't shift the numbering.
+        eid = cfg.get("effect_id") or f"fx{i}"
         params = dict(cfg.get("params", {}))
         _, static = cls.split_config(params)
         # Extra top-level config keys (e.g. a parallel effect's "branches")
@@ -215,6 +217,7 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
         configs[eid] = live
 
     chain = Chain(fs, channels_in, channels_out, blocksize, effects)
+    chain.config_seeds = configs
     state = chain.init_state(configs)
     targets_map = {
         eid: {k: float(v) for k, v in configs.get(eid, {}).items()}

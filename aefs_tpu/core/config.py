@@ -120,6 +120,11 @@ DEFAULT_PRESETS = {
     ],
 }
 
+# Params that are static topology (rebuild the chain on change) rather
+# than live smoothed targets — the UI sends build_chain instead of
+# update_param for these.
+STATIC_UI_PARAMS = {"convreverb": ["ir_seconds"]}
+
 # UI slider specs: (param, label, min, max, step) per effect type
 # (app.py:84-122 plus the two new effects).
 UI_CONTROLS = {

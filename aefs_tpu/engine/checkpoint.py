@@ -69,10 +69,15 @@ def load_session(path: str):
             )
         import jax.numpy as jnp
 
-        cast = [
-            jnp.asarray(saved, t.dtype).reshape(t.shape)
-            for saved, t in zip(leaves, t_leaves)
-        ]
+        cast = []
+        for i, (saved, t) in enumerate(zip(leaves, t_leaves)):
+            if tuple(saved.shape) != tuple(t.shape):
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {tuple(saved.shape)}, "
+                    f"chain expects {tuple(t.shape)} — the state structure "
+                    "changed; rebuild instead of resuming"
+                )
+            cast.append(jnp.asarray(saved, t.dtype))
         return jax.tree.unflatten(treedef, cast)
 
     return meta["chain_config"], meta["targets"], rebuild_state

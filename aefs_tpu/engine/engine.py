@@ -109,19 +109,27 @@ class AudioEngine:
         """Route a live parameter change (engine.py:131-145): rewrite the
         target; the audio path glides toward it one clamped step per block."""
         with self._lock:
-            ids = {eid for eid, _ in self.chain.effects}
-            if effect_id not in ids:
-                print(f"Error: effect ID '{effect_id}' not found")
-                return
-            model = dict(self.chain.effects)[effect_id]
-            if param_name not in model.PARAMS:
-                print(
-                    f"Warning: parameter '{param_name}' in effect "
-                    f"'{effect_id}' could not be updated"
-                )
-                return
-            self._targets_map.setdefault(effect_id, {})[param_name] = float(value)
-            self._targets = self.chain.targets(self._targets_map)
+            chain = self.chain
+            targets_map = {k: dict(v) for k, v in self._targets_map.items()}
+        models = dict(chain.effects)
+        if effect_id not in models:
+            print(f"Error: effect ID '{effect_id}' not found")
+            return
+        if param_name not in models[effect_id].PARAMS:
+            print(
+                f"Warning: parameter '{param_name}' in effect "
+                f"'{effect_id}' could not be updated"
+            )
+            return
+        targets_map.setdefault(effect_id, {})[param_name] = float(value)
+        # Building the targets pytree creates device scalars (host->device
+        # RPCs on remote backends) — do it OUTSIDE the lock the audio
+        # callback takes every block, then swap atomically.
+        targets = chain.targets(targets_map)
+        with self._lock:
+            if self.chain is chain:
+                self._targets_map = targets_map
+                self._targets = targets
 
     # -- block streaming ------------------------------------------------
     def process_stream_block(self, in_block: np.ndarray) -> np.ndarray:
@@ -179,8 +187,13 @@ class AudioEngine:
             self.is_running = True
             actual = int(self.stream.samplerate)
             if actual != self.current_sample_rate:
-                # Sample-rate renegotiation (engine.py:177-181).
+                # Sample-rate renegotiation (engine.py:177-181): the chain,
+                # and the deadline the metrics judge xruns against, both
+                # depend on the rate.
+                from aefs_tpu.utils.metrics import BlockTimer
+
                 self.current_sample_rate = actual
+                self.metrics = BlockTimer(actual, BLOCKSIZE)
                 print(f"Rebuilding effects chain for {actual} Hz...")
                 self.build_chain(self.last_chain_config)
         except Exception as e:

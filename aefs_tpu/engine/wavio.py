@@ -82,8 +82,9 @@ def _decode_riff_float(data: bytes):
 def encode_wav_int16(audio, fs: int) -> bytes:
     """float array (frames, ch) in [-1, 1] -> 16-bit PCM WAV bytes
     (the reference's output format, engine.py:104-108)."""
-    x = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
-    pcm = (x * 32767.0).astype(np.int16)
+    from aefs_tpu import native
+
+    pcm = native.f32_to_i16(np.asarray(audio, np.float32))
     try:
         import scipy.io.wavfile
 

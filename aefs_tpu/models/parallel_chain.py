@@ -34,7 +34,7 @@ class ParallelChains(EffectModel):
         from aefs_tpu.models import EFFECT_REGISTRY
         from aefs_tpu.core.fileopts import file_static_overrides
 
-        self.branches = []  # list of list of models
+        self.branches = []  # list of list of (branch-config index, model)
         params: dict[str, ParamSpec] = {}
         self._initial: dict[str, float] = {}
         for bi, branch in enumerate(branches):
@@ -47,7 +47,9 @@ class ParallelChains(EffectModel):
                 live, static = cls.split_config(dict(cfg.get("params", {})))
                 static.update(file_ov.get(cfg.get("effect_id") or f"fx{ei}", {}))
                 model = cls(fs, blocksize, channels=channels, **static)
-                models.append(model)
+                # Keep the branch-config index with the model: skipped
+                # entries must not shift the lifted-param numbering.
+                models.append((ei, model))
                 for name, spec in model.PARAMS.items():
                     key = f"b{bi}_{ei}_{name}"
                     params[key] = spec
@@ -66,7 +68,7 @@ class ParallelChains(EffectModel):
     def init_state(self):
         return {
             "branches": tuple(
-                tuple(m.init_state() for m in models) for models in self.branches
+                tuple(m.init_state() for _, m in models) for models in self.branches
             )
         }
 
@@ -79,9 +81,9 @@ class ParallelChains(EffectModel):
         for bi, models in enumerate(self.branches):
             buf = x
             new_states = []
-            for ei, model in enumerate(models):
+            for slot, (ei, model) in enumerate(models):
                 st, buf = getattr(model, method)(
-                    state["branches"][bi][ei], self._sub_params(p, bi, ei, model), buf
+                    state["branches"][bi][slot], self._sub_params(p, bi, ei, model), buf
                 )
                 new_states.append(st)
             new_branches.append(tuple(new_states))

@@ -91,10 +91,7 @@ class Reverb(EffectModel):
         pre_out = jax.vmap(lambda h, xi: delay_read(h, xi, pre_d))(state["pre"], x)
         new_pre = ring_push(state["pre"], x)
 
-        new_combs = []
-        new_lps = []
-        new_aps = []
-        wet_sides = []
+        comb_y, new_combs, new_lps = [], [], []
         for side in range(2):
             lags = jnp.asarray(self.comb_lags[side], jnp.int32)
             # g per comb from RT60 (reverb.py:205-206).
@@ -110,10 +107,19 @@ class Reverb(EffectModel):
                 damp,
                 self.comb_lmin,
             )
+            comb_y.append(y)
             new_combs.append(hists)
             new_lps.append(lps)
-            sig = jnp.sum(y, axis=0)  # comb sum (reverb.py:234-241)
 
+        return self._diffuse_and_mix(state, p, x, comb_y, new_pre, new_combs, new_lps)
+
+    def _diffuse_and_mix(self, state, p, x, comb_y, new_pre, new_combs, new_lps):
+        """Shared tail of process/process_file: per-side allpass diffuser
+        chains, dry/wet mix with hard clip (reverb.py:243-277), and state
+        assembly.  comb_y: per-side (n_combs, N) raw comb outputs."""
+        new_aps, wet_sides = [], []
+        for side in range(2):
+            sig = jnp.sum(comb_y[side], axis=0)  # comb sum (reverb.py:234-241)
             side_aps = []
             for stage, lag in enumerate(self.ap_lags[side]):
                 sig, ap_hist = allpass_block(
@@ -162,7 +168,7 @@ class Reverb(EffectModel):
         y_all, damped_all = comb_bank_file(xb, all_lags, g_all, damp)
         w_all = xb + g_all[:, None] * damped_all
 
-        new_combs, new_lps, new_aps, wet_sides = [], [], [], []
+        comb_y, new_combs, new_lps = [], [], []
         for side in range(2):
             sl = slice(side * self.n_combs, (side + 1) * self.n_combs)
             w = w_all[sl]
@@ -172,23 +178,6 @@ class Reverb(EffectModel):
                 )[:, -self.comb_lmax:]
             )
             new_lps.append(damped_all[sl, -1])
-            sig = jnp.sum(y_all[sl], axis=0)
+            comb_y.append(y_all[sl])
 
-            side_aps = []
-            for stage, lag in enumerate(self.ap_lags[side]):
-                sig, ap_hist = allpass_block(
-                    state["aps"][side][stage], sig, self.ap_gain, lag
-                )
-                side_aps.append(ap_hist)
-            new_aps.append(tuple(side_aps))
-            wet_sides.append(sig)
-
-        wet = jnp.stack(wet_sides)
-        y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
-        new_state = {
-            "pre": new_pre,
-            "combs": jnp.stack(new_combs),
-            "lps": jnp.stack(new_lps),
-            "aps": tuple(new_aps),
-        }
-        return new_state, y
+        return self._diffuse_and_mix(state, p, x, comb_y, new_pre, new_combs, new_lps)

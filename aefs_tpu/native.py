@@ -92,7 +92,8 @@ def json_f32_array(arr) -> str:
     try:
         lib = _load()
     except Exception:
-        return "[" + ",".join(f"{float(v):.5g}" for v in arr) + "]"
+        vals = np.where(np.isfinite(arr), arr, 0.0)  # match the C path
+        return "[" + ",".join(f"{float(v):.5g}" for v in vals) + "]"
     buf = ctypes.create_string_buffer(arr.size * 16 + 2)
     n = lib.json_f32_array(_f32p(arr), arr.size, buf)
     return buf.raw[:n].decode("ascii")

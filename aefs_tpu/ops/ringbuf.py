@@ -143,9 +143,12 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     n = x.shape[-1]
     n_idx = jnp.arange(n)
 
+    # History reads are contiguous windows at per-comb offsets: one
+    # dynamic_slice per comb (B descriptors), never a per-element gather.
     ext = jnp.concatenate([hists, jnp.zeros((b, n), hists.dtype)], axis=-1)
-    idx = jnp.clip(lmax - lags[:, None] + n_idx[None, :], 0, lmax + n - 1)
-    base_hist = jnp.take_along_axis(ext, idx, axis=-1)  # valid where n < lag
+    base_hist = jax.vmap(
+        lambda row, lag: jax.lax.dynamic_slice_in_dim(row, lmax - lag, n)
+    )(ext, lags)  # valid where n < lag
     in_hist = n_idx[None, :] < lags[:, None]
 
     shift = jax.vmap(_shift_dyn, in_axes=(0, 0))
@@ -306,14 +309,20 @@ def fractional_read_cubic(hist, x, ago):
 
     # The four taps sit at consecutive ext indices (ago = ca+1 .. ca-2), so
     # the bulk fetch is ONE 4-wide sliced gather (descriptor count N, not
-    # 4N — TPU gather cost scales with descriptors).  The reference's
-    # mod-size wrap (octaver.py:45-48) only reorders taps when ca is within
-    # 1 of the ring boundary; the wrapped ago values are then all in
-    # {0, 1, 2} or {s-3, s-2, s-1}, whose reads are *static shifts* of the
-    # stream — selected per lane with no extra gather.
+    # 4N — TPU gather cost scales with descriptors); ring-boundary wrap
+    # lanes are patched afterwards (_wrap_patch).
     start = jnp.clip(base - (ca + 1), 0, s + n - 4)
     quads = jax.vmap(lambda i: jax.lax.dynamic_slice(ext, (i,), (4,)))(start)
 
+    bulk = cubic_hermite(frac, quads[:, 0], quads[:, 1], quads[:, 2], quads[:, 3])
+    return _wrap_patch(ext, s, n, ca, frac, bulk)
+
+
+def _wrap_patch(ext, s, n, ca, frac, bulk):
+    """Overwrite the rare ring-boundary lanes with the reference's wrap
+    semantics (octaver.py:45-48): when ca is within 1 of the ring boundary,
+    the wrapped ago values all land in {0, 1, 2} or {s-3, s-2, s-1}, whose
+    reads are *static shifts* of the stream — no extra gather."""
     shifts = {
         j: ext[s - j : s - j + n] for j in (0, 1, 2, s - 3, s - 2, s - 1)
     }
@@ -326,11 +335,8 @@ def fractional_read_cubic(hist, x, ago):
         return out
 
     needs_wrap = (ca <= 1) | (ca >= s - 1)
-    taps = []
-    for k, col in ((1, 0), (0, 1), (-1, 2), (-2, 3)):
-        taps.append(jnp.where(needs_wrap, wrap_tap(k), quads[:, col]))
-
-    return cubic_hermite(frac, *taps)
+    wrapped = cubic_hermite(frac, wrap_tap(1), wrap_tap(0), wrap_tap(-1), wrap_tap(-2))
+    return jnp.where(needs_wrap, wrapped, bulk)
 
 
 def fractional_read_resample(hist, x, ago, tile: int, window: int,
@@ -356,19 +362,8 @@ def fractional_read_resample(hist, x, ago, tile: int, window: int,
     out = catmull_rom_resample(ext, ago, s, s, tile, window, use_pallas)
 
     # Ring-boundary wrap lanes: identical patch machinery to the gather
-    # path (taps at ago in {0,1,2} or {s-3..s-1} are static shifts).
+    # path (shared _wrap_patch helper).
     ca = jnp.ceil(ago)
     frac = (ca - ago).astype(x.dtype)
     ca = ca.astype(jnp.int32)
-    shifts = {j: ext[s - j : s - j + n] for j in (0, 1, 2, s - 3, s - 2, s - 1)}
-
-    def wrap_tap(offset):
-        back = jnp.mod(ca + offset, s)
-        sel = shifts[0]
-        for j in (1, 2, s - 3, s - 2, s - 1):
-            sel = jnp.where(back == j, shifts[j], sel)
-        return sel
-
-    needs_wrap = (ca <= 1) | (ca >= s - 1)
-    wrapped = cubic_hermite(frac, wrap_tap(1), wrap_tap(0), wrap_tap(-1), wrap_tap(-2))
-    return jnp.where(needs_wrap, wrapped, out)
+    return _wrap_patch(ext, s, n, ca, frac, out)

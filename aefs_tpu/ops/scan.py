@@ -131,8 +131,8 @@ def biquad_block(x, b0, b1, b2, a1, a2, state):
     y1 = state[:, 2]
     y2 = state[:, 3]
 
-    xm1 = jnp.concatenate([x1, x[:, :-1]], axis=1)  # x[n-1]
-    xm2 = jnp.concatenate([x2, x1, x[:, :-2]], axis=1)  # x[n-2]
+    xm1 = jnp.concatenate([x1, x[:, :-1]], axis=1)[:, :n]  # x[n-1]
+    xm2 = jnp.concatenate([x2, x1, x[:, :-2]], axis=1)[:, :n]  # x[n-2]
     v = b0 * x + b1 * xm1 + b2 * xm2
 
     y = jax.vmap(lambda vv, i1, i2: linrec2(vv, a1, a2, i1, i2))(v, y1, y2)

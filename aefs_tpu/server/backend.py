@@ -72,41 +72,52 @@ def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None,
 async def data_sender(websocket, data_queues, audio_engine, analyzer=None):
     """~30 FPS pump draining the plot queues (backend.py:32-67)."""
     loop = asyncio.get_running_loop()
+    from aefs_tpu.core.config import CHANNELS_IN
+
+    def drain_and_serialize():
+        """Runs in the executor: drain matched in/out block pairs (the two
+        puts in process_stream_block are not atomic, so only take pairs —
+        a stray block waits for its partner next tick), then analyze and
+        serialize entirely off the event loop (the analysis does device
+        FFTs + host readbacks that must not stall command handling)."""
+        in_frames, out_frames = [], []
+        while not data_queues["input"].empty() and not data_queues["output"].empty():
+            try:
+                in_frames.append(data_queues["input"].get_nowait())
+                out_frames.append(data_queues["output"].get_nowait())
+            except queue.Empty:
+                break
+        if not in_frames or not out_frames:
+            return None
+        n = min(len(in_frames), len(out_frames))
+        in_frames, out_frames = in_frames[:n], out_frames[:n]
+
+        analysis = None
+        if analyzer is not None:
+            try:
+                if analyzer.fs != audio_engine.current_sample_rate:
+                    # Sample-rate renegotiation: rebuild the analysis maps.
+                    analyzer.__init__(audio_engine.current_sample_rate)
+                analysis = analyzer.update(
+                    np.concatenate(in_frames)[:, 0],
+                    np.concatenate(out_frames)[:, 0],
+                )
+            except Exception:
+                analysis = None
+        return serialize_audio_data(
+            in_frames,
+            out_frames,
+            audio_engine.current_sample_rate,
+            analysis,
+            CHANNELS_IN > 1,
+        )
+
     while True:
         try:
-            in_frames, out_frames = [], []
-            while True:
-                try:
-                    in_frames.append(data_queues["input"].get_nowait())
-                    out_frames.append(data_queues["output"].get_nowait())
-                except queue.Empty:
-                    break
-
-            if in_frames:
-                analysis = None
-                if analyzer is not None:
-                    try:
-                        analysis = analyzer.update(
-                            np.concatenate(in_frames)[:, 0],
-                            np.concatenate(out_frames)[:, 0],
-                        )
-                    except Exception:
-                        analysis = None
-                from aefs_tpu.core.config import CHANNELS_IN
-
-                payload = await loop.run_in_executor(
-                    None,
-                    serialize_audio_data,
-                    in_frames,
-                    out_frames,
-                    audio_engine.current_sample_rate,
-                    analysis,
-                    CHANNELS_IN > 1,
-                )
+            payload = await loop.run_in_executor(None, drain_and_serialize)
+            if payload is not None:
                 await websocket.send(payload)
             await asyncio.sleep(1.0 / PLOT_FPS)
-        except queue.Empty:
-            await asyncio.sleep(0.1)
         except Exception:
             break
 
@@ -148,7 +159,11 @@ async def handler(websocket):
                 elif command == "stop":
                     audio_engine.stop_stream()
                 elif command == "build_chain":
-                    audio_engine.build_chain(cmd.get("config", []))
+                    # Chain builds compile XLA programs (seconds, possibly
+                    # minutes uncached) — keep the event loop responsive.
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, audio_engine.build_chain, cmd.get("config", [])
+                    )
                 elif command == "update_param":
                     audio_engine.update_param(
                         cmd.get("effect_id"), cmd.get("param"), cmd.get("value")

@@ -16,7 +16,12 @@ import os
 import threading
 from http.server import HTTPServer, SimpleHTTPRequestHandler
 
-from aefs_tpu.core.config import EFFECT_DEFAULTS, DEFAULT_PRESETS, UI_CONTROLS
+from aefs_tpu.core.config import (
+    EFFECT_DEFAULTS,
+    DEFAULT_PRESETS,
+    UI_CONTROLS,
+    STATIC_UI_PARAMS,
+)
 
 ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
 
@@ -26,6 +31,7 @@ def config_payload():
         "effect_defaults": EFFECT_DEFAULTS,
         "default_presets": DEFAULT_PRESETS,
         "ui_controls": UI_CONTROLS,
+        "static_params": STATIC_UI_PARAMS,
         "ws_port": int(os.environ.get("BACKEND_PORT", 8765)),
     }
 

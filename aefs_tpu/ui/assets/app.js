@@ -110,7 +110,13 @@ function paramChanged(id, param, value) {
   const fx = chain.find((e) => e.effect_id === id);
   if (!fx) return;
   fx.params[param] = value;
-  send({ command: "update_param", effect_id: id, param, value });
+  const staticParams = (CONFIG.static_params || {})[fx.type] || [];
+  if (staticParams.includes(param)) {
+    // Static topology (e.g. convreverb IR length): rebuild the chain.
+    send({ command: "build_chain", config: chain });
+  } else {
+    send({ command: "update_param", effect_id: id, param, value });
+  }
 }
 
 function renderChain() {

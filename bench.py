@@ -141,7 +141,12 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
     # single-dispatch latency is reported alongside.
     k = max(2, int(repeats))
     st = chain.init_state(init_cfg)
-    jax.block_until_ready(st)
+    # block_until_ready does not synchronize on the remote axon backend;
+    # a scalar readback forces the fresh state's upload to finish so it
+    # is not billed to the single-dispatch measurement.
+    for leaf in jax.tree.leaves(st):
+        pass
+    float(jnp.sum(leaf))
     t0 = time.time()
     st, y = fn(st, targets, xd)
     float(jnp.sum(jnp.abs(y[:, -4:])))
@@ -267,7 +272,15 @@ def main():
         pass
 
     log(f"[bench] devices: {jax.devices()}")
-    wait_for_device()
+    if not wait_for_device():
+        print(json.dumps({
+            "metric": "realtime_factor_48k_stereo_5fx_chain",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": "TPU device did not become ready within 600 s",
+        }))
+        return
     x = rain_like()
 
     superblock = 4096

@@ -31,7 +31,10 @@ int64_t json_f32_array(const float* data, int64_t n, char* out) {
     for (int64_t i = 0; i < n; ++i) {
         if (i) *p++ = ',';
         float v = data[i];
-        if (v != v) { memcpy(p, "0", 1); p += 1; continue; }  // NaN -> 0
+        if (!(v > -3.5e38f && v < 3.5e38f)) {  // NaN or +-Inf -> 0 (valid JSON)
+            *p++ = '0';
+            continue;
+        }
         p += snprintf(p, 16, "%.5g", (double)v);
     }
     *p++ = ']';
