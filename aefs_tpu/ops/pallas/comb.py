@@ -1,0 +1,124 @@
+"""Pallas TPU kernel: chunked comb-bank solve with a VMEM-resident
+propagator.
+
+The XLA formulation of the whole-file comb bank (ops/ringbuf.py:
+comb_bank_file) re-reads the (C, C) in-chunk damping propagator T_h from
+HBM on every one of ~N/C chunks — ~5 GB of traffic for an 18.6 s file,
+which dominates the reverb's cost.  This kernel runs the same recurrence
+as a sequential pallas grid where T_h (transposed, ~8 MB float32) is built
+ONCE into VMEM scratch on the first grid step and stays resident; per
+chunk the work is one (B, C) x (C, C) MXU matmul plus elementwise updates,
+with the chunk inputs/outputs pipelined automatically by the block specs.
+
+Math (identical to comb_bank_file, reverb.py:33-46 rewritten on the damped
+state, fresh initial state):
+
+    y[n]      = x[n - L_b] + g_b * damped[n - L_b]
+    damped[n] = h * damped[n-1] + (1 - h) * y[n]
+
+with chunk C chosen so C <= L_b < 2C: reads land in the previous two
+chunks, carried in persistent VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(lags, c):
+    b = len(lags)
+
+    def kernel(h_ref, g_ref, xs_ref, y_ref, damped_ref,
+               t_t, hpow, prev2, prev1, dlast):
+        i = pl.program_id(0)
+        h = h_ref[0, 0]
+
+        @pl.when(i == 0)
+        def _init():
+            # Transposed propagator: t_t[i, j] = h^(j - i) for j >= i, so
+            # damped = c @ t_t contracts over the input index i.
+            # jnp.power handles the h = 0 edge (0^0 = 1 on the diagonal).
+            ii = lax.broadcasted_iota(jnp.int32, (c, c), 0)
+            jj = lax.broadcasted_iota(jnp.int32, (c, c), 1)
+            d = jj - ii
+            t_t[...] = jnp.where(
+                d >= 0, jnp.power(h, jnp.maximum(d, 0).astype(jnp.float32)), 0.0
+            )
+            hpow[...] = jnp.power(
+                h, (1.0 + lax.broadcasted_iota(jnp.int32, (1, c), 1)).astype(jnp.float32)
+            )
+            prev2[...] = jnp.zeros((b, c), jnp.float32)
+            prev1[...] = jnp.zeros((b, c), jnp.float32)
+            dlast[...] = jnp.zeros((b, 1), jnp.float32)
+
+        xs = xs_ref[0]  # (B, C) per-comb lag-shifted input for this chunk
+        g = g_ref[0, :]  # (B,)
+
+        # damped[n - L_b]: the carried two-chunk window rotated left by
+        # 2C - L_b and truncated to C.  Mosaic has no unaligned slicing
+        # (ref- or value-level), but lane rotation is a native primitive:
+        # roll(ext, -(2C - L)) puts the window start at lane 0, and the
+        # wrap-around lanes land beyond index C where they are never read.
+        ext = jnp.concatenate([prev2[...], prev1[...]], axis=1)  # (B, 2C)
+        rows = []
+        for bi, lag in enumerate(lags):
+            # left-roll by (2C - lag) == right-roll by lag (roll requires a
+            # non-negative shift): result[k] = ext[(k + 2C - lag) mod 2C].
+            rolled = pltpu.roll(ext[bi : bi + 1, :], lag, 1)
+            rows.append(rolled[:, :c])
+        r = jnp.concatenate(rows, axis=0)  # (B, C)
+
+        y = xs + g[:, None] * r
+        y_ref[0] = y
+        cvec = (1.0 - h) * y
+        damped = (
+            jnp.dot(cvec, t_t[...], preferred_element_type=jnp.float32)
+            + dlast[...] * hpow[...]
+        )
+        damped_ref[0] = damped
+
+        prev2[...] = prev1[...]
+        prev1[...] = damped
+        dlast[...] = damped[:, c - 1 : c]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("lags", "c", "interpret"))
+def comb_bank_file_pallas(xs, g, h, lags: tuple, c: int, interpret: bool = False):
+    """xs: (M, B, C) per-comb lag-shifted input chunks (xs[m, b, j] =
+    x_b[m*C + j - L_b], zeros before the signal start).
+    Returns (y, damped) as (M, B, C)."""
+    m, b, _ = xs.shape
+    h_arr = jnp.asarray(h, jnp.float32).reshape(1, 1)
+    g_arr = jnp.asarray(g, jnp.float32).reshape(1, b)
+
+    spec_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    spec_g = pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_chunk = pl.BlockSpec((1, b, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    y, damped = pl.pallas_call(
+        _make_kernel(lags, c),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, b, c), jnp.float32),
+            jax.ShapeDtypeStruct((m, b, c), jnp.float32),
+        ),
+        grid=(m,),
+        in_specs=[spec_scalar, spec_g, spec_chunk],
+        out_specs=(spec_chunk, spec_chunk),
+        scratch_shapes=[
+            pltpu.VMEM((c, c), jnp.float32),   # T_h^T, resident across chunks
+            pltpu.VMEM((1, c), jnp.float32),   # h^(j+1)
+            pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-2
+            pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-1
+            pltpu.VMEM((b, 1), jnp.float32),   # damped[-1] carry
+        ],
+        interpret=interpret,
+    )(h_arr, g_arr, xs)
+    return y, damped

@@ -168,7 +168,7 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     return y, new_hists, damped[:, -1]
 
 
-def comb_bank_file(x, lags, g, h, chunk=None):
+def comb_bank_file(x, lags, g, h, chunk=None, use_pallas=None):
     """Whole-signal damped comb bank from *fresh* state — the file-mode
     fast path (one pass over the entire signal, no per-block scan).
 
@@ -212,6 +212,21 @@ def comb_bank_file(x, lags, g, h, chunk=None):
     xs = jnp.stack(
         [jnp.pad(x[i], (lag, n_pad - n))[:n_pad] for i, lag in enumerate(lags)]
     ).reshape(b, m, c)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # VMEM-resident propagator kernel: T_h built once on-chip instead
+        # of being refetched from HBM for every chunk (~5 GB of traffic
+        # for an 18.6 s file in the XLA path).
+        from aefs_tpu.ops.pallas.comb import comb_bank_file_pallas
+
+        ys, damps = comb_bank_file_pallas(
+            jnp.moveaxis(xs, 1, 0), g, h, tuple(int(l) for l in lags), c
+        )
+        y = jnp.moveaxis(ys, 0, 1).reshape(b, n_pad)[:, :n]
+        damped = jnp.moveaxis(damps, 0, 1).reshape(b, n_pad)[:, :n]
+        return y, damped
 
     # In-chunk damping propagator: T_h[j, i] = h^(j-i) for j >= i.
     j_i = jnp.arange(c)[:, None] - jnp.arange(c)[None, :]
