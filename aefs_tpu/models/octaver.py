@@ -109,13 +109,10 @@ class Octaver(EffectModel):
 
         hist = state["hist"]
         if self.use_resample:
-            from aefs_tpu.ops.ringbuf import fractional_read_resample
+            from aefs_tpu.ops.ringbuf import fractional_read_resample2
 
-            s1 = fractional_read_resample(
-                hist, mono, p1 * size, self.rs_tile, self.rs_window
-            )
-            s2 = fractional_read_resample(
-                hist, mono, p2 * size, self.rs_tile, self.rs_window
+            s1, s2 = fractional_read_resample2(
+                hist, mono, p1 * size, p2 * size, self.rs_tile, self.rs_window
             )
         else:
             s1 = fractional_read_cubic(hist, mono, p1 * size)

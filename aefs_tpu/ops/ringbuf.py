@@ -382,3 +382,27 @@ def fractional_read_resample(hist, x, ago, tile: int, window: int,
     frac = (ca - ago).astype(x.dtype)
     ca = ca.astype(jnp.int32)
     return _wrap_patch(ext, s, n, ca, frac, out)
+
+
+def fractional_read_resample2(hist, x, ago1, ago2, tile: int, window: int,
+                              use_pallas=None):
+    """Both octaver taps via the fused two-tap resample kernel
+    (ops/pallas/resample.py:octaver_taps_fused) + the shared wrap patch.
+
+    Returns (s1, s2), each the same read as ``fractional_read_cubic`` on
+    its ago stream."""
+    from aefs_tpu.ops.pallas.resample import octaver_taps_fused
+
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    if n % tile:
+        raise ValueError(f"block {n} not a multiple of resample tile {tile}")
+    ext = jnp.concatenate([hist, x, jnp.zeros((window,), x.dtype)])
+    s1, s2 = octaver_taps_fused(ext, ago1, ago2, s, s, tile, window, use_pallas)
+
+    outs = []
+    for ago, bulk in ((ago1, s1), (ago2, s2)):
+        ca = jnp.ceil(ago)
+        frac = (ca - ago).astype(x.dtype)
+        outs.append(_wrap_patch(ext, s, n, ca.astype(jnp.int32), frac, bulk))
+    return outs[0], outs[1]
