@@ -89,8 +89,22 @@ function sendChain() {
 }
 
 function addEffect(type) {
-  const params = Object.assign({}, CONFIG.effect_defaults[type]);
-  chain.push({ effect_id: uuid(), type, params });
+  if (type === "parallel") {
+    // Default two-branch container: filtered path + delayed path.
+    chain.push({
+      effect_id: uuid(), type,
+      params: { gain_0: 0.7, gain_1: 0.7 },
+      branches: [
+        [{ effect_id: uuid(), type: "filter",
+           params: Object.assign({}, CONFIG.effect_defaults.filter) }],
+        [{ effect_id: uuid(), type: "delay",
+           params: Object.assign({}, CONFIG.effect_defaults.delay) }],
+      ],
+    });
+  } else {
+    const params = Object.assign({}, CONFIG.effect_defaults[type]);
+    chain.push({ effect_id: uuid(), type, params });
+  }
   sendChain();
 }
 
@@ -119,6 +133,55 @@ function paramChanged(id, param, value) {
   }
 }
 
+function controlRow(label, min, max, step, value, onchange) {
+  const row = document.createElement("div");
+  row.className = "row";
+  const lab = document.createElement("label");
+  lab.textContent = label;
+  const slider = document.createElement("input");
+  slider.type = "range"; slider.min = min; slider.max = max; slider.step = step;
+  slider.value = value ?? min;
+  const num = document.createElement("input");
+  num.type = "number"; num.min = min; num.max = max; num.step = step;
+  num.value = value ?? min;
+  slider.oninput = () => { num.value = slider.value; onchange(parseFloat(slider.value)); };
+  num.onchange = () => { slider.value = num.value; onchange(parseFloat(num.value)); };
+  row.append(lab, slider, num);
+  return row;
+}
+
+function effectControls(card, fx, onParam) {
+  (CONFIG.ui_controls[fx.type] || []).forEach(([param, label, min, max, step]) => {
+    card.appendChild(controlRow(label, min, max, step, fx.params[param],
+      (v) => onParam(param, v)));
+  });
+}
+
+function renderParallelCard(card, fx) {
+  // Branch gains + nested sub-effect controls; nested live params route
+  // through the container's lifted names (b<i>_<j>_<name>, PROTOCOL.md).
+  (fx.branches || []).forEach((branch, bi) => {
+    const gkey = `gain_${bi}`;
+    card.appendChild(controlRow(`Branch ${bi} gain`, 0, 2, 0.01,
+      fx.params[gkey] ?? 1.0, (v) => paramChanged(fx.effect_id, gkey, v)));
+    branch.forEach((sub, ei) => {
+      const subCard = document.createElement("div");
+      subCard.className = "effect-card branch-card";
+      const h = document.createElement("h3");
+      h.textContent = `↳ ${sub.type}`;
+      subCard.appendChild(h);
+      (CONFIG.ui_controls[sub.type] || []).forEach(([param, label, min, max, step]) => {
+        subCard.appendChild(controlRow(label, min, max, step, sub.params[param],
+          (v) => {
+            sub.params[param] = v;
+            paramChanged(fx.effect_id, `b${bi}_${ei}_${param}`, v);
+          }));
+      });
+      card.appendChild(subCard);
+    });
+  });
+}
+
 function renderChain() {
   const root = $("chain");
   root.innerHTML = "";
@@ -140,22 +203,11 @@ function renderChain() {
     mk("↓", "", () => moveEffect(idx, +1), idx === chain.length - 1);
     mk("X", "delete", () => deleteEffect(fx.effect_id));
 
-    (CONFIG.ui_controls[fx.type] || []).forEach(([param, label, min, max, step]) => {
-      const row = document.createElement("div");
-      row.className = "row";
-      const lab = document.createElement("label");
-      lab.textContent = label;
-      const slider = document.createElement("input");
-      slider.type = "range"; slider.min = min; slider.max = max; slider.step = step;
-      slider.value = fx.params[param] ?? min;
-      const num = document.createElement("input");
-      num.type = "number"; num.min = min; num.max = max; num.step = step;
-      num.value = fx.params[param] ?? min;
-      slider.oninput = () => { num.value = slider.value; paramChanged(fx.effect_id, param, parseFloat(slider.value)); };
-      num.onchange = () => { slider.value = num.value; paramChanged(fx.effect_id, param, parseFloat(num.value)); };
-      row.append(lab, slider, num);
-      card.appendChild(row);
-    });
+    if (fx.type === "parallel") {
+      renderParallelCard(card, fx);
+    } else {
+      effectControls(card, fx, (param, v) => paramChanged(fx.effect_id, param, v));
+    }
     root.appendChild(card);
   });
 }
@@ -232,7 +284,7 @@ async function init() {
   CONFIG = await (await fetch("/config.json")).json();
 
   const typeSel = $("effect-type");
-  Object.keys(CONFIG.effect_defaults).forEach((t) => {
+  Object.keys(CONFIG.effect_defaults).concat(["parallel"]).forEach((t) => {
     const o = document.createElement("option");
     o.value = t; o.textContent = t;
     typeSel.appendChild(o);
