@@ -60,6 +60,13 @@ class Octaver(EffectModel):
         self.use_resample = (
             blocksize % self.rs_tile == 0 and self.size > 2 * span
         )
+        # Whole-octave file mode: exact closed-form grid taps
+        # (ops/gridtaps.py) — gather-free AND free of the float32
+        # phase-accumulation floor (parity reaches -80 dBFS).
+        from aefs_tpu.ops.gridtaps import pow2_exponent, pow2_geometry_ok
+
+        e = pow2_exponent(file_semitones)
+        self._pow2_e = e if e is not None and pow2_geometry_ok(self.size, e) else None
 
     def init_state(self):
         return {
@@ -147,5 +154,41 @@ class Octaver(EffectModel):
 
         # Linear dry/wet blend preserving the dry stereo image
         # (octaver.py:143-150).
+        y = x * (1.0 - mix) + wet[None, :] * mix
+        return new_state, y
+
+    def process_file(self, state, p, x):
+        """Whole-file fast path.  At whole-octave baked ratios the taps are
+        evaluated in closed form on the exact rational position grid
+        (ops/gridtaps.py) — assumes the file-mode contract (fresh phase,
+        params at their baked targets, models/base.py:54-63)."""
+        if self._pow2_e is None:
+            return self.process(state, p, x)
+        from aefs_tpu.ops.gridtaps import octaver_taps_pow2
+
+        e = self._pow2_e
+        size = self.size
+        n = x.shape[-1]
+        mix = p["mix"]
+        mono = jnp.mean(x, axis=0)  # octaver.py:126-128
+        hist = state["hist"]
+
+        s1, s2, p1, p2 = octaver_taps_pow2(hist, mono, e)
+        two_pi = jnp.float32(2.0 * jnp.pi)
+        g1 = 0.5 * (1.0 - jnp.cos(two_pi * p1))  # octaver.py:66-67
+        g2 = 0.5 * (1.0 - jnp.cos(two_pi * p2))
+        wet = s1 * g1 + s2 * g2
+
+        # Exact phasor advance: p(n) = mod(n * (1 - 2^e) / size, 1).
+        if e < 0:
+            d = 1 << (-e)
+            ph = (n * (d - 1)) % (d * size) / (d * size)
+        else:
+            ph = (-n * ((1 << e) - 1)) % size / size
+        new_state = {
+            "hist": ring_push(hist, mono),
+            "phasor": jnp.float32(ph),
+            "comp": jnp.float32(0.0),
+        }
         y = x * (1.0 - mix) + wet[None, :] * mix
         return new_state, y

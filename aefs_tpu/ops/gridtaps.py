@@ -1,0 +1,202 @@
+"""Closed-form octaver taps for exact power-of-two pitch ratios.
+
+The octaver's pitch ratio is r = 2^(semitones/12) (reference
+octaver.py:121-122); at whole-octave settings (semitones = 12*e — the
+instrument's namesake use, including the flagship bench's -12) r = 2^e is
+an exact binary float and, from fresh phase (file mode), every tap
+position is an exact rational on a fixed grid:
+
+    ago[n] = mod(n * (1 - r), S)          (phasor * ring size)
+    q[n]   = S + n - ago[n]               (read position in hist ++ block)
+
+For r = 1/D (D = 2^-e, pitch down) the positions advance 1/D per output
+sample, so output lanes split into D *classes* by n mod D, each class
+reading at a constant fractional offset c/D — the 4-point Hermite
+interpolation (octaver.py:9-15) collapses into D static 4-tap FIRs of the
+stream.  Within a grain (between phasor wraps, every D*M samples with
+M = S/(D-1)) the integer read index advances by exactly +1, so each
+grain's reads are ONE contiguous slice: the whole tap evaluation is
+"FIR -> reshape into rows -> interleave classes", with zero gathers,
+zero rolls and zero matvecs.  For r = R (pitch up) positions are all
+integers with stride R: a strided view + overlapping rows.
+
+This replaces the banded Pallas resampler on the file-mode fast path when
+the baked ``file_semitones`` is a whole octave — and because every
+position is exact (integer arithmetic end to end), it removes the float32
+phase-accumulation floor entirely: parity vs the float64 oracle reaches
+the <= -80 dBFS bar the rest of the framework meets.
+
+Grain-restart lanes (ago crossing 0) keep the reference's ring-wrap
+semantics via the shared ``_wrap_patch`` (ops/ringbuf.py, reference
+octaver.py:45-48).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def pow2_exponent(semitones):
+    """e such that 2^(semitones/12) == 2^e exactly, else None."""
+    if semitones is None:
+        return None
+    s = float(semitones)
+    if not (-24.0 <= s <= 24.0) or s != round(s) or int(round(s)) % 12:
+        return None
+    return int(round(s)) // 12
+
+
+def pow2_geometry_ok(size: int, e: int) -> bool:
+    """Divisibility conditions for the exact grid decomposition."""
+    s = int(size)
+    if s % 2:
+        return False
+    if e == 0:
+        return True
+    if e < 0:
+        d = 1 << (-e)
+        if s % (d - 1):
+            return False
+        m = s // (d - 1)
+        return m % 2 == 0
+    r = 1 << e
+    if s % (r - 1) or s % r or (s // 2) % r:
+        return False
+    mp = s // (r - 1)
+    return mp % (2 * r) == 0
+
+
+def _hermite_fir_weights(frac: float):
+    """Static 4-tap weights: H(frac; y0..y3) of cubic_hermite
+    (ops/ringbuf.py:292-298) collapsed per basis vector, in float64."""
+    ws = []
+    for k in range(4):
+        y = [0.0] * 4
+        y[k] = 1.0
+        y0, y1, y2, y3 = y
+        c0 = y1
+        c1 = 0.5 * (y2 - y0)
+        c2 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+        c3 = 0.5 * (y3 - y0) + 1.5 * (y1 - y2)
+        ws.append(((c3 * frac + c2) * frac + c1) * frac + c0)
+    return ws
+
+
+def _fir_frac(ext, frac: float):
+    """F[j] = H(frac; ext[j-1], ext[j], ext[j+1], ext[j+2]) — a static
+    4-tap FIR (frac == 0 returns ext itself)."""
+    if frac == 0.0:
+        return ext
+    w0, w1, w2, w3 = (np.float32(w) for w in _hermite_fir_weights(frac))
+    e = jnp.pad(ext, (1, 2))
+    n = ext.shape[0]
+    return (
+        w0 * e[0:n] + w1 * e[1 : n + 1] + w2 * e[2 : n + 2] + w3 * e[3 : n + 3]
+    )
+
+
+def _rows(f, start: int, stride: int, row_len: int, n_rows: int):
+    """rows[k, u] = f[start + k*stride + u] for u < row_len, gather-free:
+    reshape into stride-sized chunks and concat the (row_len/stride)
+    consecutive slabs (rows may overlap when row_len > stride)."""
+    n_slabs = -(-row_len // stride)
+    need = (n_rows + n_slabs - 1) * stride
+    f = f[start:]
+    if f.shape[0] < need:
+        f = jnp.pad(f, (0, need - f.shape[0]))
+    chunks = f[:need].reshape(n_rows + n_slabs - 1, stride)
+    if n_slabs == 1:
+        return chunks[:, :row_len]
+    rows = jnp.concatenate(
+        [chunks[i : i + n_rows] for i in range(n_slabs)], axis=1
+    )
+    return rows[:, :row_len]
+
+
+def octaver_taps_pow2(hist, x, e: int):
+    """Both octaver taps + exact phasor streams for ratio 2^e from fresh
+    phase.
+
+    hist: (S,) chronological ring history; x: (N,) current signal.
+    Returns (s1, s2, p1, p2): interpolated taps (ring-wrap lanes patched to
+    reference semantics) and the exact phasors in [0, 1) driving the Hann
+    crossfade gains.
+    """
+    from aefs_tpu.ops.ringbuf import _wrap_patch
+
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    assert pow2_geometry_ok(s, e), (s, e)
+    f32 = jnp.float32
+    n_idx = jnp.arange(n, dtype=jnp.int32)
+    ext_plain = jnp.concatenate([hist, x])
+
+    if e == 0:
+        # ratio 1: ago1 = 0 (every lane wrap-patched), ago2 = S/2 constant.
+        bulk1 = ext_plain[s : s + n]
+        bulk2 = ext_plain[s // 2 : s // 2 + n]
+        r1 = jnp.zeros((n,), jnp.int32)
+        r2 = jnp.full((n,), s // 2, jnp.int32)
+        p1 = jnp.zeros((n,), f32)
+        p2 = jnp.full((n,), 0.5, f32)
+        s1 = _wrap_patch(ext_plain, s, n, r1, jnp.zeros((n,), f32), bulk1)
+        s2 = _wrap_patch(ext_plain, s, n, r2, jnp.zeros((n,), f32), bulk2)
+        return s1, s2, p1, p2
+
+    if e < 0:
+        d = 1 << (-e)
+        m = s // (d - 1)
+        w = d * m  # grain period in output samples
+        tail = 2 * w + 16
+        ext = jnp.concatenate([ext_plain, jnp.zeros((tail,), f32)])
+
+        firs = [_fir_frac(ext, c / d) for c in range(d)]
+
+        def interleave(start: int, n_rows: int):
+            rows = [_rows(firs[c], start, w, m, n_rows) for c in range(d)]
+            return jnp.stack(rows, axis=-1).reshape(n_rows * w)
+
+        k1 = -(-n // w)
+        bulk1 = interleave(s, k1)[:n]
+        k2 = -(-(n + w // 2) // w)
+        bulk2 = interleave((s - m) // 2, k2)[w // 2 : w // 2 + n]
+
+        ds = d * s
+        r1 = jnp.mod(n_idx * (d - 1), ds)  # ago1 * D, exact integers
+        r2 = jnp.mod(r1 + ds // 2, ds)
+        p1 = r1.astype(f32) / f32(ds)
+        p2 = r2.astype(f32) / f32(ds)
+        outs = []
+        for r, bulk in ((r1, bulk1), (r2, bulk2)):
+            ca = (r + d - 1) // d
+            frac = ca.astype(f32) - r.astype(f32) / f32(d)
+            outs.append(_wrap_patch(ext, s, n, ca, frac, bulk))
+        return outs[0], outs[1], p1, p2
+
+    # e > 0: ratio R, integer positions at stride R.
+    r_up = 1 << e
+    mp = s // (r_up - 1)  # grain period in output samples
+    tail = 2 * r_up * mp + 16
+    ext = jnp.concatenate([ext_plain, jnp.zeros((tail,), f32)])
+    elen = (ext.shape[0] // r_up) * r_up
+    ext_str = ext[:elen].reshape(-1, r_up)[:, 0]  # ext[R*i]
+
+    k1 = -(-n // mp)
+    bulk1 = _rows(ext_str, 0, mp // r_up, mp, k1).reshape(k1 * mp)[:n]
+
+    lead = mp // (2 * r_up)
+    ext_str2 = jnp.concatenate([jnp.zeros((lead,), f32), ext_str])
+    k2 = -(-(n + mp // 2) // mp)
+    bulk2 = _rows(ext_str2, 0, mp // r_up, mp, k2).reshape(k2 * mp)[
+        mp // 2 : mp // 2 + n
+    ]
+
+    r1 = jnp.mod(-n_idx * (r_up - 1), s)  # ago1, exact integers
+    r2 = jnp.mod(r1 + s // 2, s)
+    p1 = r1.astype(f32) / f32(s)
+    p2 = r2.astype(f32) / f32(s)
+    zero = jnp.zeros((n,), f32)
+    s1 = _wrap_patch(ext, s, n, r1, zero, bulk1)
+    s2 = _wrap_patch(ext, s, n, r2, zero, bulk2)
+    return s1, s2, p1, p2

@@ -50,7 +50,13 @@ def run(cfgs, x, fast, blocksize=4096):
                 "mix_dry": 0.8, "mix_wet": 0.4}, -80),
     ("reverb", {"rt60_s": 6.0, "damp": 0.6, "pre_delay_ms": 40,
                 "mix_dry": 0.5, "mix_wet": 0.7}, -80),
-    ("octaver", {"semitones": -12, "mix": 1.0}, -80),
+    # Whole-octave settings: the fast path is now EXACT (integer-grid
+    # closed form, ops/gridtaps.py, -80 dBFS vs the float64 oracle —
+    # test_gridtaps.py) while blockwise keeps the reference kernel's
+    # float32 phase floor (-60 dBFS, test_effects_parity.py), so the
+    # fast-vs-blockwise gap is bounded by that floor, not by the fast path.
+    ("octaver", {"semitones": -12, "mix": 1.0}, -50),
+    ("octaver", {"semitones": 7, "mix": 1.0}, -80),  # shared split-f32 phase
     ("gate", {"threshold_db": -40, "attack_ms": 5, "release_ms": 100}, -80),
     ("spectral", {"threshold_db": -45, "reduction": 0.2}, -80),
     ("convreverb", {"ir_seconds": 0.5, "mix_dry": 0.7, "mix_wet": 0.4}, -80),
@@ -64,10 +70,13 @@ def test_fast_matches_blockwise_per_effect(etype, params, tol):
 
 
 def test_fast_matches_blockwise_five_effect_chain():
+    # Bound set by the blockwise octaver's float32 phase floor (see the
+    # octaver rows above); the fast path itself is oracle-verified to
+    # -80 dBFS in test_gridtaps.py / test_effects_parity.py.
     x = bursts(12 * 4096, amp=0.4, seed=3)
     slow = run(FIVE_FX, x, fast=False)
     fastv = run(FIVE_FX, x, fast=True)
-    assert err_dbfs(slow, fastv) <= -75, err_dbfs(slow, fastv)
+    assert err_dbfs(slow, fastv) <= -50, err_dbfs(slow, fastv)
 
 
 def test_fast_path_short_file():
