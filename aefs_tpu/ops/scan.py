@@ -73,6 +73,83 @@ def lag_affine_scan(base, a, lag: int):
     return y.reshape(m * lag)[:n]
 
 
+def _combine2(e1, e2):
+    """Associative combine for 2x2-matrix affine maps
+    (M, b) -> elements (p, q, r, s, bu, bv): matrix [[p,q],[r,s]], vec [bu,bv]."""
+    p1, q1, r1, s1, u1, v1 = e1
+    p2, q2, r2, s2, u2, v2 = e2
+    return (
+        p2 * p1 + q2 * r1,
+        p2 * q1 + q2 * s1,
+        r2 * p1 + s2 * r1,
+        r2 * q1 + s2 * s1,
+        p2 * u1 + q2 * v1 + u2,
+        r2 * u1 + s2 * v1 + v2,
+    )
+
+
+def toeplitz_lower(h, c: int):
+    """Lower-triangular Toeplitz T[j, i] = h[j - i] (j >= i, else 0) for a
+    (>= c)-length kernel ``h`` — built gather-free by the tile/reshape
+    rotation trick: b[j, i] = u[(i + j) mod L] for u = 0^c ++ h[:c] ++ 0,
+    then T = b[:, 1:c+1] reversed (c + j - i never wraps mod L = 2c+1)."""
+    u = jnp.concatenate([jnp.zeros((c,), h.dtype), h[:c], jnp.zeros((1,), h.dtype)])
+    el = 2 * c + 1
+    b = jnp.tile(u, c + 1)[: c * (el + 1)].reshape(c, el + 1)
+    return b[:, 1 : c + 1][:, ::-1]
+
+
+def linrec2_file(v, a1, a2, y1, y2, chunk: int = 256):
+    """Constant-coefficient second-order recurrence over a whole signal:
+    y[n] = v[n] - a1*y[n-1] - a2*y[n-2], solved in chunks (file-mode fast
+    path for the biquad, the same design move as the comb bank's T_h solve,
+    ops/ringbuf.py:comb_bank_file):
+
+    - chunk-local response: one lower-triangular Toeplitz matmul against
+      the impulse response h (MXU work, ~2 passes over the signal instead
+      of the associative scan's ~40),
+    - boundary responses: y[-1] contributes h[j+1], y[-2] contributes
+      -a2*h[j] (exact, by induction on the recurrence),
+    - cross-chunk (y[-1], y[-2]) states: a tiny 2x2 affine associative
+      scan over the M = N/chunk chunk summaries.
+
+    v: (N,); a1, a2, y1, y2: traced scalars.  Returns y: (N,).
+    """
+    n = v.shape[-1]
+    c = int(chunk)
+    m = -(-n // c)
+    dt = v.dtype
+    vp = jnp.pad(v, (0, m * c - n)).reshape(m, c)
+
+    # Impulse response h[0..c] of the AR part (tiny companion scan).
+    imp = jnp.zeros((c + 1,), dt).at[0].set(1.0)
+    h = linrec2(imp, a1, a2, jnp.asarray(0.0, dt), jnp.asarray(0.0, dt))
+
+    t_mat = toeplitz_lower(h, c)
+    y_local = jnp.einsum(
+        "mi,ji->mj", vp, t_mat, precision=lax.Precision.HIGHEST
+    )
+
+    h1 = h[1 : c + 1]  # response to y[-1] = 1
+    h2 = -a2 * h[:c]  # response to y[-2] = 1
+
+    # Chunk-exit states s_k = (y[c-1], y[c-2]) obey s_k = G s_{k-1} + b_k.
+    ones = jnp.ones((m,), dt)
+    elems = (
+        h1[c - 1] * ones, h2[c - 1] * ones,
+        h1[c - 2] * ones, h2[c - 2] * ones,
+        y_local[:, c - 1], y_local[:, c - 2],
+    )
+    cp, cq, cr, cs, cu, cv = lax.associative_scan(_combine2, elems)
+    out1 = cp * y1 + cq * y2 + cu  # y[-1] entering chunk k+1
+    out2 = cr * y1 + cs * y2 + cv  # y[-2] entering chunk k+1
+    in1 = jnp.concatenate([jnp.asarray(y1, dt)[None], out1[:-1]])
+    in2 = jnp.concatenate([jnp.asarray(y2, dt)[None], out2[:-1]])
+
+    y = y_local + in1[:, None] * h1[None, :] + in2[:, None] * h2[None, :]
+    return y.reshape(m * c)[:n]
+
+
 def linrec2(v, a1, a2, y1, y2):
     """Solve y[n] = v[n] - a1*y[n-1] - a2*y[n-2] with y[-1]=y1, y[-2]=y2.
 
@@ -135,7 +212,15 @@ def biquad_block(x, b0, b1, b2, a1, a2, state):
     xm2 = jnp.concatenate([x2, x1, x[:, :-2]], axis=1)[:, :n]  # x[n-2]
     v = b0 * x + b1 * xm1 + b2 * xm2
 
-    y = jax.vmap(lambda vv, i1, i2: linrec2(vv, a1, a2, i1, i2))(v, y1, y2)
+    if n >= 1024:
+        # Long signals (file mode / superblocks): chunked Toeplitz solve —
+        # ~2 passes over the signal + one MXU matmul instead of the
+        # associative scan's ~40 passes.
+        y = jax.vmap(lambda vv, i1, i2: linrec2_file(vv, a1, a2, i1, i2))(
+            v, y1, y2
+        )
+    else:
+        y = jax.vmap(lambda vv, i1, i2: linrec2(vv, a1, a2, i1, i2))(v, y1, y2)
 
     ym2 = y[:, -2] if n >= 2 else y1
     new_state = jnp.stack([x[:, -1], xm1[:, -1], y[:, -1], ym2], axis=1)

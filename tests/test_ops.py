@@ -234,3 +234,21 @@ def test_partitioned_conv_matches_direct():
 
     ref = np.convolve(x.astype(np.float64), ir.astype(np.float64))[: len(x)]
     assert np.max(np.abs(y - ref)) < 1e-3  # float32 FFT conv vs float64 direct
+
+
+def test_linrec2_file_matches_loop():
+    """Chunked Toeplitz solve == per-sample recurrence (incl. a ragged
+    tail chunk and nonzero initial conditions)."""
+    from aefs_tpu.ops.scan import linrec2_file
+
+    n = 5 * 256 + 37
+    v = RNG.standard_normal(n).astype(np.float32)
+    a1, a2 = -1.2, 0.8
+    y = np.asarray(linrec2_file(jnp.asarray(v), a1, a2, 0.3, -0.1, chunk=256))
+    ref = np.zeros(n)
+    p1, p2 = 0.3, -0.1
+    for i in range(n):
+        cur = v[i] - a1 * p1 - a2 * p2
+        ref[i] = cur
+        p2, p1 = p1, cur
+    assert np.max(np.abs(y - ref)) < 2e-4
