@@ -47,6 +47,36 @@ def affine_scan(mult, add, init, axis: int = 0):
     return a_cum * init + b_cum
 
 
+def affine_scan_long(mult, add, init, chunk: int = 512):
+    """1-D ``affine_scan`` for long signals, two-level blocked: scan within
+    (N/chunk, chunk) rows (log2(chunk) passes over the data instead of
+    log2(N)), then a tiny cross-row affine scan over the row summaries.
+
+    mult, add: (N,); init: scalar.  Returns y: (N,).
+    """
+    n = add.shape[0]
+    c = int(chunk)
+    if n <= c:
+        return affine_scan(mult, add, init)
+    m = -(-n // c)
+    dt = add.dtype
+    multp = jnp.pad(jnp.broadcast_to(mult, (n,)), (0, m * c - n),
+                    constant_values=1.0).reshape(m, c)
+    addp = jnp.pad(add, (0, m * c - n)).reshape(m, c)
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a2 * a1, a2 * b1 + b2
+
+    a_c, b_c = lax.associative_scan(combine, (multp, addp), axis=1)
+    sa, sb = lax.associative_scan(combine, (a_c[:, -1], b_c[:, -1]))
+    s_out = sa * init + sb  # value leaving each row
+    s_in = jnp.concatenate([jnp.asarray(init, dt)[None], s_out[:-1]])
+    y = a_c * s_in[:, None] + b_c
+    return y.reshape(m * c)[:n]
+
+
 def _bshape(mult, add, axis):
     """Shape for mult: same scan-axis length as add, broadcast elsewhere."""
     mult = jnp.asarray(mult)

@@ -252,3 +252,14 @@ def test_linrec2_file_matches_loop():
         ref[i] = cur
         p2, p1 = p1, cur
     assert np.max(np.abs(y - ref)) < 2e-4
+
+
+def test_affine_scan_long_matches_affine_scan():
+    from aefs_tpu.ops.scan import affine_scan_long
+
+    n = 3 * 512 + 123
+    mult = (0.8 + 0.2 * RNG.random(n)).astype(np.float32)
+    add = RNG.standard_normal(n).astype(np.float32)
+    a = np.asarray(affine_scan(jnp.asarray(mult), jnp.asarray(add), 0.4))
+    b = np.asarray(affine_scan_long(jnp.asarray(mult), jnp.asarray(add), 0.4))
+    assert np.max(np.abs(a - b)) < 1e-5
