@@ -171,8 +171,21 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
 
 
 def bench_stream_latency(cfgs, n_blocks=200):
+    """Three views of the 256-sample streaming step:
+
+    - synchronous p50/p99: dispatch + full audio readback per block (pays
+      the development tunnel's round trip twice-ish — the reference-like
+      strict mode),
+    - depth-1 pipelined p50: dispatch block k, read back block k-1 (the
+      engine's mic-path default, one block of added latency — readback of
+      an already-finished block overlaps the next block's compute),
+    - device-only step time: slope between two on-device ``fori_loop``
+      runs of the jitted block step (what a production host-attached TPU
+      pays per block; judged against the 5.33 ms realtime deadline).
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from aefs_tpu.core.chain import build_chain
 
     chain, state, tmap = build_chain(cfgs, FS, 256, channels_in=1)
@@ -189,9 +202,46 @@ def bench_stream_latency(cfgs, n_blocks=200):
         lats.append(time.time() - t0)
     lats = np.asarray(lats) * 1000
     p50, p99 = np.percentile(lats, 50), np.percentile(lats, 99)
-    log(f"[bench] stream 256-block latency: p50={p50:.2f} ms p99={p99:.2f} ms "
-        f"(deadline 5.33 ms)")
-    return p50, p99
+
+    prev = None
+    plats = []
+    for _ in range(n_blocks):
+        t0 = time.time()
+        state, y = step(state, targets, xb)
+        if prev is not None:
+            np.asarray(prev)  # audio readback of the previous block
+        prev = y
+        plats.append(time.time() - t0)
+    np.asarray(prev)
+    pipe50 = float(np.percentile(np.asarray(plats) * 1000, 50))
+
+    def loop_fn(iters):
+        def many(st, tg, x):
+            def body(_, carry):
+                st, acc = carry
+                st, yb = chain.process_block(st, tg, x)
+                return st, acc + yb[0, -1]  # keep every block's output live
+
+            return lax.fori_loop(0, iters, body, (st, jnp.float32(0.0)))
+
+        return jax.jit(many)
+
+    times = {}
+    for iters in (64, 320):
+        fn = loop_fn(iters)
+        st, acc = fn(state, targets, xb)
+        float(acc)  # compile + settle
+        t0 = time.time()
+        st, acc = fn(state, targets, xb)
+        float(acc)
+        times[iters] = time.time() - t0
+    dev_ms = (times[320] - times[64]) / 256 * 1000
+    deadline = 256 / FS * 1000
+    log(f"[bench] stream 256-block latency: sync p50={p50:.2f} ms "
+        f"p99={p99:.2f} ms; pipelined(depth-1) p50={pipe50:.2f} ms; "
+        f"device-only step {dev_ms:.3f} ms vs deadline {deadline:.2f} ms "
+        f"-> {'OK' if dev_ms < deadline else 'MISS'}")
+    return p50, p99, pipe50, dev_ms
 
 
 def wait_for_device(max_wait_s=600):
@@ -293,8 +343,11 @@ def main():
             results[name] = 0.0
 
     try:
-        p50, p99 = bench_stream_latency(CONFIGS["5_five_effect"])
+        p50, p99, pipe50, dev_ms = bench_stream_latency(CONFIGS["5_five_effect"])
         results["stream_p50_ms"] = p50
+        results["stream_pipelined_p50_ms"] = pipe50
+        results["stream_device_step_ms"] = dev_ms
+        results["stream_deadline_ok"] = float(dev_ms < 256 / FS * 1000)
     except Exception as e:
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
 

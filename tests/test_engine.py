@@ -113,12 +113,16 @@ def test_mic_stream_with_fake_sounddevice(monkeypatch):
 
     indata = noise(256, channels=1, amp=0.3)
     outdata = np.zeros((256, 2), np.float32)
+    # The mic path defaults to the depth-1 pipeline: the first callback
+    # primes (silent output), the second returns the first block's audio.
+    eng.stream.callback(indata, outdata, 256, None, None)
+    assert np.all(outdata == 0)
     eng.stream.callback(indata, outdata, 256, None, None)
     assert np.any(outdata != 0)
-    assert eng.metrics.snapshot()["blocks"] >= 1
+    assert eng.metrics.snapshot()["blocks"] >= 2
     # plot taps fed
-    assert eng.data_queues["input"].qsize() == 1
-    assert eng.data_queues["output"].qsize() == 1
+    assert eng.data_queues["input"].qsize() == 2
+    assert eng.data_queues["output"].qsize() == 2
 
     eng.stop_stream()
     assert not eng.is_running
@@ -130,3 +134,33 @@ def test_process_offline_short_odd_rate():
     )
     assert out.shape == (1000, 2)
     assert np.all(np.isfinite(out))
+
+
+def test_pipelined_stream_one_block_latency():
+    """Depth-1 pipelined hot path: block k's return value is block k-1's
+    processed audio; the first block (and the first block after a chain
+    swap) is silence while the pipeline primes."""
+    cfg = [{"effect_id": "f", "type": "filter",
+            "params": {"filter_type": 0, "cutoff_hz": 2000, "q": 0.707}}]
+    rng = np.random.default_rng(5)
+    blocks = [rng.standard_normal((256, 1)).astype(np.float32) * 0.2
+              for _ in range(6)]
+
+    ref_eng = AudioEngine()
+    ref_eng.build_chain(cfg)
+    ref = [ref_eng.process_stream_block(b) for b in blocks]
+
+    eng = AudioEngine()
+    eng.build_chain(cfg)
+    got = [eng.process_stream_block_pipelined(b) for b in blocks]
+
+    assert np.all(got[0] == 0.0)
+    for k in range(1, len(blocks)):
+        assert err_dbfs(got[k], ref[k - 1]) <= -100, k
+
+    # chain swap mid-stream drops the in-flight block and re-primes
+    eng.build_chain(cfg)
+    out = eng.process_stream_block_pipelined(blocks[0])
+    assert np.all(out == 0.0)
+    out = eng.process_stream_block_pipelined(blocks[1])
+    assert np.any(out != 0.0)
