@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
-from aefs_tpu.ops.ringbuf import feedback_delay_block
+from aefs_tpu.ops.ringbuf import feedback_delay_block_rows, rowring_rows
 
 
 class StereoDelay(EffectModel):
@@ -55,7 +55,15 @@ class StereoDelay(EffectModel):
             )
 
     def init_state(self):
-        return {"lines": jnp.zeros((2, self.size), jnp.float32)}
+        # Block-row ring: one row per block, written in place — O(N) ring
+        # maintenance per block instead of O(size) (the 1.5 s ring would
+        # otherwise be fully rewritten every 5.3 ms block, the dominant
+        # cost of batched multistream serving).
+        r = rowring_rows(self.size, self.blocksize)
+        return {
+            "lines": jnp.zeros((2, r, self.blocksize), jnp.float32),
+            "row": jnp.int32(0),
+        }
 
     def process(self, state, p, x):
         d_l_ms = p["delay_ms"]
@@ -67,13 +75,17 @@ class StereoDelay(EffectModel):
             return jnp.clip(d, 0, self.size - 1)  # delay.py:38-40
 
         d_samples = jnp.stack([to_samples(d_l_ms), to_samples(d_r_ms)])
+        row = state["row"]
 
         wet, lines = jax.vmap(
-            lambda h, xi, d: feedback_delay_block(h, xi, d, fb, self.min_delay)
+            lambda h, xi, d: feedback_delay_block_rows(
+                h, row, xi, d, fb, self.min_delay
+            )
         )(state["lines"], x, d_samples)
 
         y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
-        return {"lines": lines}, y
+        new_row = jnp.mod(row + 1, lines.shape[1])
+        return {"lines": lines, "row": new_row}, y
 
     def process_file(self, state, p, x):
         """Whole-file fast path: with static lags the feedback echo is a
@@ -110,8 +122,15 @@ class StereoDelay(EffectModel):
             writes.append(x[side] + fb * y)
         wet = jnp.stack(wets)
         w = jnp.stack(writes)
-        lines = jnp.concatenate(
-            [jnp.zeros((2, self.size), x.dtype), w], axis=-1
-        )[:, -self.size:]
+        # Reconstruct the block-row ring for the final state: slot of
+        # absolute block b is b mod R; the last R blocks land rolled.
+        nb = n // self.blocksize
+        r = rowring_rows(self.size, self.blocksize)
+        if n % self.blocksize:
+            raise ValueError("file fast path requires blocksize-padded input")
+        wpad = jnp.concatenate(
+            [jnp.zeros((2, r * self.blocksize), x.dtype), w], axis=-1
+        )[:, -r * self.blocksize :].reshape(2, r, self.blocksize)
+        lines = jnp.roll(wpad, (nb - r) % r, axis=1)
         y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
-        return {"lines": lines}, y
+        return {"lines": lines, "row": jnp.int32(nb % r)}, y

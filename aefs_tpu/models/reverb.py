@@ -91,25 +91,28 @@ class Reverb(EffectModel):
         pre_out = jax.vmap(lambda h, xi: delay_read(h, xi, pre_d))(state["pre"], x)
         new_pre = ring_push(state["pre"], x)
 
-        comb_y, new_combs, new_lps = [], [], []
-        for side in range(2):
-            lags = jnp.asarray(self.comb_lags[side], jnp.int32)
-            # g per comb from RT60 (reverb.py:205-206).
-            g = jnp.power(
-                10.0, -3.0 * (lags.astype(jnp.float32) / fs) / jnp.maximum(1e-3, rt60)
-            )
-            y, hists, lps = comb_bank_block(
-                state["combs"][side],
-                state["lps"][side],
-                pre_out[side],
-                lags,
-                g,
-                damp,
-                self.comb_lmin,
-            )
-            comb_y.append(y)
-            new_combs.append(hists)
-            new_lps.append(lps)
+        # Both sides' comb banks in ONE vectorized call (B = 8): halves the
+        # op count of the streaming hot path vs per-side calls.
+        b = self.n_combs
+        all_lags = jnp.asarray(self.comb_lags[0] + self.comb_lags[1], jnp.int32)
+        # g per comb from RT60 (reverb.py:205-206).
+        g_all = jnp.power(
+            10.0,
+            -3.0 * (all_lags.astype(jnp.float32) / fs) / jnp.maximum(1e-3, rt60),
+        )
+        xb = jnp.repeat(pre_out, b, axis=0)  # (2B, N) side-major
+        y, hists, lps = comb_bank_block(
+            state["combs"].reshape(2 * b, -1),
+            state["lps"].reshape(2 * b),
+            xb,
+            all_lags,
+            g_all,
+            damp,
+            self.comb_lmin,
+        )
+        comb_y = [y[:b], y[b:]]
+        new_combs = [hists[:b], hists[b:]]
+        new_lps = [lps[:b], lps[b:]]
 
         return self._diffuse_and_mix(state, p, x, comb_y, new_pre, new_combs, new_lps)
 

@@ -25,6 +25,78 @@ def ring_push(hist, new):
     return jnp.concatenate([hist, new], axis=-1)[..., -size:]
 
 
+def rowring_rows(size: int, blocksize: int) -> int:
+    """Row count for a block-row ring covering reads up to ``size`` back."""
+    return -(-size // blocksize) + 1
+
+
+def rowring_read(ring, row, d, n: int):
+    """Window of ``n`` samples starting ``d`` samples before the current
+    block, from a block-row ring.
+
+    ring: (R, N) — row ``(row - 1 + R) % R`` holds the previous block,
+      chronological within rows; ``row`` is the slot the CURRENT block will
+      occupy.  N == n == blocksize.
+    d: traced int32 in [1, (R-1)*N].  Lanes j >= d of the result depend on
+      the current (unwritten) block and are garbage — callers mask them.
+
+    Two single-row dynamic slices + one in-row shift: O(N) per read
+    regardless of ring size (the streaming replacement for reads out of a
+    chronological buffer, whose per-block maintenance is O(size)).
+    """
+    r, nn = ring.shape
+    assert nn == n
+    row_rel = (-d) // n  # floor division (negative)
+    o = (-d) % n
+    row0 = jnp.mod(row + row_rel, r)
+    row1 = jnp.mod(row0 + 1, r)
+    ra = jax.lax.dynamic_slice(ring, (row0, jnp.int32(0)), (1, n))
+    rb = jax.lax.dynamic_slice(ring, (row1, jnp.int32(0)), (1, n))
+    pair = jnp.concatenate([ra, rb], axis=1)
+    return jax.lax.dynamic_slice(pair, (jnp.int32(0), o), (1, n))[0]
+
+
+def rowring_push(ring, row, blk):
+    """Write one block into its slot (in place under buffer donation) and
+    advance the row pointer."""
+    ring = jax.lax.dynamic_update_slice(ring, blk[None, :], (row, jnp.int32(0)))
+    return ring, jnp.mod(row + 1, ring.shape[0])
+
+
+def feedback_delay_block_rows(ring, row, x, d_samples, feedback, min_delay: int):
+    """``feedback_delay_block`` on a block-row ring: same math
+    (delay_kernel, delay.py:7-22), O(blocksize) state maintenance.
+
+    ring: (R, N) written values w; row: current slot; x: (N,).
+    Returns (y, new_ring) — the caller advances the shared row pointer.
+    """
+    n = x.shape[-1]
+    n_idx = jnp.arange(n)
+    base_hist = rowring_read(ring, row, d_samples, n)
+    x_shift = _shift_dyn(x, d_samples)
+    in_hist = n_idx < d_samples
+
+    # Each iteration propagates correctness d samples, so ceil(n/d)
+    # iterations suffice — a *dynamic* count: for the common d >= n
+    # (delay longer than one block) a single pass runs, while the static
+    # worst case ceil(n/min_delay) only bounds the loop.
+    k_max = max(1, -(-n // max(1, min_delay)))
+    d_pos = jnp.maximum(d_samples, 1).astype(jnp.int32)
+    k_dyn = jnp.minimum(jnp.int32(k_max), (n + d_pos - 1) // d_pos)
+
+    def body(carry):
+        i, y = carry
+        y = jnp.where(in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples))
+        return i + 1, y
+
+    _, y = jax.lax.while_loop(
+        lambda c: c[0] < k_dyn, body, (jnp.int32(0), jnp.zeros_like(x))
+    )
+
+    w = x + feedback * y
+    return y, jax.lax.dynamic_update_slice(ring, w[None, :], (row, jnp.int32(0)))
+
+
 def _shift_dyn(y, d):
     """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar).
 
@@ -130,8 +202,9 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     b's real chronological window; reads at lag L land at
     ``hists[b, Lmax - L + n]`` so differing lags stay a single gather.
 
-    hists: (B, Lmax); lps: (B,) damping states; x: (N,) shared input;
-    lags: (B,) int32; g: (B,) feedback gains; h: scalar damping;
+    hists: (B, Lmax); lps: (B,) damping states; x: (N,) shared input or
+    (B, N) per-comb inputs (e.g. both stereo sides' banks merged into one
+    call); lags: (B,) int32; g: (B,) feedback gains; h: scalar damping;
     min_lag: static lower bound of lags, sets the fixed-point count.
 
     Returns (y, new_hists, new_lps) with y: (B, N) raw delayed outputs
@@ -151,8 +224,9 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     )(ext, lags)  # valid where n < lag
     in_hist = n_idx[None, :] < lags[:, None]
 
+    xb = jnp.broadcast_to(x, (b, n)) if x.ndim == 1 else x
     shift = jax.vmap(_shift_dyn, in_axes=(0, 0))
-    x_shift = shift(jnp.broadcast_to(x, (b, n)), lags)
+    x_shift = shift(xb, lags)
     lps_col = lps[:, None]
     g_col = g[:, None]
 
@@ -163,7 +237,7 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
         y = jnp.where(in_hist, base_hist, x_shift + g_col * shift(damped, lags))
     damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
 
-    w = x[None, :] + g_col * damped
+    w = xb + g_col * damped
     new_hists = jnp.concatenate([hists, w], axis=-1)[:, -lmax:]
     return y, new_hists, damped[:, -1]
 
@@ -283,7 +357,18 @@ def allpass_block(hist, x, a, lag: int):
         head = hist - a * x[:lag]
         tail = x[: n - lag] - a * x[lag:]
         base = jnp.concatenate([head, tail])
-        y = lag_affine_scan(base, a, lag)
+        k = (n - 1) // lag  # highest feedback order reaching into the block
+        if k <= 8:
+            # Streaming blocks (n a few lags at most): unroll the lag-affine
+            # solution y = sum_j a^j base[n - j*lag] as static-shift Horner
+            # steps — a handful of aligned pad/slice ops instead of a
+            # residue-class reshape at an unaligned lane width.
+            zeros = jnp.zeros((lag,), x.dtype)
+            y = base
+            for _ in range(k):
+                y = base + a * jnp.concatenate([zeros, y[:-lag]])
+        else:
+            y = lag_affine_scan(base, a, lag)
 
     w = x + a * y
     return y, ring_push(hist, w)

@@ -263,3 +263,28 @@ def test_affine_scan_long_matches_affine_scan():
     a = np.asarray(affine_scan(jnp.asarray(mult), jnp.asarray(add), 0.4))
     b = np.asarray(affine_scan_long(jnp.asarray(mult), jnp.asarray(add), 0.4))
     assert np.max(np.abs(a - b)) < 1e-5
+
+
+def test_feedback_delay_rowring_matches_chronological():
+    """Block-row-ring feedback delay == chronological-buffer version over a
+    multi-block stream (including a wrap of the row ring)."""
+    from aefs_tpu.ops.ringbuf import (
+        feedback_delay_block_rows,
+        rowring_rows,
+        rowring_push,
+    )
+
+    n = 64
+    size = 300  # -> 6 rows, wraps within the test
+    r = rowring_rows(size, n)
+    d = jnp.int32(175)
+    fb = 0.55
+    hist = jnp.zeros((size,), jnp.float32)
+    ring = jnp.zeros((r, n), jnp.float32)
+    row = jnp.int32(0)
+    for i in range(12):
+        x = jnp.asarray(RNG.standard_normal(n).astype(np.float32) * 0.4)
+        y_ref, hist = feedback_delay_block(hist, x, d, fb, 48)
+        y_row, ring = feedback_delay_block_rows(ring, row, x, d, fb, 48)
+        row = jnp.mod(row + 1, r)
+        assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_row))) < 1e-6, i

@@ -63,10 +63,20 @@ def test_octaver_file_fast_with_baked_ratio(semi):
         )
         assert chain.effects[0][1].use_resample
         _, outs[fast] = chain.process_array(state, chain.targets(tmap), x, fast=fast)
-    assert err_dbfs(outs[True], outs[False]) <= -90, err_dbfs(outs[True], outs[False])
+    # Whole-octave semis route the fast path through the EXACT integer-grid
+    # closed form (ops/gridtaps.py): fast-vs-blockwise is then bounded by
+    # the blockwise float32 phase floor, and the tight bar is fast-vs-oracle
+    # (-80 dBFS, test_gridtaps.py).  Non-octave semis share the split-f32
+    # phase machinery on both paths and agree to -90 dBFS.
+    # (blockwise drift grows with |1 - ratio| * t: ~-55 dB at +-12,
+    # ~-46 dB at +-24 over this 1 s signal)
+    pair_tol = -40 if semi % 12 == 0 else -90
+    assert err_dbfs(outs[True], outs[False]) <= pair_tol, (
+        err_dbfs(outs[True], outs[False]))
 
     # Oracle comparison over ~1 s accumulates float32-vs-float64 phase
-    # drift proportional to |1 - ratio| * t; the short-signal oracle bar
-    # lives in test_effects_parity (-60 dBFS).
+    # drift proportional to |1 - ratio| * t on the split-f32 path; the
+    # exact grid path holds the full -80 dBFS bar.
+    oracle_tol = -80 if semi % 12 == 0 else -45
     ref = run_oracle_blocks(OracleOctaver(FS, **params), x.astype(np.float64), 4096)
-    assert err_dbfs(outs[True], ref) <= -45, err_dbfs(outs[True], ref)
+    assert err_dbfs(outs[True], ref) <= oracle_tol, err_dbfs(outs[True], ref)
