@@ -25,6 +25,15 @@ def main(argv=None):
     ap.add_argument("--config", help="JSON chain-config file")
     ap.add_argument("--list-presets", action="store_true")
     ap.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    ap.add_argument("--checkpoint", metavar="DIR",
+                    help="process resumably in chunks, checkpointing chain "
+                         "state + partial output to DIR (long file jobs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a killed job from --checkpoint DIR "
+                         "(bit-exact: ring buffers/filter taps/phasors resume)")
+    ap.add_argument("--checkpoint-every", type=float, default=10.0,
+                    metavar="SECONDS", help="checkpoint interval in audio "
+                    "seconds (default 10)")
     args = ap.parse_args(argv)
 
     from aefs_tpu.core.config import DEFAULT_PRESETS
@@ -64,12 +73,78 @@ def main(argv=None):
           f"{audio.shape[1] if audio.ndim > 1 else 1} ch (backend: {backend})")
 
     t0 = time.time()
-    _, out = process_offline(chain_config, audio, fs)
+    if args.checkpoint:
+        out = process_resumable(
+            chain_config, audio, fs, args.checkpoint,
+            resume=args.resume, every_s=args.checkpoint_every,
+        )
+    else:
+        _, out = process_offline(chain_config, audio, fs)
     dt = time.time() - t0
     write_wav_file(args.output, out, fs)
     rtf = (audio.shape[0] / fs) / dt
     print(f"{args.output}: processed in {dt*1000:.1f} ms ({rtf:.0f}x realtime)")
     return 0
+
+
+def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
+                      every_s=10.0):
+    """Chunked blockwise processing with periodic session checkpoints: a
+    killed job restarted with --resume continues bit-exact from the last
+    checkpoint (the carried state pytree holds every ring buffer, filter
+    tap and phasor — engine/checkpoint.py)."""
+    import os
+
+    import numpy as np
+
+    from aefs_tpu.core.chain import build_chain
+    from aefs_tpu.core.config import FILE_SUPERBLOCK
+    from aefs_tpu.engine.checkpoint import load_session, save_session
+
+    if audio.ndim > 1:
+        mono = audio.mean(axis=1, keepdims=True).astype(np.float32)
+    else:
+        mono = audio.reshape(-1, 1).astype(np.float32)
+    n = mono.shape[0]
+    # Chunks must stay blocksize-aligned so the carried state is identical
+    # to an uninterrupted blockwise run (bit-exact resume).
+    chunk = max(FILE_SUPERBLOCK,
+                int(every_s * fs) // FILE_SUPERBLOCK * FILE_SUPERBLOCK)
+
+    chain, state, tmap = build_chain(
+        chain_config, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2
+    )
+    targets = chain.targets(tmap)
+    done = 0
+    outs = []
+    progress_path = os.path.join(ckpt_dir, "progress.json")
+    if resume and os.path.exists(progress_path):
+        cfg2, tmap2, rebuild_state = load_session(ckpt_dir)
+        chain, state, _ = build_chain(
+            cfg2, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2
+        )
+        targets = chain.targets(tmap2)
+        state = rebuild_state(chain.init_state())
+        chain_config, tmap = cfg2, tmap2
+        with open(progress_path) as f:
+            done = int(json.load(f)["done_samples"])
+        outs = [np.load(os.path.join(ckpt_dir, "partial.npy"))]
+        print(f"Resuming at {done / fs:.2f} s / {n / fs:.2f} s")
+
+    while done < n:
+        end = min(done + chunk, n)
+        state, y = chain.process_array(state, targets, mono[done:end], fast=False)
+        outs.append(np.clip(y, -1.0, 1.0))
+        done = end
+        if done < n:
+            save_session(ckpt_dir, chain_config,
+                         {k: dict(v) for k, v in tmap.items()}, state)
+            np.save(os.path.join(ckpt_dir, "partial.npy"),
+                    np.concatenate(outs))
+            with open(progress_path, "w") as f:
+                json.dump({"done_samples": int(done)}, f)
+            print(f"Checkpointed at {done / fs:.2f} s / {n / fs:.2f} s")
+    return np.concatenate(outs)
 
 
 if __name__ == "__main__":

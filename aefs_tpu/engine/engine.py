@@ -133,6 +133,43 @@ class AudioEngine:
                 self._targets_map = targets_map
                 self._targets = targets
 
+    # -- session checkpoint/resume (engine/checkpoint.py) ----------------
+    def save_session(self, path: str) -> str:
+        """Checkpoint the live session (chain config, parameter targets,
+        full audio-state pytree) to a directory; returns the path."""
+        from aefs_tpu.engine.checkpoint import save_session
+
+        with self._lock:
+            state, tmap = self.chain_state, self._targets_map
+        save_session(path, self.last_chain_config, tmap, state)
+        return path
+
+    def resume_session(self, path: str):
+        """Rebuild the chain from a checkpoint and graft the saved audio
+        state onto it — ring buffers, filter taps and phasors continue
+        bit-exact.  Returns the restored chain config (for UI sync)."""
+        from aefs_tpu.engine.checkpoint import load_session
+
+        chain_config, targets_map, rebuild_state = load_session(path)
+        chain, state, _ = build_chain(
+            chain_config,
+            self.current_sample_rate,
+            BLOCKSIZE,
+            channels_in=CHANNELS_IN,
+            channels_out=CHANNELS_OUT,
+        )
+        targets = chain.targets(targets_map)
+        chain.warmup(state, targets)  # compile off the audio path
+        state = rebuild_state(chain.init_state())
+        with self._lock:
+            self.chain = chain
+            self.chain_state = state
+            self._targets_map = targets_map
+            self._targets = targets
+            self._pending = None
+        self.last_chain_config = chain_config
+        return chain_config
+
     # -- block streaming ------------------------------------------------
     def process_stream_block(self, in_block: np.ndarray) -> np.ndarray:
         """One hot-path block: (N, ci) float32 in -> (N, co) float32 out.

@@ -188,6 +188,31 @@ async def handler(websocket):
                     asyncio.create_task(
                         audio_engine.process_wav_file(cmd.get("contents"), websocket)
                     )
+                elif command == "save_session":
+                    # Additive extension: durable server-side session
+                    # checkpoint (chain config + targets + audio state).
+                    path = cmd.get("path") or os.path.join(
+                        os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"),
+                        "session",
+                    )
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, audio_engine.save_session, path
+                    )
+                    await websocket.send(json.dumps(
+                        {"type": "session_saved", "path": path}
+                    ))
+                elif command == "resume_session":
+                    path = cmd.get("path") or os.path.join(
+                        os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"),
+                        "session",
+                    )
+                    cfg = await asyncio.get_running_loop().run_in_executor(
+                        None, audio_engine.resume_session, path
+                    )
+                    # Echo the restored config so the UI can sync its chain.
+                    await websocket.send(json.dumps(
+                        {"type": "session_resumed", "path": path, "config": cfg}
+                    ))
                 elif command == "get_stats":
                     # Additive protocol extension: operational metrics
                     # (per-block p50/p99, deadline misses — the xrun

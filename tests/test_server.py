@@ -88,3 +88,73 @@ def test_ws_protocol_round_trip(tmp_path):
             await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
+    """Additive protocol commands: save_session/resume_session round trip
+    (server-side durable checkpoints) and sync_delay_bpm routing."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**29)
+        port = server.sockets[0].getsockname()[1]
+        sess = str(tmp_path / "sess")
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**29) as client:
+                await client.send(json.dumps({
+                    "command": "build_chain",
+                    "config": [
+                        {"effect_id": "d1", "type": "delay",
+                         "params": {"delay_ms": 200, "feedback": 0.3,
+                                    "mix_dry": 1.0, "mix_wet": 0.8,
+                                    "offset_ms": 0}},
+                    ],
+                }))
+                # BPM sync: 120 bpm quarter note -> 500 ms delay target
+                await client.send(json.dumps({
+                    "command": "sync_delay_bpm", "effect_id": "d1",
+                    "bpm": 120, "division": 1.0}))
+                await client.send(json.dumps({
+                    "command": "save_session", "path": sess}))
+                for _ in range(30):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                    if msg["type"] == "session_saved":
+                        break
+                else:
+                    raise AssertionError("no session_saved response")
+                assert msg["path"] == sess
+
+                await client.send(json.dumps({
+                    "command": "resume_session", "path": sess}))
+                for _ in range(30):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                    if msg["type"] == "session_resumed":
+                        break
+                else:
+                    raise AssertionError("no session_resumed response")
+                assert msg["config"][0]["effect_id"] == "d1"
+
+                # the BPM-synced target survived the checkpoint
+                import json as _json
+                with open(sess + "/session.json") as f:
+                    saved = _json.load(f)
+                assert saved["targets"]["d1"]["delay_ms"] == 500.0
+
+                # resume from a missing path must not kill the server
+                await client.send(json.dumps({
+                    "command": "resume_session", "path": str(tmp_path / "no")}))
+                await client.send(json.dumps({"command": "get_stats"}))
+                for _ in range(30):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                    if msg["type"] == "stats":
+                        break
+                else:
+                    raise AssertionError("server died after bad resume")
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
