@@ -314,14 +314,29 @@ class AudioEngine:
             )
 
             def serialize():
+                import os
+
                 wav_bytes = encode_wav_int16(processed, fs)
                 b64 = native.b64encode(wav_bytes).decode("ascii")
-                head = json.dumps({
+                head_dict = {
                     "type": "file_processed",
                     "original_b64": contents,
                     "processed_b64": f"data:audio/wav;base64,{b64}",
                     "sample_rate": int(fs),
-                })
+                }
+                if os.environ.get("AEFS_SERVER_ANALYSIS", "1") == "1":
+                    # Windowed spectrum/chroma for playback scrubbing
+                    # (reference 02_custom.js:282-355 recomputes per frame
+                    # browser-side; we ship on-device STFT windows instead).
+                    try:
+                        from aefs_tpu.utils.analysis import PlotAnalyzer
+
+                        head_dict["analysis"] = PlotAnalyzer(fs).analyze_file(
+                            mono[:, 0], processed.mean(axis=1)
+                        )
+                    except Exception as e:
+                        print(f"Warning: file analysis unavailable: {e}")
+                head = json.dumps(head_dict)
                 return (
                     head[:-1]
                     + ',"original_samples":' + native.json_f32_array(mono.flatten())

@@ -254,6 +254,7 @@ function onFileProcessed(msg) {
     original: msg.original_samples,
     processed: msg.processed_samples,
     fs: msg.sample_rate,
+    analysis: msg.analysis || null,
   };
   $("audio-original").src = msg.original_b64;
   $("audio-processed").src = msg.processed_b64;
@@ -266,6 +267,15 @@ function drawFileWindow(tSec) {
   const c = Math.floor(tSec * fs);
   const lo = Math.max(0, c - half), hi = Math.min(fileData.original.length, c + half);
   drawTime($("plot-time"), fileData.original.slice(lo, hi), fileData.processed.slice(lo, hi));
+  // Spectrum + chroma scrub with the playhead (reference
+  // 02_custom.js:282-355): pick the server-computed analysis window for t.
+  const a = fileData.analysis;
+  if (a && a.original && a.original.spectrum_db.length) {
+    const w = Math.max(0, Math.min(a.original.spectrum_db.length - 1,
+      Math.floor(tSec / a.hop_s)));
+    drawSpectrum($("plot-spectrum"), a.original.spectrum_db[w], a.processed.spectrum_db[w]);
+    drawChroma($("plot-chroma"), a.original.chroma[w], a.processed.chroma[w]);
+  }
 }
 
 function activePlayer() {
@@ -337,6 +347,11 @@ async function init() {
     b.classList.toggle("hidden", orig);
     if (wasPlaying) to.play();
   };
+
+  // Seeking while paused must scrub all three plots too.
+  ["audio-original", "audio-processed"].forEach((id) => {
+    $(id).addEventListener("seeked", () => drawFileWindow($(id).currentTime));
+  });
 
   renderPresets();
   renderChain();

@@ -97,6 +97,43 @@ class PlotAnalyzer:
             ring[-n:] = chunk
         return ring
 
+    def analyze_file(self, original, processed, max_windows: int = 120,
+                     min_hop_s: float = 0.25):
+        """Windowed analysis of a whole file for playback scrubbing: the
+        reference recomputes spectrum + chroma in sync with the file
+        playhead browser-side (assets/02_custom.js:282-355); here the same
+        on-device STFT ships one window per ``hop_s`` with the
+        ``file_processed`` payload, and the UI indexes windows by playback
+        time.  Window w analyzes the FFT_SIZE samples ENDING at
+        (w+1)*hop — the trailing-window semantics of the live plots.
+
+        original, processed: (N,) mono float32.  Returns a JSON-ready dict
+        {hop_s, freqs, original: {spectrum_db (W, P), chroma (W, 12)},
+        processed: {...}}.
+        """
+        n = int(len(processed))
+        fs = self.fs
+        hop = max(1, int(max(min_hop_s, (n / fs) / max_windows) * fs))
+        n_win = max(1, -(-n // hop))
+        ends = np.minimum((np.arange(n_win) + 1) * hop, n)
+
+        out = {"hop_s": hop / fs, "freqs": self.plot_freqs}
+        for name, sig in (("original", original), ("processed", processed)):
+            sig = np.asarray(sig, np.float32).reshape(-1)
+            padded = np.concatenate([np.zeros(FFT_SIZE, np.float32), sig])
+            frames = padded[ends[:, None] + np.arange(FFT_SIZE)[None, :]]
+            specs, chromas = jax.vmap(
+                lambda t: _analyze(
+                    t, self.window, self.log_idx, self.pc_map, self.pc_weight,
+                    fs=fs,
+                )
+            )(jnp.asarray(frames))
+            out[name] = {
+                "spectrum_db": np.asarray(specs).round(2).tolist(),
+                "chroma": np.asarray(chromas).round(4).tolist(),
+            }
+        return out
+
     def update(self, in_chunk, out_chunk):
         """Push new samples, return JSON-ready analysis for both signals."""
         result = {"freqs": self.plot_freqs}

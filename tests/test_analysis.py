@@ -40,3 +40,31 @@ def test_rolling_ring_keeps_window():
     an.update(chunk * 2, chunk * 2)
     assert an.rings["input"][-1] == 2.0
     assert an.rings["input"][-1001] == 1.0
+
+
+def test_analyze_file_windows_track_content():
+    """File-scrub analysis: windows are time-local — a file whose first
+    half is a 440 Hz tone and second half is an 880 Hz tone must show the
+    spectral peak moving between the corresponding windows."""
+    fs = 48000
+    t = np.arange(fs) / fs
+    first = 0.4 * np.sin(2 * np.pi * 440 * t)
+    second = 0.4 * np.sin(2 * np.pi * 880 * t)
+    sig = np.concatenate([first, second]).astype(np.float32)
+
+    an = PlotAnalyzer(fs)
+    res = an.analyze_file(sig, sig, min_hop_s=0.25)
+    freqs = np.asarray(res["freqs"])
+    spec = np.asarray(res["original"]["spectrum_db"])
+    n_win = spec.shape[0]
+    assert n_win >= 6
+    assert res["hop_s"] * n_win >= 1.9  # windows cover the file
+
+    def peak_hz(w):
+        return freqs[np.argmax(spec[w])]
+
+    # early windows peak near 440 Hz, late ones near 880 Hz
+    assert abs(peak_hz(2) - 440) < 40, peak_hz(2)
+    assert abs(peak_hz(n_win - 1) - 880) < 80, peak_hz(n_win - 1)
+    # chroma rows are per-window too
+    assert np.asarray(res["processed"]["chroma"]).shape == (n_win, 12)

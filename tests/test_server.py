@@ -60,6 +60,11 @@ def test_ws_protocol_round_trip(tmp_path):
                 assert msg["sample_rate"] == fs
                 assert len(msg["original_samples"]) == fs
                 assert len(msg["processed_samples"]) == fs
+                # windowed scrub analysis ships with the file payload
+                an = msg["analysis"]
+                n_win = len(an["original"]["spectrum_db"])
+                assert n_win >= 3 and an["hop_s"] * n_win >= 0.9
+                assert len(an["processed"]["chroma"]) == n_win
                 audio, pfs = decode_wav(
                     base64.b64decode(msg["processed_b64"].split(",")[1]))
                 assert pfs == fs and audio.shape == (fs, 2)
