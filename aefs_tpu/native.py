@@ -181,3 +181,43 @@ class SpscRing:
             self._lib.ring_destroy(self._h)
         except Exception:
             pass
+
+
+class BlockQueue:
+    """``queue.Queue``-shaped facade over :class:`SpscRing` for the plot
+    taps: fixed-shape float32 blocks, drop-on-full (core.py:99-106
+    semantics), lock-free across the audio-producer / sender-consumer
+    thread pair.  Blocks of any other shape are dropped (raises
+    ``queue.Full`` like a full queue would) so ragged test blocks can't
+    corrupt the ring layout."""
+
+    def __init__(self, block_shape, capacity: int):
+        import math
+
+        self.block_shape = tuple(int(d) for d in block_shape)
+        self._ring = SpscRing(math.prod(self.block_shape), capacity)
+
+    def put_nowait(self, block):
+        import queue as _q
+
+        block = np.asarray(block, np.float32)
+        if block.shape != self.block_shape or not self._ring.push(block):
+            raise _q.Full
+
+    def get_nowait(self):
+        import queue as _q
+
+        out = self._ring.pop(1)
+        if not len(out):
+            raise _q.Empty
+        return out[0].reshape(self.block_shape)
+
+    def empty(self) -> bool:
+        return len(self._ring) == 0
+
+    def qsize(self) -> int:
+        return len(self._ring)
+
+    @property
+    def dropped(self) -> int:
+        return self._ring.dropped

@@ -130,10 +130,19 @@ async def handler(websocket):
 
     connected_client = websocket
     print("Connected to frontend client")
-    data_queues = {
-        "input": queue.Queue(maxsize=PLOT_QUEUE_BLOCKS),
-        "output": queue.Queue(maxsize=PLOT_QUEUE_BLOCKS),
-    }
+
+    def make_plot_queue():
+        """Lock-free native SPSC ring for the audio->sender plot handoff;
+        queue.Queue fallback when the C++ library can't build."""
+        try:
+            from aefs_tpu import native
+            from aefs_tpu.core.config import BLOCKSIZE, CHANNELS_OUT
+
+            return native.BlockQueue((BLOCKSIZE, CHANNELS_OUT), PLOT_QUEUE_BLOCKS)
+        except Exception:
+            return queue.Queue(maxsize=PLOT_QUEUE_BLOCKS)
+
+    data_queues = {"input": make_plot_queue(), "output": make_plot_queue()}
     audio_engine = AudioEngine(data_queues)
 
     analyzer = None
@@ -223,6 +232,11 @@ async def handler(websocket):
                         "engine": audio_engine.metrics.snapshot(),
                         "is_running": audio_engine.is_running,
                         "sample_rate": audio_engine.current_sample_rate,
+                        # drop counters from the native SPSC plot rings
+                        "plot_drops": {
+                            k: getattr(q, "dropped", 0)
+                            for k, q in data_queues.items()
+                        },
                     }))
             except json.JSONDecodeError:
                 print(f"Error: message is not valid JSON: {message}")

@@ -178,3 +178,76 @@ def test_mono_input_fanout():
          "params": {"filter_type": 0, "cutoff_hz": 2000, "q": 0.707}}, x)
     assert got.shape == (FRAMES, 2)
     assert np.allclose(got[:, 0], got[:, 1])
+
+
+def test_octaver_f32_floor_is_the_reference_kernel_floor():
+    """Formal bound for the blockwise octaver's -60 dBFS bar: the reference
+    kernel itself accumulates its grain phasor in float32
+    (pitch_shift_kernel_cubic is @njit(fastmath=True) over float32 state,
+    octaver.py:17-82, :77-80).  Simulating EXACTLY the reference
+    arithmetic with a float32 phasor against the float64 oracle measures
+    ~-46 dBFS on this signal — WORSE than our -60 dBFS bar, because the
+    TPU implementation's compensated split-float phasor (models/octaver.py)
+    rounds once per block instead of once per sample.  -60 dBFS is
+    therefore strictly below the reference kernel's own information floor,
+    not an artifact of the TPU port.  (The file-mode fast path escapes the
+    floor entirely for whole-octave ratios via the exact integer grid —
+    test_gridtaps.py holds it to -80 dBFS.)
+    """
+    params = {"semitones": -12, "mix": 1.0}
+    x = tones(FRAMES, fs=FS)
+
+    # Reference-style simulation: float32 phasor accumulation, float64 taps
+    # (isolates the phase path, which dominates the error).
+    class F32PhasorOctaver(OracleOctaver):
+        def process(self, xb):
+            size = self.size
+            ratio = np.float32(2.0) ** (np.float32(self.p["semitones"]) / np.float32(12.0))
+            step = (np.float32(1.0) - ratio) / np.float32(size)
+            mix = self.p["mix"]
+            mono = xb.mean(axis=1)
+            wet = np.zeros(len(xb))
+            ph = np.float32(self.phasor)
+            for i in range(len(xb)):
+                self.buf[self.w] = mono[i]
+                p1 = float(ph)
+                p2 = p1 + 0.5
+                if p2 >= 1.0:
+                    p2 -= 1.0
+                samples = []
+                for p in (p1, p2):
+                    raw = self.w - p * size + size
+                    fl = int(raw)
+                    frac = raw - fl
+                    taps = [self.buf[(fl + k) % size] for k in (-1, 0, 1, 2)]
+                    samples.append(_cubic_local(frac, *taps))
+                g1 = 0.5 * (1.0 - np.cos(2 * np.pi * p1))
+                g2 = 0.5 * (1.0 - np.cos(2 * np.pi * p2))
+                wet[i] = samples[0] * g1 + samples[1] * g2
+                self.w = (self.w + 1) % size
+                ph = np.float32(ph + step)  # the reference's f32 accumulate
+                if ph >= 1.0:
+                    ph = np.float32(ph - 1.0)
+                elif ph < 0.0:
+                    ph = np.float32(ph + 1.0)
+            self.phasor = float(ph)
+            return xb * (1.0 - mix) + wet[:, None] * mix
+
+    def _cubic_local(frac, y0, y1, y2, y3):
+        c0 = y1
+        c1 = 0.5 * (y2 - y0)
+        c2 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+        c3 = 0.5 * (y3 - y0) + 1.5 * (y1 - y2)
+        return ((c3 * frac + c2) * frac + c1) * frac + c0
+
+    ref64 = run_oracle_blocks(OracleOctaver(FS, **params), x.astype(np.float64), N)
+    ref32 = run_oracle_blocks(F32PhasorOctaver(FS, **params), x.astype(np.float64), N)
+    floor_db = err_dbfs(ref32, ref64)
+    # The reference's own arithmetic sits in the same band our bar allows.
+    assert -75 <= floor_db <= -40, floor_db
+
+    got = run_chain({"effect_id": "o", "type": "octaver", "params": params}, x)
+    ours_db = err_dbfs(got, ref64)
+    assert ours_db <= -60, ours_db
+    # and ours is strictly more accurate than the reference's own kernel
+    assert ours_db < floor_db, (ours_db, floor_db)

@@ -95,3 +95,44 @@ def test_ring_drop_on_full():
     assert not ring.push(b)  # full -> dropped, not blocked
     assert ring.dropped == 1
     assert len(ring) == 2
+
+
+def test_block_queue_feeds_engine_plot_taps():
+    """BlockQueue (SpscRing facade) as the engine's plot-tap channel: the
+    production wiring in server/backend.py (audio thread produces, sender
+    thread consumes, ragged blocks drop instead of corrupting the ring)."""
+    import queue
+
+    from aefs_tpu.core.config import BLOCKSIZE, CHANNELS_OUT
+    from aefs_tpu.engine.engine import AudioEngine
+
+    qs = {
+        "input": native.BlockQueue((BLOCKSIZE, CHANNELS_OUT), 8),
+        "output": native.BlockQueue((BLOCKSIZE, CHANNELS_OUT), 8),
+    }
+    eng = AudioEngine(qs)
+    eng.build_chain([])
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        eng.process_stream_block(
+            rng.standard_normal((BLOCKSIZE, 1)).astype(np.float32) * 0.2
+        )
+    assert qs["input"].qsize() == 3 and qs["output"].qsize() == 3
+    a = qs["input"].get_nowait()
+    b = qs["output"].get_nowait()
+    assert a.shape == (BLOCKSIZE, CHANNELS_OUT) == b.shape
+    # empty chain: output == fanned input
+    assert np.allclose(a, b)
+
+    # ragged block (different blocksize) drops cleanly
+    import pytest as _pytest
+    with _pytest.raises(queue.Full):
+        qs["input"].put_nowait(np.zeros((BLOCKSIZE // 2, CHANNELS_OUT), np.float32))
+
+    # overflow drops and counts
+    for _ in range(20):
+        try:
+            qs["output"].put_nowait(np.zeros((BLOCKSIZE, CHANNELS_OUT), np.float32))
+        except queue.Full:
+            pass
+    assert qs["output"].dropped > 0
