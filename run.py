@@ -14,7 +14,28 @@ import sys
 import time
 
 
+def check_and_install_dependencies():
+    """Auto-bootstrap optional audio deps (reference run.py:8-19 behavior):
+    mic capture needs sounddevice, which cloud/TPU images omit.  Failure is
+    fine — the backend degrades to file-only mode (engine.py:152-154
+    analogue).  Opt out with AEFS_NO_AUTO_DEPS=1."""
+    if os.environ.get("AEFS_NO_AUTO_DEPS") == "1":
+        return
+    try:
+        import sounddevice  # noqa: F401
+    except Exception:
+        print("sounddevice not found; attempting install (mic mode)...")
+        try:
+            subprocess.run(
+                [sys.executable, "-m", "pip", "install", "sounddevice"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            print("sounddevice unavailable — mic mode disabled, file mode works")
+
+
 def run_services(backend_port: int, ui_port: int):
+    check_and_install_dependencies()
     env = dict(os.environ, PORT=str(backend_port), BACKEND_PORT=str(backend_port))
     procs = {}
     try:
