@@ -163,3 +163,72 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
             await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_ws_file_reentrancy_guard(tmp_path):
+    """A second process_file while a job is active is ignored (engine
+    reentrancy guard over the wire, reference engine.py:68-72): exactly one
+    file_processed comes back for two back-to-back uploads."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**29)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**29) as client:
+                await client.send(json.dumps({"command": "build_chain", "config": []}))
+                fs = 48000
+                sig = (0.2 * np.sin(2 * np.pi * 330 * np.arange(fs) / fs)
+                       ).astype(np.float32)
+                wav = encode_wav_int16(sig[:, None], fs)
+                url = "data:audio/wav;base64," + base64.b64encode(wav).decode()
+                await client.send(json.dumps({"command": "process_file",
+                                              "contents": url}))
+                await client.send(json.dumps({"command": "process_file",
+                                              "contents": url}))
+
+                n_processed = 0
+                for _ in range(50):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 120))
+                    if msg["type"] == "file_processed":
+                        n_processed += 1
+                        break
+                assert n_processed == 1, "first upload must complete"
+                # a second response would arrive promptly if the guard failed
+                try:
+                    while True:
+                        msg = json.loads(await asyncio.wait_for(client.recv(), 4))
+                        assert msg["type"] != "file_processed", (
+                            "reentrancy guard failed: second job ran")
+                except asyncio.TimeoutError:
+                    pass
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_stereo_plot_serialization_fields():
+    """serialize_audio_data with STEREO_PLOTS: right-channel lists ride
+    along (reference wishlist todo:3)."""
+    import importlib
+
+    import aefs_tpu.server.backend as backend
+
+    old = backend.STEREO_PLOTS
+    backend.STEREO_PLOTS = True
+    try:
+        blocks = [np.stack([np.arange(4, dtype=np.float32),
+                            np.arange(4, dtype=np.float32) + 10], axis=1)]
+        payload = json.loads(backend.serialize_audio_data(
+            blocks, blocks, 48000, analysis=None, stereo_in=True))
+        assert payload["type"] == "plot_data"
+        assert payload["input"] == [0, 1, 2, 3]
+        assert payload["input_r"] == [10, 11, 12, 13]
+        assert payload["output_r"] == [10, 11, 12, 13]
+    finally:
+        backend.STEREO_PLOTS = old
