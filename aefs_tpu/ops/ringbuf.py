@@ -63,35 +63,36 @@ def rowring_push(ring, row, blk):
     return ring, jnp.mod(row + 1, ring.shape[0])
 
 
-def feedback_delay_block_rows(ring, row, x, d_samples, feedback, min_delay: int):
+def feedback_delay_block_rows(ring, row, x, d_samples, feedback, min_delay: int,
+                              n_iters: int | None = None):
     """``feedback_delay_block`` on a block-row ring: same math
     (delay_kernel, delay.py:7-22), O(blocksize) state maintenance.
 
     ring: (R, N) written values w; row: current slot; x: (N,).
+    n_iters: static fixed-point pass count override; defaults to the
+    worst case ceil(n / min_delay).  Callers that can prove d >= n for the
+    whole block (the common long-delay case) pass 1 — see
+    models/delay.py's scalar ``lax.cond`` dispatch.  (A dynamic-trip
+    while_loop was tried and is a trap: XLA's vmapped-while lowering
+    carries the whole ring through the loop state and spills to scratch.)
+
     Returns (y, new_ring) — the caller advances the shared row pointer.
     """
     n = x.shape[-1]
     n_idx = jnp.arange(n)
     base_hist = rowring_read(ring, row, d_samples, n)
-    x_shift = _shift_dyn(x, d_samples)
     in_hist = n_idx < d_samples
 
-    # Each iteration propagates correctness d samples, so ceil(n/d)
-    # iterations suffice — a *dynamic* count: for the common d >= n
-    # (delay longer than one block) a single pass runs, while the static
-    # worst case ceil(n/min_delay) only bounds the loop.
-    k_max = max(1, -(-n // max(1, min_delay)))
-    d_pos = jnp.maximum(d_samples, 1).astype(jnp.int32)
-    k_dyn = jnp.minimum(jnp.int32(k_max), (n + d_pos - 1) // d_pos)
-
-    def body(carry):
-        i, y = carry
-        y = jnp.where(in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples))
-        return i + 1, y
-
-    _, y = jax.lax.while_loop(
-        lambda c: c[0] < k_dyn, body, (jnp.int32(0), jnp.zeros_like(x))
-    )
+    k = n_iters or max(1, -(-n // max(1, min_delay)))
+    if k == 1:
+        y = jnp.where(in_hist, base_hist, 0.0)
+    else:
+        x_shift = _shift_dyn(x, d_samples)
+        y = jnp.zeros_like(x)
+        for _ in range(k):
+            y = jnp.where(
+                in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples)
+            )
 
     w = x + feedback * y
     return y, jax.lax.dynamic_update_slice(ring, w[None, :], (row, jnp.int32(0)))
