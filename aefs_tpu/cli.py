@@ -111,8 +111,13 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
     chunk = max(FILE_SUPERBLOCK,
                 int(every_s * fs) // FILE_SUPERBLOCK * FILE_SUPERBLOCK)
 
+    from aefs_tpu.core.fileopts import file_static_overrides
+
+    # File-mode statics (min_delay from the configured delay etc.) keep the
+    # blockwise solvers' static iteration counts small at superblock size.
     chain, state, tmap = build_chain(
-        chain_config, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2
+        chain_config, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2,
+        static_overrides=file_static_overrides(chain_config),
     )
     targets = chain.targets(tmap)
     done = 0
@@ -121,7 +126,8 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
     if resume and os.path.exists(progress_path):
         cfg2, tmap2, rebuild_state = load_session(ckpt_dir)
         chain, state, _ = build_chain(
-            cfg2, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2
+            cfg2, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2,
+            static_overrides=file_static_overrides(cfg2),
         )
         targets = chain.targets(tmap2)
         state = rebuild_state(chain.init_state())

@@ -77,30 +77,16 @@ class StereoDelay(EffectModel):
         d_samples = jnp.stack([to_samples(d_l_ms), to_samples(d_r_ms)])
         row = state["row"]
 
-        def solve(n_iters):
-            def f(lines, xx, ds):
-                return jax.vmap(
-                    lambda h, xi, d: feedback_delay_block_rows(
-                        h, row, xi, d, fb, self.min_delay, n_iters=n_iters
-                    )
-                )(lines, xx, ds)
-            return f
-
-        # Scalar branch on the smoothed delay: when both channels' delays
-        # exceed the block, one pass suffices (the overwhelmingly common
-        # case); the worst-case unroll runs only for sub-block delays.
-        # The predicate derives from the (unbatched) targets, so it stays
-        # a true lax.cond even under the multistream vmap.
-        k_max = max(1, -(-x.shape[-1] // max(1, self.min_delay)))
-        if k_max == 1:
-            wet, lines = solve(1)(state["lines"], x, d_samples)
-        else:
-            wet, lines = jax.lax.cond(
-                jnp.min(d_samples) >= x.shape[-1],
-                solve(1),
-                solve(None),
-                state["lines"], x, d_samples,
+        # No data-dependent branching here: the smoothed delay is per-stream
+        # state, so any lax.cond on it degrades to a both-branches select
+        # under the multistream vmap (measured: the "fast path" cond made
+        # batched steps strictly slower).  The worst-case unroll is cheap
+        # at mic blocksizes (k = 6 one-hot shifts).
+        wet, lines = jax.vmap(
+            lambda h, xi, d: feedback_delay_block_rows(
+                h, row, xi, d, fb, self.min_delay
             )
+        )(state["lines"], x, d_samples)
 
         y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
         new_row = jnp.mod(row + 1, lines.shape[1])

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
-from aefs_tpu.ops.ringbuf import comb_bank_block, allpass_block, delay_read, ring_push
+from aefs_tpu.ops.ringbuf import (
+    comb_bank_block,
+    comb_bank_block_static,
+    allpass_block,
+    delay_read,
+    ring_push,
+)
 
 
 class Reverb(EffectModel):
@@ -101,15 +107,27 @@ class Reverb(EffectModel):
             -3.0 * (all_lags.astype(jnp.float32) / fs) / jnp.maximum(1e-3, rt60),
         )
         xb = jnp.repeat(pre_out, b, axis=0)  # (2B, N) side-major
-        y, hists, lps = comb_bank_block(
-            state["combs"].reshape(2 * b, -1),
-            state["lps"].reshape(2 * b),
-            xb,
-            all_lags,
-            g_all,
-            damp,
-            self.comb_lmin,
-        )
+        static_lags = tuple(self.comb_lags[0] + self.comb_lags[1])
+        if x.shape[-1] <= self.comb_lmin:
+            # Mic-sized blocks: static windows + one T_h matmul, no scans.
+            y, hists, lps = comb_bank_block_static(
+                state["combs"].reshape(2 * b, -1),
+                state["lps"].reshape(2 * b),
+                xb,
+                static_lags,
+                g_all,
+                damp,
+            )
+        else:
+            y, hists, lps = comb_bank_block(
+                state["combs"].reshape(2 * b, -1),
+                state["lps"].reshape(2 * b),
+                xb,
+                all_lags,
+                g_all,
+                damp,
+                self.comb_lmin,
+            )
         comb_y = [y[:b], y[b:]]
         new_combs = [hists[:b], hists[b:]]
         new_lps = [lps[:b], lps[b:]]

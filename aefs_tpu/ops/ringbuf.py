@@ -25,6 +25,45 @@ def ring_push(hist, new):
     return jnp.concatenate([hist, new], axis=-1)[..., -size:]
 
 
+def lane_dynamic_slice(v, start, n: int):
+    """out[..., j] = v[..., start + j] for a traced ``start`` — a dynamic
+    minor(lane)-dimension slice evaluated as a one-hot contraction on the
+    MXU.  XLA lowers dynamic lane-dim slices to a sequential per-row loop
+    (measured ~0.33 ms per op on (128, 512) blocks — the dominant cost of
+    the round-2 streaming profile); the one-hot matmul is ~10 us and
+    EXACT (one-hot rows select single f32 values; HIGHEST precision).
+
+    Only sensible for small trailing dims (the selection matrix is
+    (M, n)); callers gate on size and fall back to lax.dynamic_slice.
+    """
+    m = v.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    sel = (i == j + start).astype(v.dtype)
+    return jax.lax.dot_general(
+        v, sel, (((v.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+_LANE_MM_MAX = 1024  # largest blocksize routed through the one-hot shift
+
+
+def chrono_window(ext, start, n: int):
+    """ext[start : start + n] with a traced ``start`` (1-D ext): pad to
+    n-sample rows, take two rows with a cheap major-dim dynamic slice,
+    then align with the one-hot lane shift.  The direct lane-dim
+    dynamic_slice loops sequentially on TPU (see lane_dynamic_slice)."""
+    e = ext.shape[-1]
+    rows = -(-e // n) + 1
+    ext_p = jnp.pad(ext, (0, rows * n - e))
+    mat = ext_p.reshape(rows, n)
+    r0 = start // n
+    o = start % n
+    pair = jax.lax.dynamic_slice(mat, (r0, jnp.int32(0)), (2, n)).reshape(2 * n)
+    return lane_dynamic_slice(pair, o, n)
+
+
 def rowring_rows(size: int, blocksize: int) -> int:
     """Row count for a block-row ring covering reads up to ``size`` back."""
     return -(-size // blocksize) + 1
@@ -52,8 +91,10 @@ def rowring_read(ring, row, d, n: int):
     row1 = jnp.mod(row0 + 1, r)
     ra = jax.lax.dynamic_slice(ring, (row0, jnp.int32(0)), (1, n))
     rb = jax.lax.dynamic_slice(ring, (row1, jnp.int32(0)), (1, n))
-    pair = jnp.concatenate([ra, rb], axis=1)
-    return jax.lax.dynamic_slice(pair, (jnp.int32(0), o), (1, n))[0]
+    pair = jnp.concatenate([ra, rb], axis=1)[0]
+    if n <= _LANE_MM_MAX:
+        return lane_dynamic_slice(pair, o, n)
+    return jax.lax.dynamic_slice(pair[None], (jnp.int32(0), o), (1, n))[0]
 
 
 def rowring_push(ring, row, blk):
@@ -84,27 +125,44 @@ def feedback_delay_block_rows(ring, row, x, d_samples, feedback, min_delay: int,
     in_hist = n_idx < d_samples
 
     k = n_iters or max(1, -(-n // max(1, min_delay)))
-    if k == 1:
-        y = jnp.where(in_hist, base_hist, 0.0)
-    else:
-        x_shift = _shift_dyn(x, d_samples)
-        y = jnp.zeros_like(x)
-        for _ in range(k):
-            y = jnp.where(
-                in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples)
-            )
-
+    y = _feedback_solve(x, base_hist, in_hist, d_samples, feedback, k)
     w = x + feedback * y
     return y, jax.lax.dynamic_update_slice(ring, w[None, :], (row, jnp.int32(0)))
+
+
+def _feedback_solve(x, base_hist, in_hist, d, feedback, k: int):
+    """Solve y[n] = (base_hist[n] if n < d else x[n-d] + fb*y[n-d]) by
+    geometric DOUBLING of the affine fixed point: with zero-filling shifts
+    S_m, y = sum_j fb^j S_{j*d} c for c = where(n < d, base_hist, x[n-d]),
+    and the partial sum doubles via P_{2m} = P_m + fb^m S_{m*d} P_m —
+    ceil(log2(k)) dynamic shifts instead of k (k can reach ~90 at
+    superblock sizes, which as a plain unroll also explodes XLA compile
+    time)."""
+    n = x.shape[-1]
+    if k <= 1:
+        return jnp.where(in_hist, base_hist, 0.0)
+    c = jnp.where(in_hist, base_hist, _shift_dyn(x, d))
+    y = c
+    m = 1
+    amp = feedback
+    while m < k:
+        shift = jnp.minimum(m * d, n)  # clamp: shifts past the block are 0
+        y = y + amp * _shift_dyn(y, shift)
+        amp = amp * amp
+        m *= 2
+    return y
 
 
 def _shift_dyn(y, d):
     """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar).
 
-    A contiguous dynamic_slice of the zero-padded signal — never a gather
-    (TPU gathers cost ~10-100x a sliced copy)."""
+    Small blocks route through the one-hot lane shift (dynamic minor-dim
+    slices loop sequentially on TPU); long signals use a contiguous
+    dynamic_slice of the zero-padded signal — never a gather."""
     n = y.shape[-1]
     padded = jnp.concatenate([jnp.zeros_like(y), y], axis=-1)
+    if n <= _LANE_MM_MAX:
+        return lane_dynamic_slice(padded, n - d, n)
     return jax.lax.dynamic_slice_in_dim(padded, n - d, n, axis=-1)
 
 
@@ -121,6 +179,8 @@ def delay_read(hist, x, d_samples):
     s = hist.shape[-1]
     n = x.shape[-1]
     ext = jnp.concatenate([hist, x], axis=-1)
+    if n <= _LANE_MM_MAX and ext.ndim == 1:
+        return chrono_window(ext, s - d_samples, n)
     return jax.lax.dynamic_slice_in_dim(ext, s - d_samples, n, axis=-1)
 
 
@@ -144,14 +204,10 @@ def feedback_delay_block(hist, x, d_samples, feedback, min_delay: int):
     # Reads that land in the history region (n < d): one dynamic_slice.
     ext = jnp.concatenate([hist, jnp.zeros((n,), hist.dtype)], axis=-1)
     base_hist = jax.lax.dynamic_slice_in_dim(ext, s - d_samples, n, axis=-1)
-    x_shift = _shift_dyn(x, d_samples)
     in_hist = n_idx < d_samples
 
     k = max(1, -(-n // max(1, min_delay)))
-    y = jnp.zeros_like(x)
-    for _ in range(k):
-        y = jnp.where(in_hist, base_hist, x_shift + feedback * _shift_dyn(y, d_samples))
-
+    y = _feedback_solve(x, base_hist, in_hist, d_samples, feedback, k)
     w = x + feedback * y
     return y, ring_push(hist, w)
 
@@ -239,6 +295,43 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
 
     w = xb + g_col * damped
+    new_hists = jnp.concatenate([hists, w], axis=-1)[:, -lmax:]
+    return y, new_hists, damped[:, -1]
+
+
+def comb_bank_block_static(hists, lps, x, lags, g, h):
+    """Streaming comb bank for blocks no longer than the shortest lag
+    (always true at mic blocksizes — min comb lag ~29.4 ms vs 5.3 ms
+    blocks): every lag-L read predates the block, so the outputs are
+    STATIC per-comb history windows (lags are compile-time topology,
+    reverb.py:158-177), and the damping recurrence — constant-coefficient
+    within a block — collapses to one T_h Toeplitz matmul (MXU), the same
+    closed form as the file path's chunk solve.  No dynamic slices, no
+    scans: the profiled streaming step spent ~2 ms in their sequential
+    TPU lowerings.
+
+    hists: (B, Lmax); lps: (B,); x: (N,) shared or (B, N) per-comb input;
+    lags: static ints (B,); g: (B,) traced; h: traced scalar.
+    Returns (y, new_hists, new_lps) like ``comb_bank_block``.
+    """
+    b, lmax = hists.shape
+    n = x.shape[-1]
+    lags = tuple(int(l) for l in lags)
+    assert n <= min(lags), (n, lags)
+    xb = jnp.broadcast_to(x, (b, n)) if x.ndim == 1 else x
+
+    y = jnp.stack([hists[c, lmax - lag : lmax - lag + n] for c, lag in enumerate(lags)])
+
+    dt = xb.dtype
+    j_i = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
+    t_h = jnp.where(j_i >= 0, jnp.power(h, jnp.maximum(j_i, 0).astype(dt)), 0.0)
+    hpow = jnp.power(h, jnp.arange(1, n + 1, dtype=dt))
+    damped = (
+        jnp.einsum("ji,bi->bj", t_h, (1.0 - h) * y,
+                   precision=jax.lax.Precision.HIGHEST)
+        + lps[:, None] * hpow[None, :]
+    )
+    w = xb + g[:, None] * damped
     new_hists = jnp.concatenate([hists, w], axis=-1)[:, -lmax:]
     return y, new_hists, damped[:, -1]
 

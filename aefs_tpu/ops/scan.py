@@ -129,6 +129,31 @@ def toeplitz_lower(h, c: int):
     return b[:, 1 : c + 1][:, ::-1]
 
 
+def ar2_impulse(a1, a2, length: int):
+    """h[0..length-1] of the AR(2) recurrence h[n] = -a1 h[n-1] - a2 h[n-2]
+    (h[0] = 1) via log-doubling — no sequential scan (small associative
+    scans lower to sequential loops on the TPU backend): given h[0..K-1]
+    and the companion power A^K = [[p, q], [r, s]],
+    h[K + j] = p*h[j] + q*h[j-1]."""
+    dt = jnp.result_type(a1, jnp.float32)
+    a1 = jnp.asarray(a1, dt)
+    a2 = jnp.asarray(a2, dt)
+    if length == 1:
+        return jnp.ones((1,), dt)
+    h = jnp.stack([jnp.ones((), dt), -a1])
+    # A^2 for A = [[-a1, -a2], [1, 0]]
+    p, q, r, s = a1 * a1 - a2, a1 * a2, -a1, -a2
+    k = 2
+    while k < length:
+        hm1 = jnp.concatenate([jnp.zeros((1,), dt), h[:-1]])
+        h = jnp.concatenate([h, p * h + q * hm1])
+        p, q, r, s = (
+            p * p + q * r, p * q + q * s, r * p + s * r, r * q + s * s,
+        )
+        k *= 2
+    return h[:length]
+
+
 def linrec2_file(v, a1, a2, y1, y2, chunk: int = 256):
     """Constant-coefficient second-order recurrence over a whole signal:
     y[n] = v[n] - a1*y[n-1] - a2*y[n-2], solved in chunks (file-mode fast
@@ -151,9 +176,8 @@ def linrec2_file(v, a1, a2, y1, y2, chunk: int = 256):
     dt = v.dtype
     vp = jnp.pad(v, (0, m * c - n)).reshape(m, c)
 
-    # Impulse response h[0..c] of the AR part (tiny companion scan).
-    imp = jnp.zeros((c + 1,), dt).at[0].set(1.0)
-    h = linrec2(imp, a1, a2, jnp.asarray(0.0, dt), jnp.asarray(0.0, dt))
+    # Impulse response h[0..c] of the AR part (log-doubling, scan-free).
+    h = jnp.asarray(ar2_impulse(a1, a2, c + 1), dt)
 
     t_mat = toeplitz_lower(h, c)
     y_local = jnp.einsum(
@@ -244,8 +268,11 @@ def biquad_block(x, b0, b1, b2, a1, a2, state):
 
     if n >= 1024:
         # Long signals (file mode / superblocks): chunked Toeplitz solve —
-        # ~2 passes over the signal + one MXU matmul instead of the
-        # associative scan's ~40 passes.
+        # one MXU matmul per 256-chunk versus the associative scan's ~40
+        # memory passes.  Streaming blocks keep the associative scan: the
+        # matmul form loses ~12 dB under per-block coefficient glides
+        # (boundary-state handoff cancellation at high Q), and profiling
+        # shows the scan is NOT a hot spot at mic blocksizes.
         y = jax.vmap(lambda vv, i1, i2: linrec2_file(vv, a1, a2, i1, i2))(
             v, y1, y2
         )

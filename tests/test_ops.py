@@ -288,3 +288,55 @@ def test_feedback_delay_rowring_matches_chronological():
         y_row, ring = feedback_delay_block_rows(ring, row, x, d, fb, 48)
         row = jnp.mod(row + 1, r)
         assert np.max(np.abs(np.asarray(y_ref) - np.asarray(y_row))) < 1e-6, i
+
+
+def test_lane_dynamic_slice_and_chrono_window():
+    from aefs_tpu.ops.ringbuf import lane_dynamic_slice, chrono_window
+
+    v = RNG.standard_normal(512).astype(np.float32)
+    for start in (0, 1, 100, 256):
+        got = np.asarray(lane_dynamic_slice(jnp.asarray(v), jnp.int32(start), 256))
+        assert np.array_equal(got, v[start : start + 256]), start
+    # batched leading dims
+    vb = RNG.standard_normal((3, 512)).astype(np.float32)
+    got = np.asarray(lane_dynamic_slice(jnp.asarray(vb), jnp.int32(77), 256))
+    assert np.array_equal(got, vb[:, 77:333])
+
+    e = RNG.standard_normal(1000).astype(np.float32)
+    for start in (0, 3, 700, 744):
+        got = np.asarray(chrono_window(jnp.asarray(e), jnp.int32(start), 256))
+        assert np.array_equal(got, e[start : start + 256]), start
+
+
+def test_ar2_impulse_matches_recurrence():
+    from aefs_tpu.ops.scan import ar2_impulse
+
+    a1, a2 = -1.2, 0.8
+    h = np.asarray(ar2_impulse(a1, a2, 300))
+    ref = np.zeros(300)
+    ref[0] = 1.0
+    ref[1] = -a1
+    for i in range(2, 300):
+        ref[i] = -a1 * ref[i - 1] - a2 * ref[i - 2]
+    assert np.max(np.abs(h - ref)) < 2e-4
+
+
+def test_comb_bank_block_static_matches_dynamic():
+    from aefs_tpu.ops.ringbuf import comb_bank_block_static
+
+    lags = (300, 350, 400, 410)
+    lmax = max(lags)
+    n = 256
+    g = jnp.asarray([0.8, 0.78, 0.76, 0.75], jnp.float32)
+    h = 0.3
+    hists_a = jnp.asarray(RNG.standard_normal((4, lmax)).astype(np.float32) * 0.2)
+    hists_b = hists_a
+    lps_a = jnp.asarray([0.1, -0.2, 0.05, 0.0], jnp.float32)
+    lps_b = lps_a
+    for i in range(4):
+        x = jnp.asarray(RNG.standard_normal((n,)).astype(np.float32) * 0.3)
+        ya, hists_a, lps_a = comb_bank_block(
+            hists_a, lps_a, x, jnp.asarray(lags, jnp.int32), g, h, min(lags))
+        yb, hists_b, lps_b = comb_bank_block_static(hists_b, lps_b, x, lags, g, h)
+        assert np.max(np.abs(np.asarray(ya) - np.asarray(yb))) < 1e-5, i
+        assert np.max(np.abs(np.asarray(hists_a) - np.asarray(hists_b))) < 1e-4, i
