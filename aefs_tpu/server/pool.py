@@ -1,0 +1,305 @@
+"""Multi-session pool server: many clients, ONE batched TPU dispatch.
+
+The reference serves exactly one client per backend process
+(backend.py:73-75; the cloud deployment spins one service per user,
+render.yaml).  On TPU the economics invert: a single chip sustains
+150+ concurrent realtime chains (PERF.md density sweep), so this server
+multiplexes many WebSocket sessions onto one vmapped chain step:
+
+- the pool shares one chain TOPOLOGY (a preset or JSON config fixed at
+  server start — vmap requires a common program);
+- every session owns a SLOT: its own audio state and its own smoothed
+  parameter targets (the targets pytree carries a leading slot axis and
+  the step vmaps over it, so per-session ``update_param`` works exactly
+  like the single-session engine);
+- clients stream mono blocks; pending blocks are batched per dispatch
+  (idle slots process silence, which keeps their reverb/delay tails
+  alive between submissions — live-session semantics).
+
+Protocol (additive; one connection per session):
+
+    -> {"command": "stream_block", "audio": [N floats]}
+    <- {"type": "processed_block", "seq": k, "output": [...],
+        "output_r": [...]}
+    -> {"command": "update_param", "effect_id": id, "param": p, "value": v}
+    -> {"command": "get_pool_stats"}
+    <- {"type": "pool_stats", "slots": S, "active": a, "blocksize": N,
+        "step_ms": t, "chain": [...]}
+
+Run: ``python -m aefs_tpu.server.pool --preset "Rain Delay" --slots 16``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import gc
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+from aefs_tpu.core.config import (
+    BLOCKSIZE,
+    CHANNELS_IN,
+    CHANNELS_OUT,
+    DEFAULT_PRESETS,
+    SAMPLE_RATE,
+    WS_MAX_MESSAGE,
+)
+from aefs_tpu.core.chain import build_chain
+
+try:
+    import websockets as ws
+except ImportError:  # pragma: no cover - baked into the image
+    ws = None
+
+
+class SessionPool:
+    """Batched multi-session runtime: slot allocation, per-slot targets,
+    one jitted vmapped step shared by every session."""
+
+    def __init__(self, chain_config, n_slots: int = 16, fs: int = SAMPLE_RATE,
+                 blocksize: int = BLOCKSIZE):
+        import jax
+        import jax.numpy as jnp
+
+        self.n_slots = int(n_slots)
+        self.fs = int(fs)
+        self.blocksize = int(blocksize)
+        self.chain_config = chain_config
+        self.chain, single_state, self._tmap0 = build_chain(
+            chain_config, fs, blocksize,
+            channels_in=CHANNELS_IN, channels_out=CHANNELS_OUT,
+        )
+        self._fresh_single = single_state
+        self.state = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(
+                leaf[None], (self.n_slots,) + leaf.shape
+            ).copy(),
+            single_state,
+        )
+        # Per-slot parameter targets: host-side maps + a batched pytree.
+        self._targets_maps = [dict_copy(self._tmap0) for _ in range(self.n_slots)]
+        self.targets = self._stack_targets()
+
+        self._step = jax.jit(
+            lambda st, tg, x: jax.vmap(
+                self.chain.process_block, in_axes=(0, 0, 0)
+            )(st, tg, x),
+            donate_argnums=(0,),
+        )
+        self._lock = threading.Lock()
+        self._free = list(range(self.n_slots))
+        self.last_step_ms = 0.0
+        # Warm up off the serving path.
+        x = jnp.zeros((self.n_slots, CHANNELS_IN, self.blocksize), jnp.float32)
+        self.state, _ = self._step(self.state, self.targets, x)
+        jax.block_until_ready(jax.tree.leaves(self.state)[0])
+
+    def _stack_targets(self):
+        import jax.numpy as jnp
+
+        per_slot = [self.chain.targets(m) for m in self._targets_maps]
+        out = []
+        for i in range(len(self.chain.effects)):
+            out.append({
+                name: jnp.stack([ps[i][name] for ps in per_slot])
+                for name in per_slot[0][i]
+            })
+        return tuple(out)
+
+    # -- slots ------------------------------------------------------------
+    def claim(self):
+        with self._lock:
+            if not self._free:
+                return None
+            return self._free.pop(0)
+
+    def release(self, slot: int):
+        """Reset the slot to fresh state + default targets and return it
+        to the pool."""
+        import jax
+
+        with self._lock:
+            fresh = self._fresh_single
+            self.state = jax.tree.map(
+                lambda batched, single: batched.at[slot].set(single),
+                self.state, fresh,
+            )
+            self._targets_maps[slot] = dict_copy(self._tmap0)
+            self.targets = self._stack_targets()
+            self._free.append(slot)
+
+    def update_param(self, slot: int, effect_id: str, param: str, value):
+        models = dict(self.chain.effects)
+        if effect_id not in models:
+            return f"Error: effect ID '{effect_id}' not found"
+        if param not in models[effect_id].PARAMS:
+            return (f"Warning: parameter '{param}' in effect "
+                    f"'{effect_id}' could not be updated")
+        with self._lock:
+            self._targets_maps[slot].setdefault(effect_id, {})[param] = float(value)
+            spec = models[effect_id].PARAMS[param]
+            clamped = spec.clamp(float(value))
+            eff_index = [eid for eid, _ in self.chain.effects].index(effect_id)
+            self.targets = tuple(
+                (
+                    {**t, param: t[param].at[slot].set(clamped)}
+                    if i == eff_index else t
+                )
+                for i, t in enumerate(self.targets)
+            )
+        return None
+
+    # -- batched step ------------------------------------------------------
+    def step_blocks(self, blocks: dict[int, np.ndarray]):
+        """Run one batched dispatch: ``blocks`` maps slot -> (N,) mono
+        float32; idle slots process silence.  Returns {slot: (N, co)}."""
+        import jax.numpy as jnp
+
+        x = np.zeros((self.n_slots, CHANNELS_IN, self.blocksize), np.float32)
+        for slot, audio in blocks.items():
+            x[slot, 0, : len(audio)] = audio[: self.blocksize]
+        # The lock spans the whole dispatch: the step donates self.state,
+        # so slot resets / target updates must never interleave with it.
+        with self._lock:
+            t0 = time.time()
+            self.state, y = self._step(self.state, self.targets, jnp.asarray(x))
+            out = np.asarray(y)  # sync + readback
+            self.last_step_ms = (time.time() - t0) * 1000.0
+        return {slot: out[slot].T for slot in blocks}
+
+
+def dict_copy(m):
+    return {k: dict(v) for k, v in m.items()}
+
+
+class PoolServer:
+    def __init__(self, pool: SessionPool):
+        self.pool = pool
+        self._pending = {}  # slot -> (audio, future, seq)
+        self._cv = asyncio.Condition()
+        self._seqs = {}
+
+    async def batcher(self):
+        """Collect submissions arriving close together into one dispatch."""
+        loop = asyncio.get_running_loop()
+        while True:
+            async with self._cv:
+                while not self._pending:
+                    await self._cv.wait()
+            await asyncio.sleep(0.002)  # aggregation window (< block cadence)
+            async with self._cv:
+                batch, self._pending = self._pending, {}
+            if not batch:
+                continue
+            blocks = {slot: audio for slot, (audio, _f) in batch.items()}
+            outs = await loop.run_in_executor(None, self.pool.step_blocks, blocks)
+            for slot, (_a, fut) in batch.items():
+                if not fut.done():
+                    fut.set_result(outs[slot])
+
+    async def submit(self, slot: int, audio: np.ndarray):
+        fut = asyncio.get_running_loop().create_future()
+        async with self._cv:
+            # one in-flight block per session: a second submission before
+            # the first resolves replaces it (drop-late, realtime rules)
+            self._pending[slot] = (audio, fut)
+            self._cv.notify()
+        return await fut
+
+    async def handler(self, websocket):
+        from aefs_tpu import native
+
+        slot = self.pool.claim()
+        if slot is None:
+            await websocket.send(json.dumps(
+                {"type": "error", "error": "pool full"}))
+            return
+        self._seqs[slot] = 0
+        print(f"Session joined: slot {slot}")
+        try:
+            await websocket.send(json.dumps({
+                "type": "session_ready", "slot": slot,
+                "blocksize": self.pool.blocksize,
+                "sample_rate": self.pool.fs,
+                "chain": self.pool.chain_config,
+            }))
+            async for message in websocket:
+                try:
+                    cmd = json.loads(message)
+                    command = cmd.get("command")
+                    if command == "stream_block":
+                        audio = np.asarray(cmd.get("audio", []), np.float32)
+                        out = await self.submit(slot, audio)
+                        seq = self._seqs[slot] = self._seqs[slot] + 1
+                        head = json.dumps({"type": "processed_block", "seq": seq})
+                        await websocket.send(
+                            head[:-1]
+                            + ',"output":' + native.json_f32_array(out[:, 0])
+                            + ',"output_r":' + native.json_f32_array(out[:, 1])
+                            + "}"
+                        )
+                    elif command == "update_param":
+                        err = self.pool.update_param(
+                            slot, cmd.get("effect_id"), cmd.get("param"),
+                            cmd.get("value"),
+                        )
+                        if err:
+                            print(err)
+                    elif command == "get_pool_stats":
+                        await websocket.send(json.dumps({
+                            "type": "pool_stats",
+                            "slots": self.pool.n_slots,
+                            "active": self.pool.n_slots - len(self.pool._free),
+                            "blocksize": self.pool.blocksize,
+                            "step_ms": round(self.pool.last_step_ms, 3),
+                            "chain": self.pool.chain_config,
+                        }))
+                except json.JSONDecodeError:
+                    print(f"Error: message is not valid JSON: {message!r}")
+                except Exception as e:
+                    print(f"Error processing pool command: {e}")
+        finally:
+            self.pool.release(slot)
+            self._seqs.pop(slot, None)
+            print(f"Session left: slot {slot}")
+
+
+async def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="Rain Delay")
+    ap.add_argument("--config", help="JSON chain-config file (overrides --preset)")
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--port", type=int, default=int(os.environ.get("POOL_PORT", 8766)))
+    args = ap.parse_args(argv)
+
+    if args.config:
+        with open(args.config) as f:
+            chain_config = json.load(f)
+    else:
+        chain_config = DEFAULT_PRESETS[args.preset]
+
+    gc.disable()
+    from aefs_tpu.utils.platform import select_platform
+
+    backend = select_platform()
+    pool = SessionPool(chain_config, n_slots=args.slots)
+    server = PoolServer(pool)
+    print(f"Pool server: {args.slots} slots on port {args.port} "
+          f"(jax backend: {backend})")
+    asyncio.create_task(server.batcher())
+    async with ws.serve(server.handler, "0.0.0.0", args.port,
+                        max_size=WS_MAX_MESSAGE):
+        await asyncio.Future()
+
+
+if __name__ == "__main__":
+    try:
+        asyncio.run(main())
+    except KeyboardInterrupt:
+        print("\nClosing pool server")
+        gc.enable()

@@ -1,0 +1,96 @@
+"""Multi-session pool server: many clients, one batched TPU dispatch.
+
+Two concurrent sessions stream blocks through a shared-topology pool with
+PER-SESSION parameters; their outputs must reflect their own params, and
+a released slot must come back fresh for the next claimant.
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+
+CFG = [{"effect_id": "f", "type": "filter",
+        "params": {"filter_type": 0, "cutoff_hz": 8000, "q": 0.707}}]
+
+
+def _tone(n, f, fs=48000, amp=0.3):
+    return (amp * np.sin(2 * np.pi * f * np.arange(n) / fs)).astype(np.float32)
+
+
+def test_pool_two_sessions_per_session_params(tmp_path):
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server.pool import PoolServer, SessionPool
+
+        pool = SessionPool(CFG, n_slots=2)
+        srv = PoolServer(pool)
+        server = await ws.serve(srv.handler, "127.0.0.1", 0, max_size=2**26)
+        port = server.sockets[0].getsockname()[1]
+        batcher = asyncio.create_task(srv.batcher())
+
+        async def rms_of_stream(client, n_blocks=40):
+            vals = []
+            for _ in range(n_blocks):
+                await client.send(json.dumps({
+                    "command": "stream_block",
+                    "audio": _tone(pool.blocksize, 6000).tolist()}))
+                msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                assert msg["type"] == "processed_block"
+                vals.append(np.sqrt(np.mean(np.square(msg["output"]))))
+            return float(np.mean(vals[n_blocks // 2:]))  # settled half
+
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**26) as a, \
+                    ws.connect(f"ws://127.0.0.1:{port}", max_size=2**26) as b:
+                ra = json.loads(await a.recv())
+                rb = json.loads(await b.recv())
+                assert {ra["slot"], rb["slot"]} == {0, 1}
+                assert ra["chain"] == CFG
+
+                # session B turns its cutoff far below the 6 kHz tone;
+                # session A keeps the open 8 kHz default.
+                await b.send(json.dumps({
+                    "command": "update_param", "effect_id": "f",
+                    "param": "cutoff_hz", "value": 300}))
+                # cutoff glides multiplicatively ~10%/block: give it blocks
+                # to converge, interleaving both sessions concurrently
+                rms_a, rms_b = await asyncio.gather(
+                    rms_of_stream(a), rms_of_stream(b))
+                assert rms_a > 0.1, rms_a          # open filter passes the tone
+                assert rms_b < rms_a / 4, (rms_a, rms_b)  # B's lowpass bites
+
+                # pool full: a third session is refused
+                async with ws.connect(f"ws://127.0.0.1:{port}") as c:
+                    msg = json.loads(await asyncio.wait_for(c.recv(), 30))
+                    assert msg["type"] == "error" and "full" in msg["error"]
+
+                # stats
+                await a.send(json.dumps({"command": "get_pool_stats"}))
+                msg = json.loads(await asyncio.wait_for(a.recv(), 30))
+                assert msg["type"] == "pool_stats"
+                assert msg["slots"] == 2 and msg["active"] == 2
+
+            # both sessions gone: slots return, and a new claimant gets
+            # FRESH state/targets (B's 300 Hz cutoff must not leak)
+            await asyncio.sleep(0.2)
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**26) as c:
+                json.loads(await c.recv())
+                rms_c_first = None
+                for _ in range(6):
+                    await c.send(json.dumps({
+                        "command": "stream_block",
+                        "audio": _tone(pool.blocksize, 6000).tolist()}))
+                    msg = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    rms_c_first = np.sqrt(np.mean(np.square(msg["output"])))
+                assert rms_c_first > 0.1, rms_c_first
+        finally:
+            batcher.cancel()
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
