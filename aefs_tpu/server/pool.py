@@ -62,7 +62,11 @@ class SessionPool:
     one jitted vmapped step shared by every session."""
 
     def __init__(self, chain_config, n_slots: int = 16, fs: int = SAMPLE_RATE,
-                 blocksize: int = BLOCKSIZE):
+                 blocksize: int = BLOCKSIZE, shard: bool = False):
+        """shard=True distributes the slot axis over every available
+        device (GSPMD data-parallel serving: a pool of 4 chips hosts 4x
+        the sessions of one; parallel/mesh.py's scaling axis applied to
+        the product surface).  n_slots must divide the device count."""
         import jax
         import jax.numpy as jnp
 
@@ -81,6 +85,23 @@ class SessionPool:
             ).copy(),
             single_state,
         )
+        self._sharding = None
+        if shard and len(jax.devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
+            if self.n_slots % mesh.shape["data"]:
+                raise ValueError(
+                    f"n_slots={n_slots} must divide over "
+                    f"{mesh.shape['data']} devices"
+                )
+            self._sharding = lambda leaf: NamedSharding(
+                mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))
+            )
+            self.state = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, self._sharding(leaf)),
+                self.state,
+            )
         # Per-slot parameter targets: host-side maps + a batched pytree.
         self._targets_maps = [dict_copy(self._tmap0) for _ in range(self.n_slots)]
         self.targets = self._stack_targets()
@@ -95,9 +116,19 @@ class SessionPool:
         self._free = list(range(self.n_slots))
         self.last_step_ms = 0.0
         # Warm up off the serving path.
-        x = jnp.zeros((self.n_slots, CHANNELS_IN, self.blocksize), jnp.float32)
+        x = self._put(np.zeros((self.n_slots, CHANNELS_IN, self.blocksize),
+                               np.float32))
         self.state, _ = self._step(self.state, self.targets, x)
         jax.block_until_ready(jax.tree.leaves(self.state)[0])
+
+    def _put(self, x):
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        if self._sharding is not None:
+            return jax.device_put(x, self._sharding(x))
+        return x
 
     def _stack_targets(self):
         import jax.numpy as jnp
@@ -167,7 +198,7 @@ class SessionPool:
         # so slot resets / target updates must never interleave with it.
         with self._lock:
             t0 = time.time()
-            self.state, y = self._step(self.state, self.targets, jnp.asarray(x))
+            self.state, y = self._step(self.state, self.targets, self._put(x))
             out = np.asarray(y)  # sync + readback
             self.last_step_ms = (time.time() - t0) * 1000.0
         return {slot: out[slot].T for slot in blocks}
@@ -274,6 +305,8 @@ async def main(argv=None):
     ap.add_argument("--preset", default="Rain Delay")
     ap.add_argument("--config", help="JSON chain-config file (overrides --preset)")
     ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--shard", action="store_true",
+                    help="distribute slots over all devices (multi-chip pool)")
     ap.add_argument("--port", type=int, default=int(os.environ.get("POOL_PORT", 8766)))
     args = ap.parse_args(argv)
 
@@ -287,7 +320,7 @@ async def main(argv=None):
     from aefs_tpu.utils.platform import select_platform
 
     backend = select_platform()
-    pool = SessionPool(chain_config, n_slots=args.slots)
+    pool = SessionPool(chain_config, n_slots=args.slots, shard=args.shard)
     server = PoolServer(pool)
     print(f"Pool server: {args.slots} slots on port {args.port} "
           f"(jax backend: {backend})")

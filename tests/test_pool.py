@@ -94,3 +94,38 @@ def test_pool_two_sessions_per_session_params(tmp_path):
             await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_pool_sharded_matches_unsharded():
+    """shard=True distributes the slot axis over the (virtual 8-device)
+    mesh; outputs must match the single-device pool bit-for-bit-ish,
+    including per-slot divergent parameters."""
+    from aefs_tpu.server.pool import SessionPool
+
+    cfg = [
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 4000, "q": 0.8}},
+        {"effect_id": "r", "type": "reverb",
+         "params": {"rt60_s": 1.5, "damp": 0.1, "pre_delay_ms": 5,
+                    "mix_dry": 0.7, "mix_wet": 0.5}},
+    ]
+    import jax
+    assert len(jax.devices()) >= 8  # conftest virtual mesh
+
+    pa = SessionPool(cfg, n_slots=8)
+    pb = SessionPool(cfg, n_slots=8, shard=True)
+    for p in (pa, pb):
+        p.update_param(3, "f", "cutoff_hz", 500)
+        p.update_param(5, "r", "rt60_s", 4.0)
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        blocks = {s: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.2
+                  for s in (0, 3, 5)}
+        oa = pa.step_blocks(dict(blocks))
+        ob = pb.step_blocks(dict(blocks))
+        for s in blocks:
+            err = np.max(np.abs(oa[s] - ob[s]))
+            assert err < 1e-5, (i, s, err)
+    # slots 3 and 0 diverge (different cutoffs) — the per-slot params bite
+    assert not np.allclose(oa[0], oa[3])
