@@ -131,6 +131,33 @@ class Chain:
             self._jit_cache[key] = jax.jit(self.process_whole, donate_argnums=(0,))
         return self._jit_cache[key]
 
+    def packed_step(self):
+        """PackedRunner over the block step: the compiled program takes one
+        donated buffer per state dtype (2 for typical chains) plus one
+        packed targets vector instead of ~50 leaf buffers — per-argument
+        dispatch marshaling is the wall for streaming/serving (see
+        core/packing.py).  This is the engine's and pool's hot path."""
+        key = ("packed_step", self.blocksize)
+        if key not in self._jit_cache:
+            from aefs_tpu.core.packing import PackedRunner
+
+            self._jit_cache[key] = PackedRunner(
+                self.process_block, self.init_state(), self.targets({})
+            )
+        return self._jit_cache[key]
+
+    def packed_fast_file_fn(self):
+        """PackedRunner over the whole-file fast path (same argument-count
+        rationale as ``packed_step``; cuts single-dispatch file latency)."""
+        key = "packed_fast"
+        if key not in self._jit_cache:
+            from aefs_tpu.core.packing import PackedRunner
+
+            self._jit_cache[key] = PackedRunner(
+                self.process_whole, self.init_state(), self.targets({})
+            )
+        return self._jit_cache[key]
+
     def warmup(self, state, targets):
         """Compile + run two dummy blocks (core.py:131-136); returns a fresh
         state identical to ``state`` (the dummy run is discarded — the step

@@ -89,6 +89,27 @@ class AudioEngine:
         self.build_chain([])
 
     # -- chain lifecycle (engine.py:38-65) ------------------------------
+    def _warm_runner(self, chain, state, targets):
+        """Pack state/targets for dispatch (core/packing.py: one buffer per
+        dtype instead of ~50 leaf buffers — per-argument marshaling
+        dominates block dispatch) and compile + run two dummy blocks off
+        the audio path (core.py:131-136).  Returns (runner, packed fresh
+        state, packed targets)."""
+        import jax
+        import jax.numpy as jnp
+
+        runner = chain.packed_step()
+        sgroups = runner.pack_state(state)
+        tgroups = runner.pack_targets(targets)
+        dummy = jnp.zeros((CHANNELS_IN, BLOCKSIZE), jnp.float32)
+        warm = sgroups
+        for _ in range(2):
+            warm, _ = runner(warm, tgroups, dummy)
+        jax.block_until_ready(warm)
+        # The dummy run is discarded (and the step donated its input):
+        # re-pack the caller's state.
+        return runner, runner.pack_state(state), tgroups
+
     def build_chain(self, effects_config):
         self.last_chain_config = effects_config
         chain, state, targets_map = build_chain(
@@ -99,12 +120,13 @@ class AudioEngine:
             channels_out=CHANNELS_OUT,
         )
         targets = chain.targets(targets_map)
-        state = chain.warmup(state, targets)  # JIT off the audio path
+        runner, sgroups, tgroups = self._warm_runner(chain, state, targets)
         with self._lock:
             self.chain = chain
-            self.chain_state = state
+            self._runner = runner
+            self.chain_state = sgroups  # packed groups (runner.unpack_state)
             self._targets_map = targets_map
-            self._targets = targets
+            self._targets = tgroups
             self._pending = None  # an in-flight block belongs to the old chain
 
     def update_param(self, effect_id: str, param_name: str, value: float):
@@ -124,14 +146,16 @@ class AudioEngine:
             )
             return
         targets_map.setdefault(effect_id, {})[param_name] = float(value)
-        # Building the targets pytree creates device scalars (host->device
-        # RPCs on remote backends) — do it OUTSIDE the lock the audio
-        # callback takes every block, then swap atomically.
-        targets = chain.targets(targets_map)
+        # Building + packing the targets creates device buffers (host->
+        # device RPCs on remote backends) — do it OUTSIDE the lock the
+        # audio callback takes every block, then swap atomically.
+        with self._lock:
+            runner = self._runner
+        tgroups = runner.pack_targets(chain.targets(targets_map))
         with self._lock:
             if self.chain is chain:
                 self._targets_map = targets_map
-                self._targets = targets
+                self._targets = tgroups
 
     # -- session checkpoint/resume (engine/checkpoint.py) ----------------
     def save_session(self, path: str) -> str:
@@ -140,8 +164,9 @@ class AudioEngine:
         from aefs_tpu.engine.checkpoint import save_session
 
         with self._lock:
-            state, tmap = self.chain_state, self._targets_map
-        save_session(path, self.last_chain_config, tmap, state)
+            runner, sgroups, tmap = self._runner, self.chain_state, self._targets_map
+        save_session(path, self.last_chain_config, tmap,
+                     runner.unpack_state(sgroups))
         return path
 
     def resume_session(self, path: str):
@@ -159,13 +184,14 @@ class AudioEngine:
             channels_out=CHANNELS_OUT,
         )
         targets = chain.targets(targets_map)
-        chain.warmup(state, targets)  # compile off the audio path
         state = rebuild_state(chain.init_state())
+        runner, sgroups, tgroups = self._warm_runner(chain, state, targets)
         with self._lock:
             self.chain = chain
-            self.chain_state = state
+            self._runner = runner
+            self.chain_state = sgroups
             self._targets_map = targets_map
-            self._targets = targets
+            self._targets = tgroups
             self._pending = None
         self.last_chain_config = chain_config
         return chain_config
@@ -178,12 +204,13 @@ class AudioEngine:
         chain heads/tails (core.py:89-106): input tap sees the fanned
         block, output tap the processed one; both drop on full."""
         with self._lock:
-            chain, state, targets = self.chain, self.chain_state, self._targets
+            chain, runner = self.chain, self._runner
+            state, targets = self.chain_state, self._targets
         import jax.numpy as jnp
 
         with self.metrics.block():
             x = jnp.asarray(in_block.T)
-            state, y = chain.step()(state, targets, x)
+            state, y = runner(state, targets, x)
             out = np.asarray(y).T
         with self._lock:
             # Chain may have been swapped mid-block; matching the
@@ -210,12 +237,13 @@ class AudioEngine:
         likewise ship one block late to decouple capture from playback.
         """
         with self._lock:
-            chain, state, targets = self.chain, self.chain_state, self._targets
+            chain, runner = self.chain, self._runner
+            state, targets = self.chain_state, self._targets
         import jax.numpy as jnp
 
         with self.metrics.block():
             x = jnp.asarray(in_block.T)
-            state, y = chain.step()(state, targets, x)
+            state, y = runner(state, targets, x)
             with self._lock:
                 pending, self._pending = self._pending, (chain, y)
                 if self.chain is chain:
