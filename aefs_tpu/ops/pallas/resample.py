@@ -96,18 +96,21 @@ def _resample_kernel(base_ref, ago_ref, win_ref, out_ref):
 def _resample_call(base_tiles, ago_tiles, windows, interpret: bool):
     m, t = base_tiles.shape
     w = windows.shape[1]
-    pad = (-m) % _ROWS
+    rows = _ROWS if m >= _ROWS else m  # don't pad short blocks up to _ROWS
+    while m % rows:
+        rows -= 1
+    pad = (-m) % rows
     if pad:
         base_tiles = jnp.pad(base_tiles, ((0, pad), (0, 0)))
         ago_tiles = jnp.pad(ago_tiles, ((0, pad), (0, 0)))
         windows = jnp.pad(windows, ((0, pad), (0, 0)))
     mp = m + pad
-    spec_t = pl.BlockSpec((_ROWS, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_w = pl.BlockSpec((_ROWS, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_t = pl.BlockSpec((rows, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((rows, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _resample_kernel,
         out_shape=jax.ShapeDtypeStruct((mp, 1, t), jnp.float32),
-        grid=(mp // _ROWS,),
+        grid=(mp // rows,),
         in_specs=[spec_t, spec_t, spec_w],
         out_specs=spec_t,
         interpret=interpret,
@@ -177,23 +180,26 @@ def _fused_kernel(hist_len, tile, window, region_len,
     out_ref[:, 1, :] = tap(a2_ref, m2_ref, 2, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("hist_len", "tile", "window", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("hist_len", "tile", "window", "rows", "interpret")
+)
 def _fused_call(a1, a2, anchors_loc, m1, m2, regions,
-                hist_len: int, tile: int, window: int, interpret: bool):
+                hist_len: int, tile: int, window: int, rows: int,
+                interpret: bool):
     m, t = a1.shape
     region_len = regions.shape[1]
-    assert m % _ROWS == 0  # caller pads N to R*tile programs
-    spec_t = pl.BlockSpec((_ROWS, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_a = pl.BlockSpec((_ROWS, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    assert m % rows == 0  # caller pads N to rows*tile programs
+    spec_t = pl.BlockSpec((rows, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_a = pl.BlockSpec((rows, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_r = pl.BlockSpec(
         (1, 1, region_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    spec_o = pl.BlockSpec((_ROWS, 2, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((rows, 2, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     kern = functools.partial(_fused_kernel, hist_len, tile, window, region_len)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((m, 2, t), jnp.float32),
-        grid=(m // _ROWS,),
+        grid=(m // rows,),
         in_specs=[spec_t, spec_t, spec_a, spec_t, spec_t, spec_r],
         out_specs=spec_o,
         interpret=interpret,
@@ -358,17 +364,26 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
     a_lo1, a_hi1, m1 = _cluster_anchors(at1, hist_len, size, tile)
     a_lo2, a_hi2, m2 = _cluster_anchors(at2, hist_len, size, tile)
 
+    # Tiles per program: _ROWS amortizes per-program overhead on long
+    # signals, but a short block (the vmapped streaming path: each stream
+    # contributes only N/tile tiles to its own pallas grid) must not pad
+    # up to it — at N=256/tile=128 that would be 6 garbage tiles computed
+    # for every 2 real ones.  Use the largest divisor of m up to _ROWS.
+    rows = _ROWS if m >= _ROWS else m
+    while m % rows:
+        rows -= 1
+
     # Region geometry: program p (R tiles) reads ext[p*S : p*S + region_len]
     # with S = R*tile; region_len covers the deepest read of the last tile
     # plus the window width.
-    s_stride = _ROWS * tile
-    needed = (_ROWS - 1) * tile + size + window + 8
+    s_stride = rows * tile
+    needed = (rows - 1) * tile + size + window + 8
     k = -(-needed // s_stride)
     region_len = k * s_stride
 
-    m_pad = (-m) % _ROWS
+    m_pad = (-m) % rows
     mp = m + m_pad
-    n_prog = mp // _ROWS
+    n_prog = mp // rows
     chunks_needed = (n_prog + k - 1) * s_stride
     ext_pad = jnp.pad(ext, (0, max(0, chunks_needed - ext.shape[0])))
     chunks = ext_pad[:chunks_needed].reshape(n_prog + k - 1, s_stride)
@@ -381,11 +396,11 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
 
     anchors = jnp.stack([a_lo1, a_hi1, a_lo2, a_hi2], axis=1)  # (M, 4)
     anchors = jnp.pad(anchors, ((0, m_pad), (0, 0))) if m_pad else anchors
-    prog_base = (jnp.arange(mp, dtype=jnp.int32) // _ROWS) * s_stride
+    prog_base = (jnp.arange(mp, dtype=jnp.int32) // rows) * s_stride
     anchors_loc = jnp.clip(anchors - prog_base[:, None], 0, region_len - window)
 
     s1, s2 = _fused_call(
         pad_rows(at1), pad_rows(at2), anchors_loc, pad_rows(m1), pad_rows(m2),
-        regions, hist_len, tile, window, use_pallas == "interpret",
+        regions, hist_len, tile, window, rows, use_pallas == "interpret",
     )
     return s1[:m].reshape(n), s2[:m].reshape(n)
