@@ -188,16 +188,20 @@ def bench_stream_latency(cfgs, n_blocks=200):
     from jax import lax
     from aefs_tpu.core.chain import build_chain
 
-    chain, state, tmap = build_chain(cfgs, FS, 256, channels_in=1)
+    chain, pystate, tmap = build_chain(cfgs, FS, 256, channels_in=1)
     targets = chain.targets(tmap)
-    step = chain.step()
+    # The engine's actual mic hot path: dtype-packed dispatch arguments
+    # (engine.process_stream_block* / core/packing.py).
+    runner = chain.packed_step()
+    state = runner.pack_state(pystate)
+    tgroups = runner.pack_targets(targets)
     xb = jnp.asarray(rain_like(256 / FS)[:256].T)
-    state, y = step(state, targets, xb)
+    state, y = runner(state, tgroups, xb)
     float(jnp.sum(y))
     lats = []
     for _ in range(n_blocks):
         t0 = time.time()
-        state, y = step(state, targets, xb)
+        state, y = runner(state, tgroups, xb)
         float(jnp.sum(y[:, -4:]))  # forced sync (remote backend)
         lats.append(time.time() - t0)
     lats = np.asarray(lats) * 1000
@@ -207,13 +211,14 @@ def bench_stream_latency(cfgs, n_blocks=200):
     plats = []
     for _ in range(n_blocks):
         t0 = time.time()
-        state, y = step(state, targets, xb)
+        state, y = runner(state, tgroups, xb)
         if prev is not None:
             np.asarray(prev)  # audio readback of the previous block
         prev = y
         plats.append(time.time() - t0)
     np.asarray(prev)
     pipe50 = float(np.percentile(np.asarray(plats) * 1000, 50))
+    state = pystate  # the device-only loop below uses the pytree step
 
     def loop_fn(iters):
         def many(st, tg, x):
@@ -271,9 +276,22 @@ def wait_for_device(max_wait_s=600):
     return ready.is_set()
 
 
-def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=30):
+def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40):
+    """One (S, N) point of the serving-density sweep.  Two measurements:
+
+    - device-limited step time: slope between two on-device ``fori_loop``
+      runs of the batched step (8 vs 40 iterations) — the per-step cost a
+      production host-attached TPU pays, free of the dev tunnel's
+      per-dispatch marshaling (which is both large, ~0.2-0.4 ms per
+      argument buffer, and erratic across sessions: the same host loop
+      measures 3.4-27 ms/step on different days).
+    - host-loop step time through the tunnel: best of two 40-dispatch
+      loops (the relay reaches its steady state after the first), no
+      donation (donated dispatches serialize through the relay).
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from aefs_tpu.core.chain import build_chain
 
     chain, _, tmap = build_chain(cfgs, FS, blocksize, channels_in=1)
@@ -285,47 +303,76 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=30):
         lambda leaf: jnp.broadcast_to(leaf[None], (n_streams,) + leaf.shape).copy(),
         one,
     )
-    step = jax.jit(
-        lambda st, tg, x: jax.vmap(chain.process_block, in_axes=(0, None, 0))(st, tg, x),
-        donate_argnums=(0,),
-    )
+
+    def batched(st, tg, x):
+        return jax.vmap(chain.process_block, in_axes=(0, None, 0))(st, tg, x)
+
+    step = jax.jit(batched)
     x = jnp.asarray(
         0.1 * np.random.default_rng(3).standard_normal((n_streams, 1, blocksize)),
         jnp.float32,
     )
-    state, y = step(state, targets, x)
+    st, y = step(state, targets, x)
     float(jnp.sum(y))
-    state, y = step(state, targets, x)
-    t0 = time.time()
-    for _ in range(n_iters):
-        state, y = step(state, targets, x)
-    float(jnp.sum(y[:, :, -4:]))
-    per = (time.time() - t0) / n_iters
+    host_per = []
+    for _ in range(2):
+        st, y = step(st, targets, x)
+        t0 = time.time()
+        for _ in range(n_iters):
+            st, y = step(st, targets, x)
+        float(jnp.sum(y[:, :, -4:]))
+        host_per.append((time.time() - t0) / n_iters)
+    host = min(host_per)
+
+    def loop_fn(iters):
+        def many(st, tg, x):
+            def body(_, carry):
+                st, acc = carry
+                st, yb = batched(st, tg, x)
+                return st, acc + yb[0, 0, -1]
+
+            return lax.fori_loop(0, iters, body, (st, jnp.float32(0.0)))
+
+        return jax.jit(many)
+
+    times = {}
+    for iters in (8, 40):
+        fn = loop_fn(iters)
+        s2, acc = fn(state, targets, x)
+        float(acc)
+        t0 = time.time()
+        s2, acc = fn(state, targets, x)
+        float(acc)
+        times[iters] = time.time() - t0
+    dev = (times[40] - times[8]) / 32
+
     deadline = blocksize / FS
-    sustained = n_streams * deadline / per
-    log(f"[bench] multistream S={n_streams} block={blocksize}: "
-        f"{per*1000:.1f} ms/step -> sustains {sustained:.0f} concurrent "
-        f"realtime streams ({deadline*1000:.1f} ms block latency)")
-    return sustained
+    sustained_dev = n_streams * deadline / dev
+    sustained_host = n_streams * deadline / host
+    log(f"[bench] multistream S={n_streams} block={blocksize}: device "
+        f"{dev*1000:.2f} ms/step -> {sustained_dev:.0f} streams; tunnel "
+        f"host loop {host*1000:.1f} ms/step -> {sustained_host:.0f} "
+        f"({deadline*1000:.1f} ms block latency)")
+    return sustained_dev, sustained_host
 
 
 def bench_multistream(cfgs):
     """Batched serving density: S independent chains stepped together
     (vmapped) on one chip — the production many-sessions-per-chip axis
-    (parallel/ shards the same batch over a mesh).  Density trades against
-    block latency: 256-sample blocks match the reference's mic cadence,
-    512/1024-sample blocks amortize per-op overhead for ~3-5x the
-    density at 10.7/21.3 ms block latency.  Returns the best sustained
-    count (the headline serving number) with the strict-256 figure in the
-    detail log."""
-    best = 0.0
+    (parallel/ shards the same batch over a mesh; server/pool.py is the
+    product surface).  Density trades against block latency: 256-sample
+    blocks match the reference's mic cadence, 512/1024-sample blocks
+    amortize per-op overhead at 10.7/21.3 ms block latency.  Returns
+    (best device-limited count, best tunnel host-loop count)."""
+    best_dev, best_host = 0.0, 0.0
     for n_streams, blocksize in ((128, 256), (256, 512), (256, 1024)):
         try:
-            best = max(best, bench_multistream_one(cfgs, n_streams, blocksize))
+            d, h = bench_multistream_one(cfgs, n_streams, blocksize)
+            best_dev, best_host = max(best_dev, d), max(best_host, h)
         except Exception as e:
             log(f"[bench] multistream S={n_streams} N={blocksize} FAILED: "
                 f"{type(e).__name__}: {e}")
-    return best
+    return best_dev, best_host
 
 
 def main():
@@ -368,9 +415,9 @@ def main():
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
 
     try:
-        results["concurrent_realtime_streams"] = bench_multistream(
-            CONFIGS["5_five_effect"]
-        )
+        dev_streams, host_streams = bench_multistream(CONFIGS["5_five_effect"])
+        results["concurrent_realtime_streams"] = dev_streams
+        results["concurrent_realtime_streams_tunnel_hostloop"] = host_streams
     except Exception as e:
         log(f"[bench] multistream FAILED: {type(e).__name__}: {e}")
 
