@@ -97,11 +97,24 @@ def rowring_read(ring, row, d, n: int):
     return jax.lax.dynamic_slice(pair[None], (jnp.int32(0), o), (1, n))[0]
 
 
+def rowring_write(ring, row, blk):
+    """Write ``blk`` into slot ``row`` of a block-row ring.
+
+    Not a ``dynamic_update_slice``: under the multistream vmap the row
+    index is per-stream state, and XLA lowers a batched-index DUS to a
+    sequential per-stream while loop plus two full-ring layout copies
+    (profiled ~0.45 ms/step of the S=128 serving step).  The one-hot
+    select writes the ring in one vectorized pass instead — measured
+    0.60 -> 0.35 ms/step for the batched delay, and only a full-ring
+    elementwise pass (~290 KB, sub-microsecond) in the single-stream
+    case."""
+    oh = jax.lax.broadcasted_iota(jnp.int32, (ring.shape[0], 1), 0) == row
+    return jnp.where(oh, blk[None, :], ring)
+
+
 def rowring_push(ring, row, blk):
-    """Write one block into its slot (in place under buffer donation) and
-    advance the row pointer."""
-    ring = jax.lax.dynamic_update_slice(ring, blk[None, :], (row, jnp.int32(0)))
-    return ring, jnp.mod(row + 1, ring.shape[0])
+    """Write one block into its slot and advance the row pointer."""
+    return rowring_write(ring, row, blk), jnp.mod(row + 1, ring.shape[0])
 
 
 def feedback_delay_block_rows(ring, row, x, d_samples, feedback, min_delay: int,
@@ -127,7 +140,7 @@ def feedback_delay_block_rows(ring, row, x, d_samples, feedback, min_delay: int,
     k = n_iters or max(1, -(-n // max(1, min_delay)))
     y = _feedback_solve(x, base_hist, in_hist, d_samples, feedback, k)
     w = x + feedback * y
-    return y, jax.lax.dynamic_update_slice(ring, w[None, :], (row, jnp.int32(0)))
+    return y, rowring_write(ring, row, w)
 
 
 def _feedback_solve(x, base_hist, in_hist, d, feedback, k: int):
