@@ -39,7 +39,7 @@ class Octaver(EffectModel):
     }
 
     def __init__(self, fs, blocksize, channels=2, window_ms=40.0,
-                 file_semitones=None, **config):
+                 file_semitones=None, resample_tile=None, **config):
         super().__init__(fs, blocksize, channels)
         # Grain window; minimum size guards tiny rates (octaver.py:106).
         self.size = max(int(fs * float(window_ms) / 1000.0), 16)
@@ -47,12 +47,14 @@ class Octaver(EffectModel):
         # position span is ratio * tile, so the window can shrink when the
         # pitch ratio is baked static (file mode); streaming uses the
         # worst case over the +-24 semitone param range.
+        # ``resample_tile`` overrides the streaming tile (the window, and
+        # with it the kernel's one-hot band work, scales ~4*tile).
         if file_semitones is not None:
             ratio = 2.0 ** (abs(float(file_semitones)) / 12.0)
             self.rs_tile = 256 if ratio <= 2.0 else 128
             span = int(np.ceil(ratio * self.rs_tile)) + 24
         else:
-            self.rs_tile = 128
+            self.rs_tile = int(resample_tile or 128)
             span = 4 * self.rs_tile + 24
         self.rs_window = -(-(span + 6) // 128) * 128
         # Resampling needs whole tiles, and the low/high cluster split

@@ -34,6 +34,7 @@ octaver.py:45-48).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -114,6 +115,39 @@ def _rows(f, start: int, stride: int, row_len: int, n_rows: int):
     return rows[:, :row_len]
 
 
+def _interleave_rows(rows):
+    """out[k, u*d + c] = rows[c][k, u] — class streams interleaved back
+    into time order.
+
+    The obvious ``stack(rows, -1).reshape`` makes XLA materialize a
+    layout-transposed copy of the whole grain tensor (minor dim d defeats
+    the (8,128) tiling): two copies + reshapes cost ~1.3 ms of the 6 ms
+    flagship file pass.  When the row length is lane-aligned the
+    interleave is instead evaluated as d one-hot MXU contractions
+    (exact: one-hot rows select single f32 values, summands are disjoint),
+    the same trick as ops/ringbuf.py:lane_dynamic_slice."""
+    d = len(rows)
+    if d == 1:
+        return rows[0]
+    n_rows, m = rows[0].shape
+    if m % 128:
+        return jnp.stack(rows, axis=-1).reshape(n_rows, m * d)
+    sel = []
+    for c in range(d):
+        e = np.zeros((128, 128 * d), np.float32)
+        e[np.arange(128), np.arange(128) * d + c] = 1.0
+        sel.append(jnp.asarray(e))
+    out = None
+    for c in range(d):
+        a = rows[c].reshape(n_rows * (m // 128), 128)
+        term = jax.lax.dot_general(
+            a, sel[c], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out = term if out is None else out + term
+    return out.reshape(n_rows, m * d)
+
+
 def octaver_taps_pow2(hist, x, e: int):
     """Both octaver taps + exact phasor streams for ratio 2^e from fresh
     phase.
@@ -155,7 +189,7 @@ def octaver_taps_pow2(hist, x, e: int):
 
         def interleave(start: int, n_rows: int):
             rows = [_rows(firs[c], start, w, m, n_rows) for c in range(d)]
-            return jnp.stack(rows, axis=-1).reshape(n_rows * w)
+            return _interleave_rows(rows).reshape(n_rows * w)
 
         k1 = -(-n // w)
         bulk1 = interleave(s, k1)[:n]
