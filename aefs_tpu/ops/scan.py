@@ -48,9 +48,17 @@ def affine_scan(mult, add, init, axis: int = 0):
 
 
 def affine_scan_long(mult, add, init, chunk: int = 512):
-    """1-D ``affine_scan`` for long signals, two-level blocked: scan within
-    (N/chunk, chunk) rows (log2(chunk) passes over the data instead of
-    log2(N)), then a tiny cross-row affine scan over the row summaries.
+    """1-D ``affine_scan`` for long signals, two-level blocked: an
+    in-chunk scan over (N/chunk, chunk) rows, then a tiny cross-row affine
+    scan over the row summaries.
+
+    The in-chunk scan is a hand-rolled Hillis-Steele over contiguous
+    lane shifts (pad + static slice), NOT ``lax.associative_scan``: the
+    Blelloch lowering emits strided slices in the lane dimension
+    (``[0:c:2]``), which cost a layout pass each on TPU — measured 122 vs
+    3.4 ms/run for the flagship gate's (1744, 512) scan.  Same math, one
+    reassociation (max observed divergence 6e-7, far under the -80 dBFS
+    oracle bar).
 
     mult, add: (N,); init: scalar.  Returns y: (N,).
     """
@@ -60,16 +68,23 @@ def affine_scan_long(mult, add, init, chunk: int = 512):
         return affine_scan(mult, add, init)
     m = -(-n // c)
     dt = add.dtype
-    multp = jnp.pad(jnp.broadcast_to(mult, (n,)), (0, m * c - n),
-                    constant_values=1.0).reshape(m, c)
-    addp = jnp.pad(add, (0, m * c - n)).reshape(m, c)
+    a_c = jnp.pad(jnp.broadcast_to(mult, (n,)), (0, m * c - n),
+                  constant_values=1.0).reshape(m, c)
+    b_c = jnp.pad(add, (0, m * c - n)).reshape(m, c)
+
+    s = 1
+    while s < c:  # inclusive prefix of the affine maps, doubling span
+        a_sh = jnp.pad(a_c, ((0, 0), (s, 0)), constant_values=1.0)[:, :c]
+        b_sh = jnp.pad(b_c, ((0, 0), (s, 0)))[:, :c]
+        b_c = a_c * b_sh + b_c
+        a_c = a_c * a_sh
+        s *= 2
 
     def combine(e1, e2):
         a1, b1 = e1
         a2, b2 = e2
         return a2 * a1, a2 * b1 + b2
 
-    a_c, b_c = lax.associative_scan(combine, (multp, addp), axis=1)
     sa, sb = lax.associative_scan(combine, (a_c[:, -1], b_c[:, -1]))
     s_out = sa * init + sb  # value leaving each row
     s_in = jnp.concatenate([jnp.asarray(init, dt)[None], s_out[:-1]])
