@@ -102,20 +102,46 @@ def _bshape(mult, add, axis):
     return mult.shape
 
 
-def lag_affine_scan(base, a, lag: int):
+def lag_affine_scan(base, a, lag: int, row_chunk: int = 512):
     """Solve y[n] = base[n] + a * y[n-lag] for n >= lag, y[n] = base[n] else.
 
-    ``lag`` must be static.  Samples fall into ``lag`` independent residue
-    classes; reshaping to (M, lag) rows turns the recurrence into a
-    first-order scan over rows, vectorized across the lag lanes.
+    ``lag`` must be static, ``a`` a (traced) scalar.  Samples fall into
+    ``lag`` independent residue classes; reshaping to (M, lag) rows turns
+    the recurrence into a first-order constant-coefficient scan over rows.
+
+    Short signals scan the rows directly.  Long signals (the reverb
+    allpasses in file mode: lag 81 -> 11k rows) use the same closed form
+    as the comb/biquad solvers: within a chunk of C rows the response is
+    one lower-triangular Toeplitz matmul T[j, i] = a^(j-i) (MXU), and the
+    cross-chunk carries are an a^C-coefficient affine scan over the
+    (M/C, lag) chunk summaries — ~2 passes over the signal instead of
+    log2(M) scan levels.
 
     base: (N,) float32.  Returns y: (N,).
     """
     n = base.shape[-1]
     m = -(-n // lag)  # ceil
+    dt = base.dtype
+    a = jnp.asarray(a, dt)
     padded = jnp.pad(base, (0, m * lag - n)).reshape(m, lag)
-    y = affine_scan(jnp.asarray(a, base.dtype), padded, jnp.zeros((lag,), base.dtype))
-    return y.reshape(m * lag)[:n]
+
+    c = int(row_chunk)
+    if m <= 2 * c:
+        y = affine_scan(a, padded, jnp.zeros((lag,), dt))
+        return y.reshape(m * lag)[:n]
+
+    mp = -(-m // c)
+    chunks = jnp.pad(padded, ((0, mp * c - m), (0, 0))).reshape(mp, c, lag)
+    h = jnp.power(a, jnp.arange(c + 1, dtype=dt))  # a^j, j = 0..C
+    t_a = toeplitz_lower(h, c)
+    y_loc = jnp.einsum(
+        "ji,kil->kjl", t_a, chunks, precision=lax.Precision.HIGHEST
+    )
+    # Cross-chunk carries: s_k = a^C * s_{k-1} + y_loc[k, -1, :], s_{-1} = 0.
+    s = affine_scan(h[c], y_loc[:, -1, :], jnp.zeros((lag,), dt), axis=0)
+    s_in = jnp.concatenate([jnp.zeros((1, lag), dt), s[:-1]], axis=0)
+    y = y_loc + h[1 : c + 1][None, :, None] * s_in[:, None, :]
+    return y.reshape(mp * c * lag)[: m * lag][:n]
 
 
 def _combine2(e1, e2):
