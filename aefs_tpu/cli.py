@@ -6,6 +6,7 @@ the result.
 
     python -m aefs_tpu.cli input.wav output.wav --preset "Rain Delay"
     python -m aefs_tpu.cli input.wav output.wav --config chain.json
+    python -m aefs_tpu.cli --batch out_dir/ a.wav b.wav c.wav --preset Octave
     python -m aefs_tpu.cli --list-presets
 """
 
@@ -19,8 +20,16 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("input", nargs="?", help="input WAV path")
-    ap.add_argument("output", nargs="?", help="output WAV path")
+    ap.add_argument("paths", nargs="*",
+                    help="INPUT OUTPUT (single-file mode) or INPUT... "
+                         "(with --batch OUT_DIR)")
+    ap.add_argument("--batch", metavar="OUT_DIR",
+                    help="bulk mode: render every input WAV through the "
+                         "chain in ONE batched device dispatch (vmapped "
+                         "whole-file fast path); outputs land in OUT_DIR")
+    ap.add_argument("--shard", action="store_true",
+                    help="with --batch: distribute the batch over all "
+                         "visible devices (data-parallel rendering)")
     ap.add_argument("--preset", help="factory preset name")
     ap.add_argument("--config", help="JSON chain-config file")
     ap.add_argument("--list-presets", action="store_true")
@@ -44,8 +53,12 @@ def main(argv=None):
             print(f"{name}: {kinds}")
         return 0
 
-    if not args.input or not args.output:
-        ap.error("input and output are required (or use --list-presets)")
+    if args.batch:
+        if not args.paths:
+            ap.error("--batch requires at least one input WAV")
+    elif len(args.paths) != 2:
+        ap.error("single-file mode takes INPUT OUTPUT "
+                 "(or use --batch / --list-presets)")
 
     if args.platform:
         import os
@@ -65,11 +78,36 @@ def main(argv=None):
     else:
         chain_config = []
 
-    from aefs_tpu.engine.engine import process_offline
+    from aefs_tpu.engine.engine import process_offline, render_batch
     from aefs_tpu.engine.wavio import read_wav_file, write_wav_file
 
-    audio, fs = read_wav_file(args.input)
-    print(f"{args.input}: {audio.shape[0]/fs:.2f} s @ {fs} Hz, "
+    if args.batch:
+        import os
+
+        audios, fss = [], []
+        for p in args.paths:
+            a, f = read_wav_file(p)
+            audios.append(a)
+            fss.append(f)
+        if len(set(fss)) != 1:
+            ap.error(f"--batch needs one sample rate, got {sorted(set(fss))}")
+        fs = fss[0]
+        total_s = sum(a.shape[0] for a in audios) / fs
+        print(f"{len(audios)} files, {total_s:.2f} s total @ {fs} Hz "
+              f"(backend: {backend})")
+        t0 = time.time()
+        outs = render_batch(chain_config, audios, fs, shard=args.shard)
+        dt = time.time() - t0
+        os.makedirs(args.batch, exist_ok=True)
+        for p, out in zip(args.paths, outs):
+            write_wav_file(os.path.join(args.batch, os.path.basename(p)), out, fs)
+        print(f"{args.batch}: {len(outs)} files in {dt*1000:.1f} ms "
+              f"({total_s/dt:.0f}x realtime aggregate, one dispatch)")
+        return 0
+
+    in_path, out_path = args.paths
+    audio, fs = read_wav_file(in_path)
+    print(f"{in_path}: {audio.shape[0]/fs:.2f} s @ {fs} Hz, "
           f"{audio.shape[1] if audio.ndim > 1 else 1} ch (backend: {backend})")
 
     t0 = time.time()
@@ -81,9 +119,9 @@ def main(argv=None):
     else:
         _, out = process_offline(chain_config, audio, fs)
     dt = time.time() - t0
-    write_wav_file(args.output, out, fs)
+    write_wav_file(out_path, out, fs)
     rtf = (audio.shape[0] / fs) / dt
-    print(f"{args.output}: processed in {dt*1000:.1f} ms ({rtf:.0f}x realtime)")
+    print(f"{out_path}: processed in {dt*1000:.1f} ms ({rtf:.0f}x realtime)")
     return 0
 
 

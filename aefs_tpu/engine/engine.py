@@ -68,6 +68,71 @@ def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK):
     return mono, np.clip(out, -1.0, 1.0)
 
 
+def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
+                 shard: bool = False):
+    """Batched offline rendering: many files through the same chain
+    topology in ONE device dispatch — the vmapped whole-file fast path
+    with a fresh state per file (the file-mode contract, engine.py:86-99,
+    per batch element).
+
+    The reference renders files one at a time on the CPU (engine.py:
+    67-129); on TPU the batch axis is nearly free (the comb/biquad/
+    octaver matmuls gain MXU utilization with batch), so bulk jobs
+    should ship B files per dispatch.  ``shard=True`` additionally
+    distributes the batch over every visible device (GSPMD data
+    parallelism, same axis the pool server shards).
+
+    audios: list of (frames_i,) or (frames_i, ch) arrays, one sample
+    rate.  Returns a list of (frames_i, 2) float32 clipped outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    monos = []
+    for a in audios:
+        a = np.asarray(a, np.float32)
+        monos.append(a.mean(axis=1) if a.ndim > 1 else a)
+    b = len(monos)
+    length = max(m.shape[0] for m in monos)
+    lp = -(-length // superblock) * superblock
+    x = np.zeros((b, 1, lp), np.float32)
+    for i, m in enumerate(monos):
+        x[i, 0, : m.shape[0]] = m
+
+    chain, one_state, targets_map = build_chain(
+        chain_config, fs, superblock, channels_in=1, channels_out=2,
+        static_overrides=_file_static_overrides(chain_config),
+    )
+    targets = chain.targets(targets_map)
+    state = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf[None], (b,) + leaf.shape), one_state
+    )
+    xd = jnp.asarray(x)
+    if shard and len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
+        if b % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {b} must divide over {mesh.shape['data']} devices"
+            )
+        put = lambda leaf: jax.device_put(
+            leaf,
+            NamedSharding(mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))),
+        )
+        state = jax.tree.map(put, state)
+        xd = put(xd)
+
+    fn = jax.jit(
+        lambda st, tg, xx: jax.vmap(chain.process_whole, in_axes=(0, None, 0))(
+            st, tg, xx
+        )
+    )
+    _, y = fn(state, targets, xd)
+    out = np.clip(np.asarray(y), -1.0, 1.0)  # (B, 2, Lp)
+    return [out[i, :, : m.shape[0]].T.copy() for i, m in enumerate(monos)]
+
+
 class AudioEngine:
     def __init__(self, data_queues=None):
         self.data_queues = data_queues or {

@@ -375,6 +375,47 @@ def bench_multistream(cfgs):
     return best_dev, best_host
 
 
+def bench_batch_render(cfgs, x, b=16, superblock=4096, k=4):
+    """Bulk offline rendering: B files through the flagship chain in one
+    vmapped dispatch (engine.render_batch's compute core).  Reports the
+    aggregate realtime factor — the throughput number for bulk jobs,
+    where the batch axis raises MXU utilization of the comb/biquad/
+    octaver matmuls."""
+    import jax
+    import jax.numpy as jnp
+    from aefs_tpu.core.chain import build_chain
+
+    chain, one, tmap = build_chain(
+        cfgs, FS, superblock, channels_in=1,
+        static_overrides=file_static_overrides(cfgs),
+    )
+    targets = chain.targets(tmap)
+    pad = (-len(x)) % superblock
+    xp = np.concatenate([x, np.zeros((pad, 1), np.float32)])
+    xb = jnp.asarray(np.broadcast_to(xp.T[None], (b, 1, xp.shape[0])).copy())
+    state = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf[None], (b,) + leaf.shape), one
+    )
+    fn = jax.jit(
+        lambda st, tg, xx: jax.vmap(chain.process_whole, in_axes=(0, None, 0))(
+            st, tg, xx
+        )
+    )
+    st, y = fn(state, targets, xb)
+    float(jnp.sum(jnp.abs(y[:, :, -4:])))
+    st, y = fn(st, targets, xb)
+    t0 = time.time()
+    for _ in range(k):
+        st, y = fn(st, targets, xb)
+    float(jnp.sum(jnp.abs(y[:, :, -4:])))
+    per = (time.time() - t0) / k
+    agg = b * (len(x) / FS) / per
+    log(f"[bench] batch render B={b}: {per*1000:.1f} ms/dispatch for "
+        f"{b*len(x)/FS:.0f} s of audio -> {agg:.0f}x realtime aggregate "
+        f"({per/b*1000:.2f} ms/file)")
+    return agg
+
+
 def main():
     import jax
 
@@ -413,6 +454,13 @@ def main():
         results["stream_deadline_ok"] = float(dev_ms < 256 / FS * 1000)
     except Exception as e:
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
+
+    try:
+        results["batch16_aggregate_x_realtime"] = bench_batch_render(
+            CONFIGS["5_five_effect"], x
+        )
+    except Exception as e:
+        log(f"[bench] batch render FAILED: {type(e).__name__}: {e}")
 
     try:
         dev_streams, host_streams = bench_multistream(CONFIGS["5_five_effect"])
