@@ -99,8 +99,17 @@ def main(argv=None):
         outs = render_batch(chain_config, audios, fs, shard=args.shard)
         dt = time.time() - t0
         os.makedirs(args.batch, exist_ok=True)
+        # De-collide output names: inputs from different directories may
+        # share a basename and must not overwrite each other.
+        seen = {}
         for p, out in zip(args.paths, outs):
-            write_wav_file(os.path.join(args.batch, os.path.basename(p)), out, fs)
+            base = os.path.basename(p)
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            if n:
+                stem, ext = os.path.splitext(base)
+                base = f"{stem}.{n}{ext}"
+            write_wav_file(os.path.join(args.batch, base), out, fs)
         print(f"{args.batch}: {len(outs)} files in {dt*1000:.1f} ms "
               f"({total_s/dt:.0f}x realtime aggregate, one dispatch)")
         return 0

@@ -162,13 +162,17 @@ class Chain:
         """Compile + run two dummy blocks (core.py:131-136); returns a fresh
         state identical to ``state`` (the dummy run is discarded — the step
         donates its input, so the state is rebuilt from the chain-config
-        seeds)."""
+        seeds).  The engine's hot path warms the PACKED runner instead
+        (engine._warm_runner); this is the plain-pytree parity surface."""
         step = self.step()
         dummy = jnp.zeros((self.ci, self.blocksize), jnp.float32)
         st = state
         for _ in range(2):
-            st, _ = step(st, targets, dummy)
-        jax.block_until_ready(st)
+            st, y = step(st, targets, dummy)
+        # Scalar readback on the audio output (an empty chain carries no
+        # state): block_until_ready does not synchronize on the remote
+        # axon backend.
+        float(jnp.sum(y[:, :1]))
         return self.init_state()  # seeded via config_seeds
 
     def process_array(self, state, targets, audio, fast: bool = False):
@@ -189,8 +193,14 @@ class Chain:
         if pad:
             audio = np.concatenate([audio, np.zeros((pad, audio.shape[1]), np.float32)])
         if fast:
+            # Packed dispatch (one buffer per state dtype): the file jobs'
+            # single-dispatch latency is dominated by per-argument
+            # marshaling on remote backends (core/packing.py).
+            runner = self.packed_fast_file_fn()
             x = jnp.asarray(audio.T)  # (ci, N)
-            state, y = self.fast_file_fn(x.shape[-1])(state, targets, x)
+            sg, y = runner(runner.pack_state(state),
+                           runner.pack_targets(targets), x)
+            state = runner.unpack_state(sg)
             out = np.asarray(y).T
         else:
             blocks = jnp.asarray(audio.T.reshape(self.ci, -1, n).transpose(1, 0, 2))

@@ -146,6 +146,14 @@ class AudioEngine:
         self.stream = None
         self.last_chain_config = []
         self._lock = threading.Lock()
+        # Serializes device-op ENQUEUE between the audio path (whose step
+        # donates the packed state buffers) and state readers
+        # (save_session): on one device stream, ops execute in enqueue
+        # order, so a reader that enqueues its slices under this lock can
+        # never observe buffers a later-enqueued step has donated.
+        # Enqueue is asynchronous (microseconds), so the audio path only
+        # ever waits for another enqueue, never for device compute.
+        self._dispatch_lock = threading.Lock()
         self._targets_map = {}
         self._pending = None  # depth-1 pipeline: (chain, y, in-flight block)
         from aefs_tpu.utils.metrics import BlockTimer
@@ -169,8 +177,11 @@ class AudioEngine:
         dummy = jnp.zeros((CHANNELS_IN, BLOCKSIZE), jnp.float32)
         warm = sgroups
         for _ in range(2):
-            warm, _ = runner(warm, tgroups, dummy)
-        jax.block_until_ready(warm)
+            warm, yw = runner(warm, tgroups, dummy)
+        # block_until_ready does not synchronize on the remote axon
+        # backend (CLAUDE.md hard rule) — force a scalar readback.  Read
+        # the audio output: an empty chain has no state buffers at all.
+        float(jnp.sum(yw[:, :1]))
         # The dummy run is discarded (and the step donated its input):
         # re-pack the caller's state.
         return runner, runner.pack_state(state), tgroups
@@ -213,10 +224,12 @@ class AudioEngine:
         targets_map.setdefault(effect_id, {})[param_name] = float(value)
         # Building + packing the targets creates device buffers (host->
         # device RPCs on remote backends) — do it OUTSIDE the lock the
-        # audio callback takes every block, then swap atomically.
-        with self._lock:
-            runner = self._runner
-        tgroups = runner.pack_targets(chain.targets(targets_map))
+        # audio callback takes every block, then swap atomically.  Pack
+        # with the runner cached on the chain we captured, NOT whatever
+        # self._runner currently holds: a concurrent build_chain may have
+        # swapped in a different topology whose packer would reject (or
+        # silently misread) this chain's targets pytree.
+        tgroups = chain.packed_step().pack_targets(chain.targets(targets_map))
         with self._lock:
             if self.chain is chain:
                 self._targets_map = targets_map
@@ -228,10 +241,16 @@ class AudioEngine:
         full audio-state pytree) to a directory; returns the path."""
         from aefs_tpu.engine.checkpoint import save_session
 
-        with self._lock:
-            runner, sgroups, tmap = self._runner, self.chain_state, self._targets_map
-        save_session(path, self.last_chain_config, tmap,
-                     runner.unpack_state(sgroups))
+        # Snapshot AND enqueue the unpack under the dispatch lock: the
+        # audio step donates the packed state buffers, so the unpack's
+        # slices must be enqueued before any later step donates them.
+        with self._dispatch_lock:
+            with self._lock:
+                runner, sgroups, tmap = (
+                    self._runner, self.chain_state, self._targets_map
+                )
+            state = runner.unpack_state(sgroups)
+        save_session(path, self.last_chain_config, tmap, state)
         return path
 
     def resume_session(self, path: str):
@@ -275,7 +294,8 @@ class AudioEngine:
 
         with self.metrics.block():
             x = jnp.asarray(in_block.T)
-            state, y = runner(state, targets, x)
+            with self._dispatch_lock:  # enqueue only — returns immediately
+                state, y = runner(state, targets, x)
             out = np.asarray(y).T
         with self._lock:
             # Chain may have been swapped mid-block; matching the
@@ -308,7 +328,8 @@ class AudioEngine:
 
         with self.metrics.block():
             x = jnp.asarray(in_block.T)
-            state, y = runner(state, targets, x)
+            with self._dispatch_lock:  # enqueue only — returns immediately
+                state, y = runner(state, targets, x)
             with self._lock:
                 pending, self._pending = self._pending, (chain, y)
                 if self.chain is chain:

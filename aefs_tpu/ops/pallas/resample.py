@@ -96,26 +96,22 @@ def _resample_kernel(base_ref, ago_ref, win_ref, out_ref):
 def _resample_call(base_tiles, ago_tiles, windows, interpret: bool):
     m, t = base_tiles.shape
     w = windows.shape[1]
-    rows = _ROWS if m >= _ROWS else m  # don't pad short blocks up to _ROWS
+    # Largest divisor of m up to _ROWS: no padded rows, ever (a vmapped
+    # 256-sample stream brings only m = 2 tiles to its own grid).
+    rows = _ROWS if m >= _ROWS else m
     while m % rows:
         rows -= 1
-    pad = (-m) % rows
-    if pad:
-        base_tiles = jnp.pad(base_tiles, ((0, pad), (0, 0)))
-        ago_tiles = jnp.pad(ago_tiles, ((0, pad), (0, 0)))
-        windows = jnp.pad(windows, ((0, pad), (0, 0)))
-    mp = m + pad
     spec_t = pl.BlockSpec((rows, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((rows, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _resample_kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, 1, t), jnp.float32),
-        grid=(mp // rows,),
+        out_shape=jax.ShapeDtypeStruct((m, 1, t), jnp.float32),
+        grid=(m // rows,),
         in_specs=[spec_t, spec_t, spec_w],
         out_specs=spec_t,
         interpret=interpret,
     )(base_tiles[:, None, :], ago_tiles[:, None, :], windows[:, None, :])
-    return out[:m, 0, :]
+    return out[:, 0, :]
 
 
 def _taps_onehot(qw, win, r, t, w):
@@ -188,7 +184,7 @@ def _fused_call(a1, a2, anchors_loc, m1, m2, regions,
                 interpret: bool):
     m, t = a1.shape
     region_len = regions.shape[1]
-    assert m % rows == 0  # caller pads N to rows*tile programs
+    assert m % rows == 0  # rows is chosen as a divisor of the tile count
     spec_t = pl.BlockSpec((rows, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_a = pl.BlockSpec((rows, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_r = pl.BlockSpec(
@@ -368,7 +364,8 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
     # signals, but a short block (the vmapped streaming path: each stream
     # contributes only N/tile tiles to its own pallas grid) must not pad
     # up to it — at N=256/tile=128 that would be 6 garbage tiles computed
-    # for every 2 real ones.  Use the largest divisor of m up to _ROWS.
+    # for every 2 real ones.  The largest divisor of m up to _ROWS means
+    # no padded rows exist anywhere downstream.
     rows = _ROWS if m >= _ROWS else m
     while m % rows:
         rows -= 1
@@ -381,9 +378,7 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
     k = -(-needed // s_stride)
     region_len = k * s_stride
 
-    m_pad = (-m) % rows
-    mp = m + m_pad
-    n_prog = mp // rows
+    n_prog = m // rows
     chunks_needed = (n_prog + k - 1) * s_stride
     ext_pad = jnp.pad(ext, (0, max(0, chunks_needed - ext.shape[0])))
     chunks = ext_pad[:chunks_needed].reshape(n_prog + k - 1, s_stride)
@@ -391,16 +386,12 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
         [chunks[i : i + n_prog] for i in range(k)], axis=1
     )  # (n_prog, region_len)
 
-    def pad_rows(x2d):
-        return jnp.pad(x2d, ((0, m_pad), (0, 0))) if m_pad else x2d
-
     anchors = jnp.stack([a_lo1, a_hi1, a_lo2, a_hi2], axis=1)  # (M, 4)
-    anchors = jnp.pad(anchors, ((0, m_pad), (0, 0))) if m_pad else anchors
-    prog_base = (jnp.arange(mp, dtype=jnp.int32) // rows) * s_stride
+    prog_base = (jnp.arange(m, dtype=jnp.int32) // rows) * s_stride
     anchors_loc = jnp.clip(anchors - prog_base[:, None], 0, region_len - window)
 
     s1, s2 = _fused_call(
-        pad_rows(at1), pad_rows(at2), anchors_loc, pad_rows(m1), pad_rows(m2),
+        at1, at2, anchors_loc, m1, m2,
         regions, hist_len, tile, window, rows, use_pallas == "interpret",
     )
-    return s1[:m].reshape(n), s2[:m].reshape(n)
+    return s1.reshape(n), s2.reshape(n)

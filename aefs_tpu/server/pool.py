@@ -119,7 +119,9 @@ class SessionPool:
         x = self._put(np.zeros((self.n_slots, CHANNELS_IN, self.blocksize),
                                np.float32))
         self.state, _ = self._step(self.state, self.targets, x)
-        jax.block_until_ready(jax.tree.leaves(self.state)[0])
+        # Scalar readback: block_until_ready does not synchronize on the
+        # remote axon backend.
+        float(jnp.sum(jnp.ravel(jax.tree.leaves(self.state)[0])[:1]))
 
     def _put(self, x):
         import jax

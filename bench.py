@@ -425,6 +425,7 @@ def main():
     except Exception:
         pass
 
+    t_start = time.time()
     log(f"[bench] devices: {jax.devices()}")
     if not wait_for_device():
         print(json.dumps({
@@ -455,12 +456,17 @@ def main():
     except Exception as e:
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
 
-    try:
-        results["batch16_aggregate_x_realtime"] = bench_batch_render(
-            CONFIGS["5_five_effect"], x
-        )
-    except Exception as e:
-        log(f"[bench] batch render FAILED: {type(e).__name__}: {e}")
+    # Secondary metric: skip if a cold cache has already eaten the time
+    # budget — the headline JSON line must always be printed.
+    if time.time() - t_start < 420:
+        try:
+            results["batch16_aggregate_x_realtime"] = bench_batch_render(
+                CONFIGS["5_five_effect"], x
+            )
+        except Exception as e:
+            log(f"[bench] batch render FAILED: {type(e).__name__}: {e}")
+    else:
+        log("[bench] batch render skipped (time budget)")
 
     try:
         dev_streams, host_streams = bench_multistream(CONFIGS["5_five_effect"])

@@ -92,9 +92,11 @@ async def main():
     proc = None
     url = args.url
     if not url:
+        # One extra slot: the blocksize probe connection below holds a
+        # slot whose release races the load sessions' connects.
         proc = subprocess.Popen(
             [sys.executable, "-m", "aefs_tpu.server.pool",
-             "--preset", args.preset, "--slots", str(args.sessions),
+             "--preset", args.preset, "--slots", str(args.sessions + 1),
              "--port", str(args.port)],
             cwd=REPO,
         )
