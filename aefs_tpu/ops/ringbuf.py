@@ -33,6 +33,12 @@ def lane_dynamic_slice(v, start, n: int):
     the round-2 streaming profile); the one-hot matmul is ~10 us and
     EXACT (one-hot rows select single f32 values; HIGHEST precision).
 
+    Negative result (trace-verified, round 2): a Mosaic pltpu.roll kernel
+    for this op is exact and wins a standalone microbench 13x, but under
+    the per-channel/per-stream vmaps of the real batched step it becomes
+    ~1800 single-row programs and the step REGRESSES 1.03 -> 1.71 ms —
+    per-program overhead beats the one-hot's extra FLOPs at this grain.
+
     Only sensible for small trailing dims (the selection matrix is
     (M, n)); callers gate on size and fall back to lax.dynamic_slice.
     """
