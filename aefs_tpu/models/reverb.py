@@ -167,7 +167,7 @@ class Reverb(EffectModel):
         diffusers as residue-class scans over the full signal, the
         pre-delay as one gather.  Requires fresh (zero) reverb state, which
         file mode guarantees (fresh chain per file, engine.py:86-99)."""
-        from aefs_tpu.ops.ringbuf import comb_bank_file
+        from aefs_tpu.ops.ringbuf import comb_bank_file_chunks
 
         fs = jnp.float32(self.fs)
         rt60 = p["rt60_s"]
@@ -180,25 +180,44 @@ class Reverb(EffectModel):
 
         # Both sides' comb banks in ONE chunked solve (B = 8): the T_h
         # propagator is fetched once per chunk instead of once per side.
+        # Consumed CHUNK-MAJOR: the comb sum and the state tail are the
+        # only consumers, and flattening (M, 2B, C) to (2B, N) first
+        # would cost a whole-signal transpose copy per output.
         all_lags = self.comb_lags[0] + self.comb_lags[1]
         g_all = jnp.power(
             10.0,
             -3.0 * (jnp.asarray(all_lags, jnp.float32) / fs) / jnp.maximum(1e-3, rt60),
         )
         xb = jnp.repeat(pre_out, self.n_combs, axis=0)  # (2B, N) side-major
-        y_all, damped_all = comb_bank_file(xb, all_lags, g_all, damp)
-        w_all = xb + g_all[:, None] * damped_all
+        y_mbc, d_mbc, c = comb_bank_file_chunks(xb, all_lags, g_all, damp)
 
-        comb_y, new_combs, new_lps = [], [], []
-        for side in range(2):
-            sl = slice(side * self.n_combs, (side + 1) * self.n_combs)
-            w = w_all[sl]
-            new_combs.append(
-                jnp.concatenate(
-                    [jnp.zeros((self.n_combs, self.comb_lmax), x.dtype), w], axis=-1
-                )[:, -self.comb_lmax:]
+        n = x.shape[-1]
+        b = self.n_combs
+        lmax = self.comb_lmax
+        # Per-side comb sums (reverb.py:234-241) straight off the chunks:
+        # sum over the bank axis, then a layout-preserving reshape.
+        comb_y = [
+            y_mbc[:, side * b : (side + 1) * b, :].sum(axis=1).reshape(-1)[:n][None]
+            for side in range(2)
+        ]
+
+        # Final ring state w = x + g*damped over the last ``lmax`` true
+        # samples, extracted from the last few chunks (tiny arrays).
+        m = y_mbc.shape[0]
+        k = min(m, -(-lmax // c) + 1)
+        off = m * c - k * c  # padded-coordinate start of the tail window
+        d_tail = jnp.moveaxis(d_mbc[-k:], 0, 1).reshape(2 * b, k * c)
+        take = min(n, lmax)
+        start = n - take
+        d_win = jax.lax.slice(d_tail, (0, start - off), (2 * b, n - off))
+        w_win = xb[:, start:n] + g_all[:, None] * d_win
+        if take < lmax:
+            w_win = jnp.concatenate(
+                [jnp.zeros((2 * b, lmax - take), x.dtype), w_win], axis=1
             )
-            new_lps.append(damped_all[sl, -1])
-            comb_y.append(y_all[sl])
+        lps_all = d_tail[:, n - 1 - off]
+
+        new_combs = [w_win[side * b : (side + 1) * b] for side in range(2)]
+        new_lps = [lps_all[side * b : (side + 1) * b] for side in range(2)]
 
         return self._diffuse_and_mix(state, p, x, comb_y, new_pre, new_combs, new_lps)

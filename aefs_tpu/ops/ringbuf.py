@@ -378,6 +378,23 @@ def comb_bank_file(x, lags, g, h, chunk=None, use_pallas=None):
     Returns (y, damped) both (B, N): raw comb outputs and damping states
     (from which final ring state is reconstructed: w = x + g * damped).
     """
+    y_mbc, d_mbc, c = comb_bank_file_chunks(x, lags, g, h, chunk, use_pallas)
+    b, n = x.shape
+    y = jnp.moveaxis(y_mbc, 0, 1).reshape(b, -1)[:, :n]
+    damped = jnp.moveaxis(d_mbc, 0, 1).reshape(b, -1)[:, :n]
+    return y, damped
+
+
+def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None):
+    """``comb_bank_file`` in chunk-major form: returns (y, damped) as
+    (M, B, C) chunk tensors plus the chunk size C (N padded to M*C).
+
+    This is the layout the solvers produce natively; flattening to
+    (B, N) costs a whole-signal transpose copy per output — ~0.85 ms per
+    file in batch-render mode — and the reverb only ever needs the
+    comb-sum and the last-``lmax`` state tail, both cheap on chunks
+    (models/reverb.py:process_file).
+    """
     from jax import lax
 
     b, n = x.shape
@@ -395,10 +412,15 @@ def comb_bank_file(x, lags, g, h, chunk=None, use_pallas=None):
     m = -(-n // c)
     n_pad = m * c
     # x[n - L] per comb: static per-comb shifts (lags are compile-time),
-    # no gather anywhere in this op.
+    # no gather anywhere in this op.  Built chunk-major directly — the
+    # (B, M, C) -> (M, B, C) moveaxis it replaces is a whole-signal copy.
     xs = jnp.stack(
-        [jnp.pad(x[i], (lag, n_pad - n))[:n_pad] for i, lag in enumerate(lags)]
-    ).reshape(b, m, c)
+        [
+            jnp.pad(x[i], (lag, n_pad - n))[:n_pad].reshape(m, c)
+            for i, lag in enumerate(lags)
+        ],
+        axis=1,
+    )  # (M, B, C)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -409,11 +431,9 @@ def comb_bank_file(x, lags, g, h, chunk=None, use_pallas=None):
         from aefs_tpu.ops.pallas.comb import comb_bank_file_pallas
 
         ys, damps = comb_bank_file_pallas(
-            jnp.moveaxis(xs, 1, 0), g, h, tuple(int(l) for l in lags), c
+            xs, g, h, tuple(int(l) for l in lags), c
         )
-        y = jnp.moveaxis(ys, 0, 1).reshape(b, n_pad)[:, :n]
-        damped = jnp.moveaxis(damps, 0, 1).reshape(b, n_pad)[:, :n]
-        return y, damped
+        return ys, damps, c
 
     # In-chunk damping propagator: T_h[j, i] = h^(j-i) for j >= i.
     j_i = jnp.arange(c)[:, None] - jnp.arange(c)[None, :]
@@ -439,11 +459,9 @@ def comb_bank_file(x, lags, g, h, chunk=None, use_pallas=None):
     _, (ys, damps) = lax.scan(
         step,
         (zeros, zeros, jnp.zeros((b,), x.dtype)),
-        jnp.moveaxis(xs, 1, 0),  # (M, B, C)
+        xs,  # (M, B, C)
     )
-    y = jnp.moveaxis(ys, 0, 1).reshape(b, n_pad)[:, :n]
-    damped = jnp.moveaxis(damps, 0, 1).reshape(b, n_pad)[:, :n]
-    return y, damped
+    return ys, damps, c
 
 
 def allpass_block(hist, x, a, lag: int):
