@@ -163,17 +163,28 @@ def _fused_kernel(hist_len, tile, window, region_len,
         base = (hist_len + gidx * tile + j) - (prog_base + a_loc_col)
         return wins, base.astype(jnp.float32)
 
-    def tap(ago_ref, m_ref, col_lo, col_hi):
+    def tap(ago_ref, m_ref, col_lo, col_hi, out_row):
         ago = ago_ref[:, 0, :]
-        wl, bl = windows_and_bases(col_lo)
-        wh, bh = windows_and_bases(col_hi)
-        s_lo = _taps_onehot(bl - ago, wl, r, t, window)
-        s_hi = _taps_onehot(bh - ago, wh, r, t, window)
         m = m_ref[:, 0, :]
-        return m * s_hi + (1.0 - m) * s_lo
+        wl, bl = windows_and_bases(col_lo)
+        s_lo = _taps_onehot(bl - ago, wl, r, t, window)
+        out_ref[:, out_row, :] = s_lo
 
-    out_ref[:, 0, :] = tap(a1_ref, m1_ref, 0, 1)
-    out_ref[:, 1, :] = tap(a2_ref, m2_ref, 2, 3)
+        # The hi position cluster exists only in programs where the grain
+        # phasor wraps — once per ~ring-size output samples, so ~13% of
+        # streaming programs at ratio 2.  Grid programs run sequentially
+        # on the core, so a program-level predicate genuinely skips the
+        # second band evaluation (unlike the round-1 per-tile predication
+        # inside 8-row file programs, which measured slower — the skip
+        # granularity must match the program, not the tile).
+        @pl.when(jnp.max(m) > 0.0)
+        def _hi():
+            wh, bh = windows_and_bases(col_hi)
+            s_hi = _taps_onehot(bh - ago, wh, r, t, window)
+            out_ref[:, out_row, :] = m * s_hi + (1.0 - m) * s_lo
+
+    tap(a1_ref, m1_ref, 0, 1, 0)
+    tap(a2_ref, m2_ref, 2, 3, 1)
 
 
 @functools.partial(
