@@ -249,38 +249,49 @@ def linrec2(v, a1, a2, y1, y2):
     """Solve y[n] = v[n] - a1*y[n-1] - a2*y[n-2] with y[-1]=y1, y[-2]=y2.
 
     v: (N,) float32; coefficients and initial conditions are scalars.
-    Returns y: (N,).  Uses a 2x2 companion-matrix associative scan:
+    Returns y: (N,).  2x2 companion-matrix prefix maps
     s[n] = M @ s[n-1] + [v[n], 0],  M = [[-a1, -a2], [1, 0]],
-    s[n] = [y[n], y[n-1]].
+    s[n] = [y[n], y[n-1]], accumulated by a hand-rolled Hillis-Steele
+    over contiguous lane shifts, the codebase's standard form for
+    lane-axis scans (``lax.associative_scan`` there lowers to strided
+    slices — catastrophic at the gate's (1744, 512) scale, measured
+    NEUTRAL at this one's 256 lanes; see affine_scan_long).
     """
     n = v.shape[0]
     dt = v.dtype
     a1 = jnp.asarray(a1, dt)
     a2 = jnp.asarray(a2, dt)
     # Companion matrix components, constant across the block.
-    p = jnp.broadcast_to(-a1, (n,))
-    q = jnp.broadcast_to(-a2, (n,))
-    r = jnp.ones((n,), dt)
-    s = jnp.zeros((n,), dt)
-    bu = v
-    bv = jnp.zeros((n,), dt)
+    cp = jnp.broadcast_to(-a1, (n,))
+    cq = jnp.broadcast_to(-a2, (n,))
+    cr = jnp.ones((n,), dt)
+    cs = jnp.zeros((n,), dt)
+    cu = v
+    cv = jnp.zeros((n,), dt)
 
-    def combine(e1, e2):
-        # e = (p, q, r, s, bu, bv): matrix [[p, q], [r, s]], vector [bu, bv].
-        p1, q1, r1, s1, u1, v1 = e1
-        p2, q2, r2, s2, u2, v2 = e2
-        # M2 @ M1
-        np_ = p2 * p1 + q2 * r1
-        nq = p2 * q1 + q2 * s1
-        nr = r2 * p1 + s2 * r1
-        ns = r2 * q1 + s2 * s1
-        # M2 @ b1 + b2
-        nu = p2 * u1 + q2 * v1 + u2
-        nv = r2 * u1 + s2 * v1 + v2
-        return np_, nq, nr, ns, nu, nv
+    def shift(x, k, fill):
+        return jnp.concatenate([jnp.full((k,), fill, dt), x[: n - k]])
 
-    cp, cq, cr, cs, cu, cv = lax.associative_scan(combine, (p, q, r, s, bu, bv))
-    # s[n] = Mcum @ [y1, y2] + bcum ; output is the first component.
+    k = 1
+    while k < n:
+        # e[j] <- combine(e[j - k], e[j]): matrix M @ M1, vector M @ b1 + b
+        # (combine applies the right element AFTER the shifted left one);
+        # identity fill (M1 = I, b1 = 0) past the left edge.
+        p1 = shift(cp, k, 1.0)
+        q1 = shift(cq, k, 0.0)
+        r1 = shift(cr, k, 0.0)
+        s1 = shift(cs, k, 1.0)
+        u1 = shift(cu, k, 0.0)
+        v1 = shift(cv, k, 0.0)
+        cp, cq, cr, cs, cu, cv = (
+            cp * p1 + cq * r1,
+            cp * q1 + cq * s1,
+            cr * p1 + cs * r1,
+            cr * q1 + cs * s1,
+            cp * u1 + cq * v1 + cu,
+            cr * u1 + cs * v1 + cv,
+        )
+        k *= 2
     return cp * y1 + cq * y2 + cu
 
 
