@@ -106,11 +106,14 @@ class SessionPool:
         self._targets_maps = [dict_copy(self._tmap0) for _ in range(self.n_slots)]
         self.targets = self._stack_targets()
 
+        # No donation: donated dispatches serialize through remote relays
+        # (PERF.md round-2 third pass — 27 vs 3.4 ms/step on bad
+        # sessions); the extra copy of the batched state is cheap next to
+        # that, and the step's enqueue stays fully asynchronous.
         self._step = jax.jit(
             lambda st, tg, x: jax.vmap(
                 self.chain.process_block, in_axes=(0, 0, 0)
             )(st, tg, x),
-            donate_argnums=(0,),
         )
         self._lock = threading.Lock()
         self._free = list(range(self.n_slots))
