@@ -280,7 +280,11 @@ class PoolServer:
                             + "}"
                         )
                     elif command == "update_param":
-                        err = self.pool.update_param(
+                        # Device work (per-slot target rewrite) — keep it
+                        # off the event loop, where it would stall every
+                        # other session's handshake/IO on remote backends.
+                        err = await asyncio.get_running_loop().run_in_executor(
+                            None, self.pool.update_param,
                             slot, cmd.get("effect_id"), cmd.get("param"),
                             cmd.get("value"),
                         )
@@ -300,7 +304,10 @@ class PoolServer:
                 except Exception as e:
                     print(f"Error processing pool command: {e}")
         finally:
-            self.pool.release(slot)
+            # Slot reset touches device state — off the event loop too.
+            await asyncio.get_running_loop().run_in_executor(
+                None, self.pool.release, slot
+            )
             self._seqs.pop(slot, None)
             print(f"Session left: slot {slot}")
 
@@ -320,6 +327,12 @@ async def main(argv=None):
             chain_config = json.load(f)
     else:
         chain_config = DEFAULT_PRESETS[args.preset]
+
+    # Health probes (TCP connect-and-close, e.g. pool_load's wait_port)
+    # otherwise print a full handshake-EOF traceback per probe.
+    import logging
+
+    logging.getLogger("websockets").setLevel(logging.CRITICAL)
 
     gc.disable()
     from aefs_tpu.utils.platform import select_platform

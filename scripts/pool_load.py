@@ -39,7 +39,9 @@ async def run_session(url, n_blocks, blocksize, fs, realtime, wiggle, results, i
 
     rng = np.random.default_rng(idx)
     lats = []
-    async with websockets.connect(url, max_size=2**24) as ws:
+    # Generous open timeout: a TPU-backed pool may be mid-compile or
+    # mid-dispatch when many sessions connect at once.
+    async with websockets.connect(url, max_size=2**24, open_timeout=120) as ws:
         ready = json.loads(await ws.recv())
         if ready.get("type") != "session_ready":
             results[idx] = {"error": ready}
@@ -68,7 +70,9 @@ async def run_session(url, n_blocks, blocksize, fs, realtime, wiggle, results, i
         results[idx] = {"slot": slot, "lats": lats}
 
 
-def wait_port(port, timeout=120.0):
+def wait_port(port, timeout=420.0):
+    """TPU pools compile their vmapped step before serving — allow for a
+    cold-cache compile plus the dev tunnel's device-claim delay."""
     t0 = time.time()
     while time.time() - t0 < timeout:
         with socket.socket() as s:
@@ -109,7 +113,7 @@ async def main():
         # Probe one session for blocksize/fs.
         import websockets
 
-        async with websockets.connect(url) as ws:
+        async with websockets.connect(url, open_timeout=120) as ws:
             ready = json.loads(await ws.recv())
             blocksize, fs = ready["blocksize"], ready["sample_rate"]
             chain = ready.get("chain", [])
