@@ -137,7 +137,9 @@ class Reverb(EffectModel):
     def _diffuse_and_mix(self, state, p, x, comb_y, new_pre, new_combs, new_lps):
         """Shared tail of process/process_file: per-side allpass diffuser
         chains, dry/wet mix with hard clip (reverb.py:243-277), and state
-        assembly.  comb_y: per-side (n_combs, N) raw comb outputs."""
+        assembly.  comb_y: per side a (K, N) array summed over axis 0 —
+        the streaming path passes the raw (n_combs, N) outputs, the file
+        path a pre-summed (1, N) (it sums on the chunk tensor)."""
         new_aps, wet_sides = [], []
         for side in range(2):
             sig = jnp.sum(comb_y[side], axis=0)  # comb sum (reverb.py:234-241)

@@ -199,8 +199,9 @@ class SessionPool:
         x = np.zeros((self.n_slots, CHANNELS_IN, self.blocksize), np.float32)
         for slot, audio in blocks.items():
             x[slot, 0, : len(audio)] = audio[: self.blocksize]
-        # The lock spans the whole dispatch: the step donates self.state,
-        # so slot resets / target updates must never interleave with it.
+        # The lock spans the whole dispatch: (self.state, self.targets)
+        # must be read and replaced atomically against release() resets
+        # and update_param() target rewrites on other threads.
         with self._lock:
             t0 = time.time()
             self.state, y = self._step(self.state, self.targets, self._put(x))
@@ -304,11 +305,21 @@ class PoolServer:
                 except Exception as e:
                     print(f"Error processing pool command: {e}")
         finally:
-            # Slot reset touches device state — off the event loop too.
-            await asyncio.get_running_loop().run_in_executor(
+            # Pop the seq counter BEFORE the slot can be re-claimed: the
+            # executor hop below yields the event loop, and a new session
+            # claiming the freed slot must not have its counter deleted
+            # by this handler's continuation.
+            self._seqs.pop(slot, None)
+            # Slot reset touches device state — off the event loop.
+            # Shielded so task cancellation (server teardown) cannot skip
+            # the release and leak the slot.
+            fut = asyncio.get_running_loop().run_in_executor(
                 None, self.pool.release, slot
             )
-            self._seqs.pop(slot, None)
+            try:
+                await asyncio.shield(fut)
+            except asyncio.CancelledError:
+                pass  # the release still runs in the worker thread
             print(f"Session left: slot {slot}")
 
 
@@ -329,10 +340,15 @@ async def main(argv=None):
         chain_config = DEFAULT_PRESETS[args.preset]
 
     # Health probes (TCP connect-and-close, e.g. pool_load's wait_port)
-    # otherwise print a full handshake-EOF traceback per probe.
+    # otherwise print a full handshake-EOF traceback per probe.  Filter
+    # just those records — real websocket errors must stay visible.
     import logging
 
-    logging.getLogger("websockets").setLevel(logging.CRITICAL)
+    class _ProbeNoise(logging.Filter):
+        def filter(self, record):
+            return "opening handshake failed" not in record.getMessage()
+
+    logging.getLogger("websockets.server").addFilter(_ProbeNoise())
 
     gc.disable()
     from aefs_tpu.utils.platform import select_platform

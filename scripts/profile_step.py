@@ -36,7 +36,9 @@ def report(trace_dir, runs, module_prefix, top):
     if not files:
         print("no trace produced (CPU backend?)")
         return
-    f = max(files, key=len)
+    import os
+
+    f = max(files, key=os.path.getmtime)  # newest trace, not longest name
     ev = json.loads(gzip.open(f).read().decode())["traceEvents"]
     tpu_pids = set()
     for e in ev:
