@@ -190,8 +190,10 @@ class Reverb(EffectModel):
             10.0,
             -3.0 * (jnp.asarray(all_lags, jnp.float32) / fs) / jnp.maximum(1e-3, rt60),
         )
-        xb = jnp.repeat(pre_out, self.n_combs, axis=0)  # (2B, N) side-major
-        y_mbc, d_mbc, c = comb_bank_file_chunks(xb, all_lags, g_all, damp)
+        side_of = (0,) * self.n_combs + (1,) * self.n_combs
+        y_mbc, d_mbc, c = comb_bank_file_chunks(
+            pre_out, all_lags, g_all, damp, side_of=side_of
+        )
 
         n = x.shape[-1]
         b = self.n_combs
@@ -212,7 +214,8 @@ class Reverb(EffectModel):
         take = min(n, lmax)
         start = n - take
         d_win = jax.lax.slice(d_tail, (0, start - off), (2 * b, n - off))
-        w_win = xb[:, start:n] + g_all[:, None] * d_win
+        x_tail = jnp.repeat(pre_out[:, start:n], b, axis=0)  # (2B, take) tiny
+        w_win = x_tail + g_all[:, None] * d_win
         if take < lmax:
             w_win = jnp.concatenate(
                 [jnp.zeros((2 * b, lmax - take), x.dtype), w_win], axis=1

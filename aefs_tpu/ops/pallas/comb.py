@@ -31,11 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(lags, c):
+def _make_kernel(lags, side_of, c):
     b = len(lags)
+    s = max(side_of) + 1
 
-    def kernel(h_ref, g_ref, xs_ref, y_ref, damped_ref,
-               t_t, hpow, prev2, prev1, dlast):
+    def kernel(h_ref, g_ref, x_ref, y_ref, damped_ref,
+               t_t, hpow, prev2, prev1, dlast, px2, px1):
         i = pl.program_id(0)
         h = h_ref[0, 0]
 
@@ -56,9 +57,30 @@ def _make_kernel(lags, c):
             prev2[...] = jnp.zeros((b, c), jnp.float32)
             prev1[...] = jnp.zeros((b, c), jnp.float32)
             dlast[...] = jnp.zeros((b, 1), jnp.float32)
+            px2[...] = jnp.zeros((s, c), jnp.float32)
+            px1[...] = jnp.zeros((s, c), jnp.float32)
 
-        xs = xs_ref[0]  # (B, C) per-comb lag-shifted input for this chunk
+        xc = x_ref[...]  # (S, C) raw source chunk
         g = g_ref[0, :]  # (B,)
+
+        # x[n - L_b]: the raw three-chunk window carried in VMEM; with
+        # C <= L < 2C the lag-shifted chunk starts at offset 2C - L_b
+        # (lags are compile-time topology).  Extracted with the same
+        # lane-rotation trick as the damped window (Mosaic has no
+        # unaligned slicing): right-roll by L + C puts the window start
+        # at lane 0.  This replaces the XLA-side construction of B
+        # lag-shifted signal copies — the dominant input-build cost of
+        # the batched file pass.
+        ext_x = jnp.concatenate([px2[...], px1[...], xc], axis=1)  # (S, 3C)
+        xs = jnp.concatenate(
+            [
+                pltpu.roll(
+                    ext_x[side_of[bi] : side_of[bi] + 1, :], lag + c, 1
+                )[:, :c]
+                for bi, lag in enumerate(lags)
+            ],
+            axis=0,
+        )  # (B, C)
 
         # damped[n - L_b]: the carried two-chunk window rotated left by
         # 2C - L_b and truncated to C.  Mosaic has no unaligned slicing
@@ -86,31 +108,46 @@ def _make_kernel(lags, c):
         prev2[...] = prev1[...]
         prev1[...] = damped
         dlast[...] = damped[:, c - 1 : c]
+        px2[...] = px1[...]
+        px1[...] = xc
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("lags", "c", "interpret"))
-def comb_bank_file_pallas(xs, g, h, lags: tuple, c: int, interpret: bool = False):
-    """xs: (M, B, C) per-comb lag-shifted input chunks (xs[m, b, j] =
-    x_b[m*C + j - L_b], zeros before the signal start).
+@functools.partial(
+    jax.jit, static_argnames=("lags", "side_of", "c", "interpret")
+)
+def comb_bank_file_pallas(x, g, h, lags: tuple, c: int,
+                          side_of: tuple = None, interpret: bool = False):
+    """x: (S, M*C) raw source signals (right-padded); comb b reads source
+    row ``side_of[b]`` at lag ``lags[b]`` (defaults to the identity map,
+    S == B).  The kernel carries the raw chunks in VMEM and extracts each
+    comb's lag-shifted window in-kernel, so no per-comb shifted copies of
+    the signal are ever materialized in HBM.
     Returns (y, damped) as (M, B, C)."""
-    m, b, _ = xs.shape
+    b = len(lags)
+    side_of = tuple(range(b)) if side_of is None else tuple(side_of)
+    s, n_pad = x.shape
+    m = n_pad // c
     h_arr = jnp.asarray(h, jnp.float32).reshape(1, 1)
     g_arr = jnp.asarray(g, jnp.float32).reshape(1, b)
 
     spec_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     spec_g = pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # Raw chunks stream as (S, C) column blocks of the 2-D signal — no
+    # reshape or transpose anywhere (a (S, 1, C) block of an (S, M, C)
+    # view violates Mosaic's sublane-divisibility rule).
+    spec_x = pl.BlockSpec((s, c), lambda i: (0, i), memory_space=pltpu.VMEM)
     spec_chunk = pl.BlockSpec((1, b, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     y, damped = pl.pallas_call(
-        _make_kernel(lags, c),
+        _make_kernel(lags, side_of, c),
         out_shape=(
             jax.ShapeDtypeStruct((m, b, c), jnp.float32),
             jax.ShapeDtypeStruct((m, b, c), jnp.float32),
         ),
         grid=(m,),
-        in_specs=[spec_scalar, spec_g, spec_chunk],
+        in_specs=[spec_scalar, spec_g, spec_x],
         out_specs=(spec_chunk, spec_chunk),
         scratch_shapes=[
             pltpu.VMEM((c, c), jnp.float32),   # T_h^T, resident across chunks
@@ -118,7 +155,9 @@ def comb_bank_file_pallas(xs, g, h, lags: tuple, c: int, interpret: bool = False
             pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-2
             pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-1
             pltpu.VMEM((b, 1), jnp.float32),   # damped[-1] carry
+            pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-2
+            pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-1
         ],
         interpret=interpret,
-    )(h_arr, g_arr, xs)
+    )(h_arr, g_arr, x)
     return y, damped

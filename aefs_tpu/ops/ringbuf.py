@@ -385,9 +385,16 @@ def comb_bank_file(x, lags, g, h, chunk=None, use_pallas=None):
     return y, damped
 
 
-def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None):
+def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None,
+                          side_of=None):
     """``comb_bank_file`` in chunk-major form: returns (y, damped) as
     (M, B, C) chunk tensors plus the chunk size C (N padded to M*C).
+
+    x: (S, N) raw SOURCE signals; comb b reads ``x[side_of[b]]`` at lag
+    ``lags[b]`` (``side_of`` defaults to the identity, S == B).  The
+    reverb passes its two pre-delayed sides once instead of repeating
+    them across the bank: the per-comb lag-shifted copies are built
+    inside the Pallas kernel from VMEM-carried raw chunks, never in HBM.
 
     This is the layout the solvers produce natively; flattening to
     (B, N) costs a whole-signal transpose copy per output — ~0.85 ms per
@@ -397,7 +404,9 @@ def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None):
     """
     from jax import lax
 
-    b, n = x.shape
+    _, n = x.shape
+    b = len(lags)
+    side_of = tuple(range(b)) if side_of is None else tuple(side_of)
     if chunk:
         c = int(chunk)
     else:
@@ -411,29 +420,34 @@ def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None):
         raise ValueError(f"comb lags {lags} violate C <= L < 2C for C={c}")
     m = -(-n // c)
     n_pad = m * c
-    # x[n - L] per comb: static per-comb shifts (lags are compile-time),
-    # no gather anywhere in this op.  Built chunk-major directly — the
-    # (B, M, C) -> (M, B, C) moveaxis it replaces is a whole-signal copy.
-    xs = jnp.stack(
-        [
-            jnp.pad(x[i], (lag, n_pad - n))[:n_pad].reshape(m, c)
-            for i, lag in enumerate(lags)
-        ],
-        axis=1,
-    )  # (M, B, C)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # VMEM-resident propagator kernel: T_h built once on-chip instead
         # of being refetched from HBM for every chunk (~5 GB of traffic
-        # for an 18.6 s file in the XLA path).
+        # for an 18.6 s file in the XLA path); the per-comb lag-shifted
+        # inputs are also extracted in-kernel from VMEM-carried raw
+        # chunks instead of materializing B shifted signal copies.
         from aefs_tpu.ops.pallas.comb import comb_bank_file_pallas
 
         ys, damps = comb_bank_file_pallas(
-            xs, g, h, tuple(int(l) for l in lags), c
+            jnp.pad(x, ((0, 0), (0, n_pad - n))), g, h,
+            tuple(int(l) for l in lags), c, side_of,
+            interpret=use_pallas == "interpret",
         )
         return ys, damps, c
+
+    # XLA fallback: per-comb lag-shifted chunks, built chunk-major
+    # directly (the (B, M, C) -> (M, B, C) moveaxis it replaces is a
+    # whole-signal copy).
+    xs = jnp.stack(
+        [
+            jnp.pad(x[side_of[i]], (lag, n_pad - n))[:n_pad].reshape(m, c)
+            for i, lag in enumerate(lags)
+        ],
+        axis=1,
+    )  # (M, B, C)
 
     # In-chunk damping propagator: T_h[j, i] = h^(j-i) for j >= i.
     j_i = jnp.arange(c)[:, None] - jnp.arange(c)[None, :]

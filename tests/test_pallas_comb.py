@@ -1,11 +1,29 @@
 """VMEM-resident comb kernel vs the XLA chunked solve (interpret mode on
-CPU; the TPU run matched bit-exactly, see PERF.md)."""
+CPU; the TPU run matched bit-exactly, see PERF.md).
+
+The kernel takes RAW source signals and extracts each comb's lag-shifted
+window in-kernel (VMEM-carried chunks + lane rotation), so the tests
+feed it the unshifted (S, N) signals directly."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from aefs_tpu.ops.ringbuf import comb_bank_file
 from aefs_tpu.ops.pallas.comb import comb_bank_file_pallas
+
+
+def _run_pallas(x, g, h, lags, c, side_of=None):
+    n = x.shape[1]
+    m = -(-n // c)
+    n_pad = m * c
+    y_p, d_p = comb_bank_file_pallas(
+        jnp.pad(x, ((0, 0), (0, n_pad - n))), g, h, lags, c,
+        side_of=side_of, interpret=True,
+    )
+    b = len(lags)
+    y_p = jnp.moveaxis(y_p, 0, 1).reshape(b, n_pad)[:, :n]
+    d_p = jnp.moveaxis(d_p, 0, 1).reshape(b, n_pad)[:, :n]
+    return y_p, d_p
 
 
 def test_pallas_comb_matches_xla_interpret():
@@ -17,18 +35,8 @@ def test_pallas_comb_matches_xla_interpret():
     h = jnp.float32(0.3)
 
     y_xla, d_xla = comb_bank_file(x, lags, g, h, use_pallas=False)
-
     c = (min(lags) // 128) * 128
-    m = -(-n // c)
-    n_pad = m * c
-    xs = jnp.stack(
-        [jnp.pad(x[i], (lag, n_pad - n))[:n_pad] for i, lag in enumerate(lags)]
-    ).reshape(4, m, c)
-    y_p, d_p = comb_bank_file_pallas(
-        jnp.moveaxis(xs, 1, 0), g, h, lags, c, interpret=True
-    )
-    y_p = jnp.moveaxis(y_p, 0, 1).reshape(4, n_pad)[:, :n]
-    d_p = jnp.moveaxis(d_p, 0, 1).reshape(4, n_pad)[:, :n]
+    y_p, d_p = _run_pallas(x, g, h, lags, c)
 
     assert float(jnp.max(jnp.abs(y_p - y_xla))) < 1e-5
     assert float(jnp.max(jnp.abs(d_p - d_xla))) < 1e-5
@@ -44,14 +52,31 @@ def test_pallas_comb_lag_equal_chunk_edge():
     g = jnp.asarray([0.5, 0.6, 0.7, 0.8], jnp.float32)
     h = jnp.float32(0.2)
     y_xla, _ = comb_bank_file(x, lags, g, h, chunk=c, use_pallas=False)
-
-    m = -(-n // c)
-    n_pad = m * c
-    xs = jnp.stack(
-        [jnp.pad(x[i], (lag, n_pad - n))[:n_pad] for i, lag in enumerate(lags)]
-    ).reshape(4, m, c)
-    y_p, _ = comb_bank_file_pallas(
-        jnp.moveaxis(xs, 1, 0), g, h, lags, c, interpret=True
-    )
-    y_p = jnp.moveaxis(y_p, 0, 1).reshape(4, n_pad)[:, :n]
+    y_p, _ = _run_pallas(x, g, h, lags, c)
     assert float(jnp.max(jnp.abs(y_p - y_xla))) < 1e-5
+
+
+def test_pallas_comb_shared_sides():
+    """The reverb's layout: 8 combs over 2 source sides (side_of map)."""
+    from aefs_tpu.ops.ringbuf import comb_bank_file_chunks
+
+    rng = np.random.default_rng(2)
+    lags = (1425, 1780, 1972, 2097, 1411, 1766, 1958, 2083)
+    side_of = (0, 0, 0, 0, 1, 1, 1, 1)
+    n = 20000
+    x2 = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+    g = jnp.asarray(np.linspace(0.5, 0.9, 8), jnp.float32)
+    h = jnp.float32(0.25)
+
+    # Reference: identity map over explicitly repeated rows.
+    x8 = jnp.repeat(x2, 4, axis=0)
+    y_ref, d_ref = comb_bank_file(x8, lags, g, h, use_pallas=False)
+
+    y_mbc, d_mbc, c = comb_bank_file_chunks(
+        x2, lags, g, h, use_pallas="interpret", side_of=side_of
+    )
+    n_pad = y_mbc.shape[0] * c
+    y_p = jnp.moveaxis(y_mbc, 0, 1).reshape(8, n_pad)[:, :n]
+    d_p = jnp.moveaxis(d_mbc, 0, 1).reshape(8, n_pad)[:, :n]
+    assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-5
