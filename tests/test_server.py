@@ -232,3 +232,44 @@ def test_stereo_plot_serialization_fields():
         assert payload["output_r"] == [10, 11, 12, 13]
     finally:
         backend.STEREO_PLOTS = old
+
+
+def test_ws_malformed_uploads_do_not_kill_the_server():
+    """Junk process_file payloads (not a data URL, invalid base64, valid
+    base64 but not a WAV, truncated WAV header) must leave the server
+    alive and responsive — the reference's per-command try/except
+    contract (backend.py:110-113)."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**29)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**29) as client:
+                junk = [
+                    "no comma here",
+                    "data:audio/wav;base64,!!!not-base64!!!",
+                    "data:audio/wav;base64,"
+                    + base64.b64encode(b"definitely not a wav").decode(),
+                    "data:audio/wav;base64,"
+                    + base64.b64encode(b"RIFF\x04\x00\x00\x00WAVE").decode(),
+                ]
+                for contents in junk:
+                    await client.send(json.dumps(
+                        {"command": "process_file", "contents": contents}))
+                # the server survives: a stats request still answers
+                await client.send(json.dumps({"command": "get_stats"}))
+                for _ in range(30):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                    if msg["type"] == "stats":
+                        break
+                else:
+                    raise AssertionError("server unresponsive after junk uploads")
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
