@@ -458,7 +458,7 @@ def main():
 
     # Secondary metric: skip if a cold cache has already eaten the time
     # budget — the headline JSON line must always be printed.
-    if time.time() - t_start < 420:
+    if time.time() - t_start < 520:
         try:
             results["batch16_aggregate_x_realtime"] = bench_batch_render(
                 CONFIGS["5_five_effect"], x
