@@ -106,14 +106,17 @@ class SessionPool:
         self._targets_maps = [dict_copy(self._tmap0) for _ in range(self.n_slots)]
         self.targets = self._stack_targets()
 
-        # No donation: donated dispatches serialize through remote relays
-        # (PERF.md round-2 third pass — 27 vs 3.4 ms/step on bad
-        # sessions); the extra copy of the batched state is cheap next to
-        # that, and the step's enqueue stays fully asynchronous.
+        # Donation default OFF: donated dispatches serialize through
+        # remote relays (PERF.md round-2 third pass — 27 vs 3.4 ms/step
+        # on bad sessions), and the extra state copy is cheap next to
+        # that.  On a host-attached TPU donation is strictly better (it
+        # updates the ring buffers in place): AEFS_POOL_DONATE=1.
+        donate = os.environ.get("AEFS_POOL_DONATE", "0") == "1"
         self._step = jax.jit(
             lambda st, tg, x: jax.vmap(
                 self.chain.process_block, in_axes=(0, 0, 0)
             )(st, tg, x),
+            donate_argnums=(0,) if donate else (),
         )
         self._lock = threading.Lock()
         self._free = list(range(self.n_slots))
