@@ -175,13 +175,23 @@ def _feedback_solve(x, base_hist, in_hist, d, feedback, k: int):
 def _shift_dyn(y, d):
     """y[n - d] with zeros for n < d; ``d`` may be traced (int32 scalar).
 
-    Small blocks route through the one-hot lane shift (dynamic minor-dim
-    slices loop sequentially on TPU); long signals use a contiguous
-    dynamic_slice of the zero-padded signal — never a gather."""
+    Small blocks evaluate the shift directly as a shifted-identity MXU
+    contraction sel[i, j] = (i + d == j): out[j] = y[j - d], zeros where
+    j < d fall out of the empty column — half the select-matrix volume
+    of padding to 2n and lane-slicing (and exact, like all the one-hot
+    selects).  Long signals use a contiguous dynamic_slice of the
+    zero-padded signal — never a gather (dynamic minor-dim slices loop
+    sequentially on TPU)."""
     n = y.shape[-1]
-    padded = jnp.concatenate([jnp.zeros_like(y), y], axis=-1)
     if n <= _LANE_MM_MAX:
-        return lane_dynamic_slice(padded, n - d, n)
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        sel = (i + d == j).astype(y.dtype)
+        return jax.lax.dot_general(
+            y, sel, (((y.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    padded = jnp.concatenate([jnp.zeros_like(y), y], axis=-1)
     return jax.lax.dynamic_slice_in_dim(padded, n - d, n, axis=-1)
 
 
