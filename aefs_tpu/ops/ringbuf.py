@@ -184,13 +184,10 @@ def _shift_dyn(y, d):
     sequentially on TPU)."""
     n = y.shape[-1]
     if n <= _LANE_MM_MAX:
-        i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        sel = (i + d == j).astype(y.dtype)
-        return jax.lax.dot_general(
-            y, sel, (((y.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # lane_dynamic_slice at start = -d IS the shifted identity
+        # sel[i, j] = (i == j - d): out[j] = y[j - d], zeros where j < d
+        # fall out of the empty columns.
+        return lane_dynamic_slice(y, -d, n)
     padded = jnp.concatenate([jnp.zeros_like(y), y], axis=-1)
     return jax.lax.dynamic_slice_in_dim(padded, n - d, n, axis=-1)
 

@@ -79,12 +79,6 @@ class SessionPool:
             channels_in=CHANNELS_IN, channels_out=CHANNELS_OUT,
         )
         self._fresh_single = single_state
-        self.state = jax.tree.map(
-            lambda leaf: jnp.broadcast_to(
-                leaf[None], (self.n_slots,) + leaf.shape
-            ).copy(),
-            single_state,
-        )
         self._sharding = None
         if shard and len(jax.devices()) > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -98,10 +92,7 @@ class SessionPool:
             self._sharding = lambda leaf: NamedSharding(
                 mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))
             )
-            self.state = jax.tree.map(
-                lambda leaf: jax.device_put(leaf, self._sharding(leaf)),
-                self.state,
-            )
+        self.state = self._fresh_batched_state()
         # Per-slot parameter targets: host-side maps + a batched pytree.
         self._targets_maps = [dict_copy(self._tmap0) for _ in range(self.n_slots)]
         self.targets = self._stack_targets()
@@ -111,12 +102,12 @@ class SessionPool:
         # on bad sessions), and the extra state copy is cheap next to
         # that.  On a host-attached TPU donation is strictly better (it
         # updates the ring buffers in place): AEFS_POOL_DONATE=1.
-        donate = os.environ.get("AEFS_POOL_DONATE", "0") == "1"
+        self._donate = os.environ.get("AEFS_POOL_DONATE", "0") == "1"
         self._step = jax.jit(
             lambda st, tg, x: jax.vmap(
                 self.chain.process_block, in_axes=(0, 0, 0)
             )(st, tg, x),
-            donate_argnums=(0,) if donate else (),
+            donate_argnums=(0,) if self._donate else (),
         )
         self._lock = threading.Lock()
         self._free = list(range(self.n_slots))
@@ -137,6 +128,25 @@ class SessionPool:
         if self._sharding is not None:
             return jax.device_put(x, self._sharding(x))
         return x
+
+    def _fresh_batched_state(self):
+        """Fresh per-slot audio state for every slot (sharded if the pool
+        is).  Also the recovery path when a donated dispatch dies mid-step
+        and leaves ``self.state`` pointing at deleted buffers."""
+        import jax
+        import jax.numpy as jnp
+
+        state = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(
+                leaf[None], (self.n_slots,) + leaf.shape
+            ).copy(),
+            self._fresh_single,
+        )
+        if self._sharding is not None:
+            state = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, self._sharding(leaf)), state
+            )
+        return state
 
     def _stack_targets(self):
         import jax.numpy as jnp
@@ -207,8 +217,19 @@ class SessionPool:
         # and update_param() target rewrites on other threads.
         with self._lock:
             t0 = time.time()
-            self.state, y = self._step(self.state, self.targets, self._put(x))
-            out = np.asarray(y)  # sync + readback
+            try:
+                self.state, y = self._step(self.state, self.targets, self._put(x))
+                out = np.asarray(y)  # sync + readback
+            except Exception:
+                if self._donate:
+                    # The failed dispatch consumed the donated state
+                    # buffers; without a reset every future step would
+                    # raise 'Array has been deleted' — a transient error
+                    # must not become a permanent outage.  Sessions keep
+                    # their slots; their audio tails restart from silence.
+                    print("Error: pool step failed; resetting slot state")
+                    self.state = self._fresh_batched_state()
+                raise
             self.last_step_ms = (time.time() - t0) * 1000.0
         return {slot: out[slot].T for slot in blocks}
 
@@ -237,7 +258,21 @@ class PoolServer:
             if not batch:
                 continue
             blocks = {slot: audio for slot, (audio, _f) in batch.items()}
-            outs = await loop.run_in_executor(None, self.pool.step_blocks, blocks)
+            try:
+                outs = await loop.run_in_executor(
+                    None, self.pool.step_blocks, blocks
+                )
+            except Exception as e:
+                # A failed dispatch must kill neither the batcher task
+                # (every later submission would hang on a dead queue) nor
+                # the sessions: propagate to each waiter, whose handler
+                # logs it and keeps the connection alive.
+                for _slot, (_a, fut) in batch.items():
+                    if not fut.done():
+                        fut.set_exception(
+                            RuntimeError(f"pool step failed: {e}")
+                        )
+                continue
             for slot, (_a, fut) in batch.items():
                 if not fut.done():
                     fut.set_result(outs[slot])

@@ -360,12 +360,16 @@ def bench_multistream(cfgs):
     """Batched serving density: S independent chains stepped together
     (vmapped) on one chip — the production many-sessions-per-chip axis
     (parallel/ shards the same batch over a mesh; server/pool.py is the
-    product surface).  Density trades against block latency: 256-sample
-    blocks match the reference's mic cadence, 512/1024-sample blocks
-    amortize per-op overhead at 10.7/21.3 ms block latency.  Returns
-    (best device-limited count, best tunnel host-loop count)."""
+    product surface).  256-sample blocks — the reference's own mic
+    cadence — outperform larger blocks since the adaptive-rows kernel
+    fix, so the sweep scales S at the strict cadence plus one 512-block
+    point (10.7 ms block latency) for the latency-tolerant regime.
+    Returns (best device-limited count, best tunnel host-loop count)."""
     best_dev, best_host = 0.0, 0.0
-    for n_streams, blocksize in ((128, 256), (256, 512), (256, 1024)):
+    # 256-sample blocks (the reference's own mic cadence) now beat larger
+    # blocks outright, so the sweep scales S at the strict cadence and
+    # keeps one larger-block point for the latency-tolerant regime.
+    for n_streams, blocksize in ((128, 256), (256, 256), (256, 512)):
         try:
             d, h = bench_multistream_one(cfgs, n_streams, blocksize)
             best_dev, best_host = max(best_dev, d), max(best_host, h)
