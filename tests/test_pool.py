@@ -129,3 +129,54 @@ def test_pool_sharded_matches_unsharded():
             assert err < 1e-5, (i, s, err)
     # slots 3 and 0 diverge (different cutoffs) — the per-slot params bite
     assert not np.allclose(oa[0], oa[3])
+
+
+def test_pool_batcher_survives_step_failure():
+    """A failing dispatch must neither kill the batcher task (every later
+    submission would hang) nor the session: the waiter gets the error,
+    the next block processes normally."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server.pool import PoolServer, SessionPool
+
+        pool = SessionPool(CFG, n_slots=1)
+        orig = pool.step_blocks
+        calls = {"n": 0}
+
+        def flaky(blocks):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device fault")
+            return orig(blocks)
+
+        pool.step_blocks = flaky
+        srv = PoolServer(pool)
+        server = await ws.serve(srv.handler, "127.0.0.1", 0, max_size=2**26)
+        port = server.sockets[0].getsockname()[1]
+        batcher = asyncio.create_task(srv.batcher())
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}") as client:
+                ready = json.loads(await client.recv())
+                n = ready["blocksize"]
+                blk = (0.1 * np.random.default_rng(0).standard_normal(n)).tolist()
+                # First block hits the injected fault: the handler logs it
+                # and sends nothing, but the connection stays open.
+                await client.send(json.dumps(
+                    {"command": "stream_block", "audio": blk}))
+                with pytest.raises(asyncio.TimeoutError):
+                    await asyncio.wait_for(client.recv(), 2)
+                # Second block processes normally through the same batcher.
+                await client.send(json.dumps(
+                    {"command": "stream_block", "audio": blk}))
+                msg = json.loads(await asyncio.wait_for(client.recv(), 30))
+                assert msg["type"] == "processed_block"
+                assert len(msg["output"]) == n
+        finally:
+            batcher.cancel()
+            server.close()
+            await server.wait_closed()
+        assert calls["n"] >= 2
+
+    asyncio.run(scenario())
