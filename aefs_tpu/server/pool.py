@@ -330,12 +330,19 @@ class PoolServer:
                         if err:
                             print(err)
                     elif command == "get_pool_stats":
+                        deadline_ms = (
+                            self.pool.blocksize / self.pool.fs * 1000.0
+                        )
                         await websocket.send(json.dumps({
                             "type": "pool_stats",
                             "slots": self.pool.n_slots,
                             "active": self.pool.n_slots - len(self.pool._free),
                             "blocksize": self.pool.blocksize,
                             "step_ms": round(self.pool.last_step_ms, 3),
+                            # One batched step serves every slot, so the
+                            # whole pool is realtime while step < block.
+                            "deadline_ms": round(deadline_ms, 3),
+                            "realtime_ok": self.pool.last_step_ms < deadline_ms,
                             "chain": self.pool.chain_config,
                         }))
                 except json.JSONDecodeError:

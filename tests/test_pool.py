@@ -74,6 +74,10 @@ def test_pool_two_sessions_per_session_params(tmp_path):
                 msg = json.loads(await asyncio.wait_for(a.recv(), 30))
                 assert msg["type"] == "pool_stats"
                 assert msg["slots"] == 2 and msg["active"] == 2
+                assert msg["deadline_ms"] == pytest.approx(
+                    msg["blocksize"] / 48000 * 1000, rel=1e-6
+                )
+                assert isinstance(msg["realtime_ok"], bool)
 
             # both sessions gone: slots return, and a new claimant gets
             # FRESH state/targets (B's 300 Hz cutoff must not leak)
