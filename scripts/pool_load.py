@@ -138,6 +138,18 @@ async def main():
         ok = sum(1 for r in results.values() if "lats" in r)
         audio_s = ok * args.blocks * blocksize / fs
         deadline_ms = blocksize / fs * 1000
+
+        # The pool's own verdict: its batched step time vs the deadline
+        # (per-block RTT above also pays network + batching window).
+        pool_stats = {}
+        try:
+            async with websockets.connect(url, open_timeout=60) as ws2:
+                json.loads(await ws2.recv())  # session_ready
+                await ws2.send(json.dumps({"command": "get_pool_stats"}))
+                pool_stats = json.loads(await asyncio.wait_for(ws2.recv(), 30))
+        except Exception:
+            pass
+
         print(json.dumps({
             "sessions_ok": ok,
             "sessions": args.sessions,
@@ -148,6 +160,8 @@ async def main():
             "aggregate_audio_s": round(audio_s, 2),
             "wall_s": round(wall, 2),
             "aggregate_x_realtime": round(audio_s / wall, 2),
+            "pool_step_ms": pool_stats.get("step_ms"),
+            "pool_realtime_ok": pool_stats.get("realtime_ok"),
         }))
     finally:
         if proc is not None:
