@@ -184,3 +184,63 @@ def test_pool_batcher_survives_step_failure():
         assert calls["n"] >= 2
 
     asyncio.run(scenario())
+
+
+def test_pool_with_parallel_branch_chain():
+    """The pool accepts any registry chain — including the parallel
+    container with lifted branch params; a session's branch-gain update
+    routes through the batched per-slot targets."""
+    websockets = pytest.importorskip("websockets")
+
+    par_cfg = [{
+        "effect_id": "p", "type": "parallel",
+        "branches": [
+            [{"effect_id": "bf", "type": "filter",
+              "params": {"filter_type": 0, "cutoff_hz": 8000, "q": 0.707}}],
+            [{"effect_id": "bd", "type": "delay",
+              "params": {"delay_ms": 100, "feedback": 0.1,
+                         "mix_dry": 0.0, "mix_wet": 1.0}}],
+        ],
+        "params": {},
+    }]
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server.pool import PoolServer, SessionPool
+
+        pool = SessionPool(par_cfg, n_slots=1)
+        srv = PoolServer(pool)
+        server = await ws.serve(srv.handler, "127.0.0.1", 0, max_size=2**26)
+        port = server.sockets[0].getsockname()[1]
+        batcher = asyncio.create_task(srv.batcher())
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}") as client:
+                ready = json.loads(await client.recv())
+                n = ready["blocksize"]
+
+                async def rms(n_blocks=30):
+                    vals = []
+                    for _ in range(n_blocks):
+                        await client.send(json.dumps({
+                            "command": "stream_block",
+                            "audio": _tone(n, 1000).tolist()}))
+                        msg = json.loads(
+                            await asyncio.wait_for(client.recv(), 60))
+                        assert msg["type"] == "processed_block"
+                        vals.append(np.sqrt(np.mean(np.square(msg["output"]))))
+                    return float(np.mean(vals[n_blocks // 2:]))
+
+                loud = await rms()
+                # Mute both branches via the lifted per-branch gains.
+                for param in ("gain_0", "gain_1"):
+                    await client.send(json.dumps({
+                        "command": "update_param", "effect_id": "p",
+                        "param": param, "value": 0.0}))
+                quiet = await rms()
+                assert quiet < loud * 0.2, (loud, quiet)
+        finally:
+            batcher.cancel()
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
