@@ -164,3 +164,31 @@ def test_pipelined_stream_one_block_latency():
     assert np.all(out == 0.0)
     out = eng.process_stream_block_pipelined(blocks[1])
     assert np.any(out != 0.0)
+
+
+def test_rebuild_resets_state_but_param_updates_preserve_it():
+    """SURVEY §7 hard part #4 (reference engine.py:38-65 semantics):
+    chain REBUILD resets all effect state (delay tails die); live param
+    updates glide without touching state (tails survive)."""
+    from aefs_tpu.engine.engine import AudioEngine
+
+    eng = AudioEngine()
+    cfg = [{"effect_id": "d", "type": "delay",
+            "params": {"delay_ms": 50, "feedback": 0.0, "mix_dry": 0.0,
+                       "mix_wet": 1.0, "offset_ms": 0}}]
+    eng.build_chain(cfg)
+    imp = np.zeros((256, 1), np.float32)
+    imp[0, 0] = 1.0
+    sil = np.zeros((256, 1), np.float32)
+
+    def tail_peak():
+        return max(float(np.abs(eng.process_stream_block(sil)).max())
+                   for _ in range(12))
+
+    eng.process_stream_block(imp)
+    assert tail_peak() > 0.4                      # echo emerges from state
+    eng.update_param("d", "mix_wet", 0.9)         # update: state preserved
+    eng.process_stream_block(imp)
+    assert tail_peak() > 0.3
+    eng.build_chain(cfg)                          # rebuild: state reset
+    assert tail_peak() < 1e-6
