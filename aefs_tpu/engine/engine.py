@@ -296,12 +296,16 @@ class AudioEngine:
             x = jnp.asarray(in_block.T)
             with self._dispatch_lock:  # enqueue only — returns immediately
                 state, y = runner(state, targets, x)
+                # Publish the post-step state BEFORE releasing the dispatch
+                # lock: the step just donated the previous packed groups, so
+                # a save_session that wins the lock next must see the new
+                # groups, never the donated ones.  (Chain may have been
+                # swapped mid-block; matching the reference's benign race,
+                # the old block's state is dropped.)
+                with self._lock:
+                    if self.chain is chain:
+                        self.chain_state = state
             out = np.asarray(y).T
-        with self._lock:
-            # Chain may have been swapped mid-block; matching the
-            # reference's benign race, the old block's state is dropped.
-            if self.chain is chain:
-                self.chain_state = state
         fanned = np.repeat(in_block, 2, axis=1) if in_block.shape[1] == 1 else in_block
         for qname, blk in (("input", fanned), ("output", out)):
             try:
@@ -330,10 +334,13 @@ class AudioEngine:
             x = jnp.asarray(in_block.T)
             with self._dispatch_lock:  # enqueue only — returns immediately
                 state, y = runner(state, targets, x)
-            with self._lock:
-                pending, self._pending = self._pending, (chain, y)
-                if self.chain is chain:
-                    self.chain_state = state
+                # Same publish-before-release contract as the synchronous
+                # path: save_session must never find chain_state pointing at
+                # groups this step just donated.
+                with self._lock:
+                    pending, self._pending = self._pending, (chain, y)
+                    if self.chain is chain:
+                        self.chain_state = state
             if pending is not None and pending[0] is chain:
                 out = np.asarray(pending[1]).T
             else:  # pipeline priming / chain swap: one silent block

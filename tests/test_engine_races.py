@@ -71,8 +71,20 @@ def test_update_param_survives_concurrent_rebuild(engine):
     assert engine._targets_map["d1"]["feedback"] == pytest.approx(0.4)
 
 
-def test_save_session_while_streaming(engine):
+@pytest.mark.parametrize("path", ["sync", "pipelined"])
+def test_save_session_while_streaming(engine, path):
+    """Both stream paths donate the packed state on dispatch; the
+    publish-before-release contract means save_session can never unpack
+    donated groups.  The SYNC path's vulnerable window used to span the
+    whole np.asarray readback (~the entire block period) — hammer it hard
+    enough that the old ordering reliably threw 'Array has been
+    deleted'."""
     engine.build_chain(CHAIN_A)
+    step = (
+        engine.process_stream_block
+        if path == "sync"
+        else engine.process_stream_block_pipelined
+    )
     stop = threading.Event()
     errs = []
     blk = _block()
@@ -80,7 +92,7 @@ def test_save_session_while_streaming(engine):
     def audio():
         try:
             while not stop.is_set():
-                engine.process_stream_block_pipelined(blk)
+                step(blk)
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
@@ -88,7 +100,7 @@ def test_save_session_while_streaming(engine):
     t.start()
     d = tempfile.mkdtemp()
     try:
-        for i in range(5):
+        for i in range(12):
             engine.save_session(f"{d}/ck{i}")
     finally:
         stop.set()
@@ -97,7 +109,7 @@ def test_save_session_while_streaming(engine):
 
     # The last checkpoint resumes into a working engine.
     eng2 = AudioEngine()
-    cfg = eng2.resume_session(f"{d}/ck4")
+    cfg = eng2.resume_session(f"{d}/ck11")
     assert [c["effect_id"] for c in cfg] == ["d1"]
 
 
