@@ -249,30 +249,120 @@ def bench_stream_latency(cfgs, n_blocks=200):
     return p50, p99, pipe50, dev_ms
 
 
-def wait_for_device(max_wait_s=600):
+def _ancestor_pids():
+    """This process plus its parent chain (never candidates for the
+    stray sweep — killing an ancestor would kill the harness)."""
+    import os
+
+    pids, pid = set(), os.getpid()
+    while pid > 1:
+        pids.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except Exception:
+            break
+    return pids
+
+
+def find_stray_python(signatures=("aefs", "tpu_worker", "bench.py",
+                                  "pool_load", "backend")):
+    """Enumerate python processes outside our ancestor chain.  Returns
+    (kill_candidates, others): candidates match a known TPU-holding
+    signature (a previous bench, the app backend, the dev FIFO worker);
+    others are logged but never touched."""
+    import os
+
+    skip = _ancestor_pids()
+    cands, others = [], []
+    for d in os.listdir("/proc"):
+        if not d.isdigit() or int(d) in skip:
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace").strip()
+        except Exception:
+            continue
+        if "python" not in cmd:
+            continue
+        (cands if any(s in cmd for s in signatures) else others).append(
+            (int(d), cmd[:160])
+        )
+    return cands, others
+
+
+def preflight_sweep():
+    """CLAUDE.md hard rule: ONE JAX process on the TPU at a time.  A
+    stray backend/worker from a previous session holds the tunnel and the
+    readiness probe would wait its full budget for nothing — find strays
+    by exact pid (never by pattern-kill), shut the FIFO worker down
+    gracefully first, then SIGTERM the known holders."""
+    import os
+    import signal
+
+    cands, others = find_stray_python()
+    for pid, cmd in others:
+        log(f"[bench] unrelated python process (left alone): {pid} {cmd}")
+    if not cands:
+        log("[bench] pre-flight: no stray TPU-holding processes")
+        return False
+    # Graceful path for the dev FIFO worker, if one is listening.
+    fifo = "/tmp/tpu_jobs.fifo"
+    if os.path.exists(fifo):
+        try:
+            fd = os.open(fifo, os.O_WRONLY | os.O_NONBLOCK)
+            os.write(fd, b"QUIT\n")
+            os.close(fd)
+            log("[bench] pre-flight: sent QUIT to tpu worker fifo")
+            time.sleep(5)
+        except OSError:
+            pass
+    for pid, cmd in cands:
+        try:
+            os.kill(pid, signal.SIGTERM)
+            log(f"[bench] pre-flight: SIGTERM stray TPU holder {pid} {cmd}")
+        except ProcessLookupError:
+            pass
+        except Exception as e:
+            log(f"[bench] pre-flight: could not signal {pid}: {e}")
+    time.sleep(3)
+    return True
+
+
+def wait_for_device(max_wait_s=1200, probe_every_s=60):
     """The development TPU tunnel wedges transfers for ~10 min after a
-    process is killed mid-claim; probe with a tiny round trip from a
-    daemon thread (a hung transfer completes when the tunnel recovers)
-    and wait until the device actually answers before benchmarking."""
+    process is killed mid-claim, and a wedged transfer may HANG FOREVER —
+    so one probe thread is not a retry.  Launch a FRESH daemon probe
+    every ``probe_every_s`` until one completes a tiny round trip; the
+    budget comfortably covers a full wedge window (round 2's single
+    600 s probe did not, and the round recorded value 0.0)."""
     import threading
 
     import jax.numpy as jnp
 
     ready = threading.Event()
+    n_probes = [0]
 
-    def probe():
+    def probe(i):
         try:
-            d = jnp.asarray(np.ones(256, np.float32))
+            d = jnp.asarray(np.full(256, float(i), np.float32))
             float(jnp.sum(d))
             ready.set()
         except Exception as e:  # pragma: no cover
-            log(f"[bench] device probe failed: {e}")
+            log(f"[bench] device probe #{i} failed: {e}")
 
     t0 = time.time()
-    threading.Thread(target=probe, daemon=True).start()
+    next_probe = t0
     while not ready.is_set() and time.time() - t0 < max_wait_s:
-        time.sleep(5)
-    log(f"[bench] device ready={ready.is_set()} after {time.time()-t0:.0f}s")
+        if time.time() >= next_probe:
+            n_probes[0] += 1
+            threading.Thread(
+                target=probe, args=(n_probes[0],), daemon=True
+            ).start()
+            next_probe = time.time() + probe_every_s
+        time.sleep(2)
+    log(f"[bench] device ready={ready.is_set()} after {time.time()-t0:.0f}s "
+        f"({n_probes[0]} probes)")
     return ready.is_set()
 
 
@@ -420,7 +510,31 @@ def bench_batch_render(cfgs, x, b=16, superblock=4096, k=4):
     return agg
 
 
+def _emit(results, printed, error=None):
+    """Print THE one JSON line (idempotent — watchdog and main race)."""
+    import threading
+
+    with printed["lock"]:
+        if printed["done"]:
+            return
+        printed["done"] = True
+    headline = results.get("5_five_effect", 0.0)
+    out = {
+        "metric": "realtime_factor_48k_stereo_5fx_chain",
+        "value": round(headline, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(headline, 1),
+        "detail": {k: round(v, 2) for k, v in results.items()},
+    }
+    if error:
+        out["error"] = error
+    print(json.dumps(out), flush=True)
+
+
 def main():
+    import os
+    import threading
+
     import jax
 
     try:  # persistent compile cache: reruns skip the remote-compile cost
@@ -430,23 +544,41 @@ def main():
         pass
 
     t_start = time.time()
+    results = {}
+    printed = {"done": False, "lock": threading.Lock()}
+
+    # Watchdog: a wedged tunnel can hang a device transfer FOREVER, which
+    # no try/except catches.  At the hard deadline, print whatever has
+    # been measured so far and exit — a partial capture with the headline
+    # beats round 2's empty one.
+    deadline_s = float(os.environ.get("AEFS_BENCH_DEADLINE_S", "2400"))
+
+    def watchdog():
+        time.sleep(max(deadline_s - (time.time() - t_start), 0))
+        if not printed["done"]:
+            log(f"[bench] WATCHDOG: {deadline_s:.0f}s deadline hit — "
+                "emitting partial results")
+            _emit(results, printed,
+                  error=f"watchdog deadline {deadline_s:.0f}s (partial)")
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     log(f"[bench] devices: {jax.devices()}")
+    preflight_sweep()
     if not wait_for_device():
-        print(json.dumps({
-            "metric": "realtime_factor_48k_stereo_5fx_chain",
-            "value": 0.0,
-            "unit": "x_realtime",
-            "vs_baseline": 0.0,
-            "error": "TPU device did not become ready within 600 s",
-        }))
+        _emit(results, printed,
+              error="TPU device did not become ready within 1200 s")
         return
     x = rain_like()
 
     superblock = 4096
-    results = {}
-    for name, cfgs in CONFIGS.items():
+    # HEADLINE FIRST: the flagship 5-effect chain is the official metric —
+    # measure it before anything else so a mid-run wedge still yields it.
+    order = ["5_five_effect"] + [k for k in CONFIGS if k != "5_five_effect"]
+    for name in order:
         try:
-            results[name] = bench_file_mode(name, cfgs, x, superblock)
+            results[name] = bench_file_mode(name, CONFIGS[name], x, superblock)
         except Exception as e:  # keep the headline alive if one config dies
             log(f"[bench] {name} FAILED: {type(e).__name__}: {e}")
             results[name] = 0.0
@@ -460,9 +592,16 @@ def main():
     except Exception as e:
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
 
-    # Secondary metric: skip if a cold cache has already eaten the time
-    # budget — the headline JSON line must always be printed.
-    if time.time() - t_start < 520:
+    try:
+        dev_streams, host_streams = bench_multistream(CONFIGS["5_five_effect"])
+        results["concurrent_realtime_streams"] = dev_streams
+        results["concurrent_realtime_streams_tunnel_hostloop"] = host_streams
+    except Exception as e:
+        log(f"[bench] multistream FAILED: {type(e).__name__}: {e}")
+
+    # Secondary metric last: skip if a cold cache has already eaten the
+    # time budget — the headline JSON line must always be printed.
+    if time.time() - t_start < deadline_s - 300:
         try:
             results["batch16_aggregate_x_realtime"] = bench_batch_render(
                 CONFIGS["5_five_effect"], x
@@ -472,21 +611,7 @@ def main():
     else:
         log("[bench] batch render skipped (time budget)")
 
-    try:
-        dev_streams, host_streams = bench_multistream(CONFIGS["5_five_effect"])
-        results["concurrent_realtime_streams"] = dev_streams
-        results["concurrent_realtime_streams_tunnel_hostloop"] = host_streams
-    except Exception as e:
-        log(f"[bench] multistream FAILED: {type(e).__name__}: {e}")
-
-    headline = results.get("5_five_effect", 0.0)
-    print(json.dumps({
-        "metric": "realtime_factor_48k_stereo_5fx_chain",
-        "value": round(headline, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(headline, 1),
-        "detail": {k: round(v, 2) for k, v in results.items()},
-    }))
+    _emit(results, printed)
 
 
 if __name__ == "__main__":
