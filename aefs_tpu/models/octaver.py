@@ -39,7 +39,8 @@ class Octaver(EffectModel):
     }
 
     def __init__(self, fs, blocksize, channels=2, window_ms=40.0,
-                 file_semitones=None, resample_tile=None, **config):
+                 file_semitones=None, resample_tile=None,
+                 grid_semitones=None, **config):
         super().__init__(fs, blocksize, channels)
         # Grain window; minimum size guards tiny rates (octaver.py:106).
         self.size = max(int(fs * float(window_ms) / 1000.0), 16)
@@ -69,15 +70,56 @@ class Octaver(EffectModel):
 
         e = pow2_exponent(file_semitones)
         self._pow2_e = e if e is not None and pow2_geometry_ok(self.size, e) else None
+        # Whole-octave STREAMING specialization (opt-in static): the phase
+        # is carried as an exact integer numerator and the taps evaluated
+        # on the rational grid every block (ops/gridtaps.py:
+        # octaver_taps_pow2_stream) — streaming parity reaches -80 dBFS
+        # and the per-block tap cost drops to a few dynamic slices.  The
+        # ``semitones`` target is baked; live semitone changes require a
+        # rebuild (the engine's default interactive path therefore keeps
+        # the runtime float phasor — CLAUDE.md live-param rule).
+        from aefs_tpu.ops.gridtaps import pow2_stream_geometry_ok
+
+        ge = pow2_exponent(grid_semitones)
+        self._grid_e = (
+            ge if ge is not None and pow2_stream_geometry_ok(self.size, ge, blocksize)
+            else None
+        )
 
     def init_state(self):
+        if self._grid_e is not None:
+            return {
+                "hist": jnp.zeros((self.size,), jnp.float32),
+                "num": jnp.int32(0),
+            }
         return {
             "hist": jnp.zeros((self.size,), jnp.float32),
             "phasor": jnp.float32(0.0),
             "comp": jnp.float32(0.0),
         }
 
+    def _process_grid(self, state, p, x):
+        """Exact-grid streaming step (grid_semitones baked; only ``mix``
+        stays live).  Phase carried as an integer numerator — no float
+        accumulation anywhere on the tap path."""
+        from aefs_tpu.ops.gridtaps import octaver_taps_pow2_stream
+
+        mix = p["mix"]
+        mono = jnp.mean(x, axis=0)  # octaver.py:126-128
+        s1, s2, p1, p2, num = octaver_taps_pow2_stream(
+            state["hist"], mono, self._grid_e, state["num"]
+        )
+        two_pi = jnp.float32(2.0 * jnp.pi)
+        g1 = 0.5 * (1.0 - jnp.cos(two_pi * p1))  # octaver.py:66-67
+        g2 = 0.5 * (1.0 - jnp.cos(two_pi * p2))
+        wet = s1 * g1 + s2 * g2
+        new_state = {"hist": ring_push(state["hist"], mono), "num": num}
+        y = x * (1.0 - mix) + wet[None, :] * mix
+        return new_state, y
+
     def process(self, state, p, x):
+        if self._grid_e is not None:
+            return self._process_grid(state, p, x)
         size = self.size
         n = x.shape[-1]
         ratio = jnp.power(2.0, p["semitones"] / 12.0)

@@ -148,6 +148,129 @@ def _interleave_rows(rows):
     return out.reshape(n_rows, m * d)
 
 
+def pow2_stream_geometry_ok(size: int, e: int, blocksize: int) -> bool:
+    """Divisibility/size conditions for the STREAMING exact-grid path
+    (``octaver_taps_pow2_stream``): the class decomposition needs the
+    block to split evenly into D phase classes and at most ONE grain wrap
+    per class slice per block."""
+    s, n = int(size), int(blocksize)
+    if s % 2 or n > s:
+        return False
+    if e < 0:
+        d = 1 << (-e)
+        return n % d == 0 and n // d <= s // (d - 1)
+    r = 1 << e
+    if s % r:
+        return False
+    return r == 1 or n * (r - 1) <= s
+
+
+def octaver_taps_pow2_stream(hist, x, e: int, num):
+    """Both octaver taps for ratio 2^e from an ARBITRARY carried phase,
+    exactly — the streaming extension of ``octaver_taps_pow2``.
+
+    The phase is carried as an integer numerator ``num``:
+
+        e <  0 (ratio 1/D):  phase = num / (D*S),  num in [0, D*S)
+        e >= 0 (ratio R):    phase = num / S,      num in [0, S)
+
+    advanced per sample by +(D-1) mod D*S (down) / -(R-1) mod S (up) — an
+    exact integer recurrence with a closed-form block advance, so the
+    float32 phase-accumulation floor of the compensated phasor
+    (models/octaver.py) disappears entirely and streaming parity reaches
+    the <= -80 dBFS bar (reference semantics: octaver.py:17-82).
+
+    The per-block tap evaluation is gather-free: output lanes split into D
+    classes by n mod D (class offset set by ``num`` at runtime), each class
+    reading a CONTIGUOUS run of a static 4-tap FIR of the stream — per
+    class, two dynamic slices (before/after the single grain wrap) + a
+    select, then classes interleave via repeat + shift + mask.  All
+    dynamic-slice starts are runtime scalars derived from ``num``, so the
+    same code vmaps over a batch of per-session phases (the pool's
+    serving path) as a small batched sliced-gather.
+
+    hist: (S,) chronological ring history; x: (N,) current block.
+    Returns (s1, s2, p1, p2, new_num).
+    """
+    from aefs_tpu.ops.ringbuf import _wrap_patch
+
+    s = hist.shape[-1]
+    n = x.shape[-1]
+    assert pow2_stream_geometry_ok(s, e, n), (s, e, n)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    num = num.astype(i32) if hasattr(num, "astype") else jnp.asarray(num, i32)
+    i = jnp.arange(n, dtype=i32)
+
+    if e < 0:
+        d = 1 << (-e)
+        ds = d * s
+        l = n // d
+        ext = jnp.concatenate([hist, x, jnp.zeros((l + 16,), f32)])
+        firs = [_fir_frac(ext, c / d) for c in range(d)]
+        j = jnp.arange(l, dtype=i32)
+
+        def tap(r0):
+            r = jnp.mod(r0 + i * (d - 1), ds)
+            ca = (r + d - 1) // d
+            frac = (ca * d - r).astype(f32) / f32(d)
+            acc = jnp.zeros((n,), f32)
+            zpad = jnp.zeros((d,), f32)
+            for c in range(d):
+                n0 = jnp.mod(r0 + c, d)
+                rf = jnp.mod(r0 + n0 * (d - 1), ds)
+                caf = (rf + d - 1) // d
+                start = s + n0 - caf
+                pre = jax.lax.dynamic_slice(firs[c], (start,), (l,))
+                post = jax.lax.dynamic_slice(firs[c], (start + s,), (l,))
+                vals = jnp.where(rf + j * (d * (d - 1)) >= ds, post, pre)
+                rep = jnp.repeat(vals, d)
+                shifted = jax.lax.dynamic_slice(
+                    jnp.concatenate([zpad, rep]), (d - n0,), (n,)
+                )
+                acc = acc + jnp.where(jnp.mod(i - r0 - c, d) == 0, shifted, 0.0)
+            return _wrap_patch(ext, s, n, ca, frac, acc), r
+
+        s1, r1 = tap(num)
+        s2, r2 = tap(jnp.mod(num + ds // 2, ds))
+        p1 = r1.astype(f32) / f32(ds)
+        p2 = r2.astype(f32) / f32(ds)
+        new_num = jnp.mod(num + n * (d - 1), ds)
+        return s1, s2, p1, p2, new_num
+
+    # e >= 0: ratio R = 2^e — integer positions, one stride-R grid per tap.
+    r_up = 1 << e
+    sr = s // r_up
+    ext = jnp.concatenate([hist, x])
+    nrows = (s + n) // r_up + 2
+    ext_p = jnp.concatenate(
+        [ext, jnp.zeros((nrows * r_up + r_up - (s + n),), f32)]
+    )
+    zfront = jnp.zeros((sr,), f32)
+    ztail = jnp.zeros((n,), f32)
+
+    def tap(r0):
+        r = jnp.mod(r0 - i * (r_up - 1), s)
+        idx0 = s - r0
+        off = jnp.mod(idx0, r_up)
+        view = jax.lax.dynamic_slice(
+            ext_p, (off,), (nrows * r_up,)
+        ).reshape(nrows, r_up)[:, 0]
+        k0 = (idx0 - off) // r_up
+        streamp = jnp.concatenate([zfront, view, ztail])
+        pre = jax.lax.dynamic_slice(streamp, (k0 + sr,), (n,))
+        post = jax.lax.dynamic_slice(streamp, (k0,), (n,))
+        vals = jnp.where(i * (r_up - 1) > r0, post, pre)
+        return _wrap_patch(ext, s, n, r, jnp.zeros((n,), f32), vals), r
+
+    s1, r1 = tap(num)
+    s2, r2 = tap(jnp.mod(num + s // 2, s))
+    p1 = r1.astype(f32) / f32(s)
+    p2 = r2.astype(f32) / f32(s)
+    new_num = jnp.mod(num - n * (r_up - 1), s)
+    return s1, s2, p1, p2, new_num
+
+
 def octaver_taps_pow2(hist, x, e: int):
     """Both octaver taps + exact phasor streams for ratio 2^e from fresh
     phase.

@@ -123,6 +123,39 @@ def test_octaver_parity(params):
     assert err_dbfs(got, ref) <= -60, err_dbfs(got, ref)
 
 
+@pytest.mark.parametrize("semitones", [-12, -24, 12])
+def test_octaver_parity_grid_streaming(semitones):
+    """Whole-octave streaming with the exact integer-grid specialization
+    (grid_semitones static) meets the full -80 dBFS bar in 256-sample
+    blocks — the float32 phase floor is gone (ops/gridtaps.py:
+    octaver_taps_pow2_stream; reference semantics octaver.py:17-82)."""
+    params = {"semitones": semitones, "mix": 0.8}
+    x = tones(FRAMES, fs=FS)
+    got = run_chain(
+        {"effect_id": "o", "type": "octaver", "params": params}, x,
+        static_overrides={"o": {"grid_semitones": semitones}},
+    )
+    oracle = OracleOctaver(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize("blocksize", [128, 512])
+def test_octaver_grid_streaming_blocksize_invariance(blocksize):
+    """The integer phase carry is exact, so different streaming block
+    sizes produce identical audio (well under the -80 dBFS bar)."""
+    params = {"semitones": -12, "mix": 1.0}
+    x = tones(FRAMES, fs=FS)
+    outs = []
+    for bs in (N, blocksize):
+        outs.append(run_chain(
+            {"effect_id": "o", "type": "octaver", "params": params}, x,
+            blocksize=bs,
+            static_overrides={"o": {"grid_semitones": -12}},
+        ))
+    assert err_dbfs(outs[0], outs[1].astype(np.float64)) <= -80
+
+
 @pytest.mark.parametrize(
     "params",
     [

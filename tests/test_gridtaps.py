@@ -62,3 +62,69 @@ def test_non_octave_falls_back():
     oracle = OracleOctaver(FS, semitones=7, mix=1.0)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), 256)
     assert err_dbfs(got, ref) <= -60, err_dbfs(got, ref)
+
+
+# -- streaming exact grid (octaver_taps_pow2_stream) ----------------------
+
+@pytest.mark.parametrize("e", [-2, -1, 0, 1, 2])
+def test_stream_taps_match_cubic_read(e):
+    """The class-decomposed streaming taps equal the trusted gather-based
+    fractional read at the same exact positions (both share _wrap_patch),
+    from several arbitrary carried phases."""
+    import jax.numpy as jnp
+    from aefs_tpu.ops.gridtaps import (
+        octaver_taps_pow2_stream, pow2_stream_geometry_ok,
+    )
+    from aefs_tpu.ops.ringbuf import fractional_read_cubic
+
+    s, n = 1920, 256
+    assert pow2_stream_geometry_ok(s, e, n)
+    rng = np.random.default_rng(11 + e)
+    hist = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    denom = (1 << -e) * s if e < 0 else s
+    step = (1 << -e) - 1 if e < 0 else -((1 << e) - 1)
+    for num0 in (0, 1, 7, denom // 3, denom - 1, denom - 3 * abs(step or 1)):
+        s1, s2, p1, p2, new_num = octaver_taps_pow2_stream(
+            hist, x, e, jnp.int32(num0)
+        )
+        i = np.arange(n)
+        r1 = (num0 + i * step) % denom
+        r2 = (r1 + denom // 2) % denom
+        d = denom // s
+        ref1 = fractional_read_cubic(hist, x, jnp.asarray(r1 / d, jnp.float32))
+        ref2 = fractional_read_cubic(hist, x, jnp.asarray(r2 / d, jnp.float32))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(ref1),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(ref2),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p1), (r1 / denom), atol=1e-6)
+        assert int(new_num) == (num0 + n * step) % denom
+
+
+@pytest.mark.parametrize("e", [-2, -1, 1])
+def test_stream_taps_block_split_invariant(e):
+    """Splitting the stream into different block sizes yields identical
+    taps (the integer phase carry is exact)."""
+    import jax.numpy as jnp
+    from aefs_tpu.ops.gridtaps import octaver_taps_pow2_stream
+
+    s = 1920
+    rng = np.random.default_rng(5)
+    total = 2048
+    sig = rng.standard_normal(total).astype(np.float32)
+
+    def run(bs):
+        hist = jnp.zeros((s,), jnp.float32)
+        num = jnp.int32(0)
+        outs = []
+        for k in range(0, total, bs):
+            x = jnp.asarray(sig[k:k + bs])
+            s1, s2, p1, p2, num = octaver_taps_pow2_stream(hist, x, e, num)
+            outs.append(np.asarray(s1 * (0.5 - 0.5 * jnp.cos(2 * np.pi * p1))
+                                   + s2 * (0.5 - 0.5 * jnp.cos(2 * np.pi * p2))))
+            hist = jnp.concatenate([hist, x])[-s:]
+        return np.concatenate(outs)
+
+    np.testing.assert_array_equal(run(256), run(128))
+    np.testing.assert_array_equal(run(256), run(512))
