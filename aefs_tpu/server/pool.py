@@ -57,16 +57,46 @@ except ImportError:  # pragma: no cover - baked into the image
     ws = None
 
 
+def grid_static_overrides(chain_config):
+    """Exact-grid serving specialization (opt-in): bake every whole-octave
+    octaver's ratio so its streaming taps run on the integer phase grid
+    (ops/gridtaps.py:octaver_taps_pow2_stream) — parity rises to the full
+    -80 dBFS bar and the batched tap cost drops to a few sliced reads.
+    The baked ``semitones`` stops being live (update_param warns)."""
+    from aefs_tpu.ops.gridtaps import pow2_exponent
+
+    overrides = {}
+    for i, cfg in enumerate(chain_config):
+        if cfg.get("type") != "octaver":
+            continue
+        st = cfg.get("params", {}).get("semitones", -12.0)
+        if pow2_exponent(st) is not None:
+            eid = cfg.get("effect_id") or f"fx{i}"
+            overrides[eid] = {"grid_semitones": float(st)}
+    return overrides
+
+
 class SessionPool:
     """Batched multi-session runtime: slot allocation, per-slot targets,
-    one jitted vmapped step shared by every session."""
+    one jitted vmapped step shared by every session.
+
+    Locking is two-tier so control ops never wait on a device dispatch
+    (a full tunnel RTT on remote backends): ``_ctrl_lock`` guards the
+    HOST-side mutable maps (slot free-list, per-slot target maps, the
+    packed (P, S) float32 target buffer, queued slot resets) and every
+    control op (claim/release/update_param) touches only those;
+    ``_step_lock`` serializes device dispatches, which snapshot the
+    target buffer and apply queued resets at the dispatch boundary."""
 
     def __init__(self, chain_config, n_slots: int = 16, fs: int = SAMPLE_RATE,
-                 blocksize: int = BLOCKSIZE, shard: bool = False):
+                 blocksize: int = BLOCKSIZE, shard: bool = False,
+                 grid: bool = False):
         """shard=True distributes the slot axis over every available
         device (GSPMD data-parallel serving: a pool of 4 chips hosts 4x
         the sessions of one; parallel/mesh.py's scaling axis applied to
-        the product surface).  n_slots must divide the device count."""
+        the product surface).  n_slots must divide the device count.
+        grid=True bakes whole-octave octaver ratios for exact-grid
+        serving (see ``grid_static_overrides``)."""
         import jax
         import jax.numpy as jnp
 
@@ -77,6 +107,7 @@ class SessionPool:
         self.chain, single_state, self._tmap0 = build_chain(
             chain_config, fs, blocksize,
             channels_in=CHANNELS_IN, channels_out=CHANNELS_OUT,
+            static_overrides=grid_static_overrides(chain_config) if grid else None,
         )
         self._fresh_single = single_state
         self._sharding = None
@@ -93,9 +124,35 @@ class SessionPool:
                 mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))
             )
         self.state = self._fresh_batched_state()
-        # Per-slot parameter targets: host-side maps + a batched pytree.
+        # Per-slot parameter targets: host-side maps + ONE packed host
+        # buffer tbuf[row, slot] (row = (effect, param) in chain order).
+        # The buffer ships with each dispatch (a single small h2d handle —
+        # cheaper through remote relays than marshaling ~15 device-leaf
+        # arguments) and the jitted step unflattens it by static row.
         self._targets_maps = [dict_copy(self._tmap0) for _ in range(self.n_slots)]
-        self.targets = self._stack_targets()
+        self._trows = {}
+        specs = []
+        for i, (eid, model) in enumerate(self.chain.effects):
+            for name in model.PARAMS:
+                self._trows[(i, name)] = len(specs)
+                specs.append((i, name, model.PARAMS[name]))
+        self._tbuf = np.zeros((len(specs), self.n_slots), np.float32)
+        for i, name, spec in specs:
+            self._tbuf[self._trows[(i, name)], :] = spec.clamp(
+                self._tmap0.get(self.chain.effects[i][0], {}).get(
+                    name, spec.default
+                )
+            )
+        self._tbuf0 = self._tbuf.copy()  # fresh-slot column template
+
+        def unflatten(tflat):
+            return tuple(
+                {
+                    name: tflat[self._trows[(i, name)]]
+                    for name in model.PARAMS
+                }
+                for i, (eid, model) in enumerate(self.chain.effects)
+            )
 
         # Donation default OFF: donated dispatches serialize through
         # remote relays (PERF.md round-2 third pass — 27 vs 3.4 ms/step
@@ -104,21 +161,28 @@ class SessionPool:
         # updates the ring buffers in place): AEFS_POOL_DONATE=1.
         self._donate = os.environ.get("AEFS_POOL_DONATE", "0") == "1"
         self._step = jax.jit(
-            lambda st, tg, x: jax.vmap(
+            lambda st, tflat, x: jax.vmap(
                 self.chain.process_block, in_axes=(0, 0, 0)
-            )(st, tg, x),
+            )(st, unflatten(tflat), x),
             donate_argnums=(0,) if self._donate else (),
         )
-        self._lock = threading.Lock()
+        self._ctrl_lock = threading.Lock()
+        self._step_lock = threading.Lock()
+        self._pending_resets = []
         self._free = list(range(self.n_slots))
         self.last_step_ms = 0.0
-        # Warm up off the serving path.
+        # Warm up off the serving path — and DISCARD the dummy run
+        # (matching engine._warm_runner): a kept warm step would advance
+        # every slot's phase/glide state by one silent block before any
+        # session arrives (visible as an octaver phase offset).
         x = self._put(np.zeros((self.n_slots, CHANNELS_IN, self.blocksize),
                                np.float32))
-        self.state, _ = self._step(self.state, self.targets, x)
+        warm, _ = self._step(self.state, self._put_targets(self._tbuf), x)
         # Scalar readback: block_until_ready does not synchronize on the
         # remote axon backend.
-        float(jnp.sum(jnp.ravel(jax.tree.leaves(self.state)[0])[:1]))
+        float(jnp.sum(jnp.ravel(jax.tree.leaves(warm)[0])[:1]))
+        if self._donate:  # the warm step consumed the fresh state buffers
+            self.state = self._fresh_batched_state()
 
     def _put(self, x):
         import jax
@@ -148,77 +212,91 @@ class SessionPool:
             )
         return state
 
-    def _stack_targets(self):
+    def _put_targets(self, tbuf):
+        """Ship a (P, S) host target buffer for one dispatch (slot axis is
+        axis 1 — sharded pools split it over the mesh)."""
+        import jax
         import jax.numpy as jnp
 
-        per_slot = [self.chain.targets(m) for m in self._targets_maps]
-        out = []
-        for i in range(len(self.chain.effects)):
-            out.append({
-                name: jnp.stack([ps[i][name] for ps in per_slot])
-                for name in per_slot[0][i]
-            })
-        return tuple(out)
+        t = jnp.asarray(tbuf)
+        if self._sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # -- slots ------------------------------------------------------------
+            mesh = self._sharding(t).mesh
+            return jax.device_put(t, NamedSharding(mesh, P(None, "data")))
+        return t
+
+    # -- slots (control plane: host-only, never waits on a dispatch) ------
     def claim(self):
-        with self._lock:
+        with self._ctrl_lock:
             if not self._free:
                 return None
             return self._free.pop(0)
 
     def release(self, slot: int):
-        """Reset the slot to fresh state + default targets and return it
-        to the pool."""
-        import jax
-
-        with self._lock:
-            fresh = self._fresh_single
-            self.state = jax.tree.map(
-                lambda batched, single: batched.at[slot].set(single),
-                self.state, fresh,
-            )
+        """Reset the slot to default targets, queue its audio-state reset
+        (applied by the next dispatch), and return it to the pool.  Pure
+        host work: a leaving session never blocks on the device."""
+        with self._ctrl_lock:
             self._targets_maps[slot] = dict_copy(self._tmap0)
-            self.targets = self._stack_targets()
+            self._tbuf[:, slot] = self._tbuf0[:, slot]
+            self._pending_resets.append(slot)
             self._free.append(slot)
 
     def update_param(self, slot: int, effect_id: str, param: str, value):
+        """Rewrite one slot's target — a host array write (microseconds);
+        the next dispatch ships the updated buffer.  Never touches the
+        device and never waits on the step lock."""
         models = dict(self.chain.effects)
         if effect_id not in models:
             return f"Error: effect ID '{effect_id}' not found"
-        if param not in models[effect_id].PARAMS:
+        model = models[effect_id]
+        if param not in model.PARAMS:
             return (f"Warning: parameter '{param}' in effect "
                     f"'{effect_id}' could not be updated")
-        with self._lock:
+        if param == "semitones" and getattr(model, "_grid_e", None) is not None:
+            return ("Warning: 'semitones' is grid-specialized (static) in "
+                    "this pool and cannot be updated live")
+        eff_index = [eid for eid, _ in self.chain.effects].index(effect_id)
+        with self._ctrl_lock:
             self._targets_maps[slot].setdefault(effect_id, {})[param] = float(value)
-            spec = models[effect_id].PARAMS[param]
-            clamped = spec.clamp(float(value))
-            eff_index = [eid for eid, _ in self.chain.effects].index(effect_id)
-            self.targets = tuple(
-                (
-                    {**t, param: t[param].at[slot].set(clamped)}
-                    if i == eff_index else t
-                )
-                for i, t in enumerate(self.targets)
+            self._tbuf[self._trows[(eff_index, param)], slot] = (
+                model.PARAMS[param].clamp(float(value))
             )
         return None
+
+    def _apply_pending_resets(self, resets):
+        """Graft fresh single-slot state into the batched pytree for every
+        queued released slot (rare; runs under the step lock)."""
+        import jax
+
+        for slot in resets:
+            self.state = jax.tree.map(
+                lambda batched, single: batched.at[slot].set(single),
+                self.state, self._fresh_single,
+            )
 
     # -- batched step ------------------------------------------------------
     def step_blocks(self, blocks: dict[int, np.ndarray]):
         """Run one batched dispatch: ``blocks`` maps slot -> (N,) mono
         float32; idle slots process silence.  Returns {slot: (N, co)}."""
-        import jax.numpy as jnp
-
         x = np.zeros((self.n_slots, CHANNELS_IN, self.blocksize), np.float32)
         for slot, audio in blocks.items():
             x[slot, 0, : len(audio)] = audio[: self.blocksize]
-        # The lock spans the whole dispatch: (self.state, self.targets)
-        # must be read and replaced atomically against release() resets
-        # and update_param() target rewrites on other threads.
-        with self._lock:
+        with self._step_lock:
+            # Dispatch boundary: apply queued slot resets and snapshot the
+            # target buffer (the only points where control state meets the
+            # device path — both brief).
+            with self._ctrl_lock:
+                resets, self._pending_resets = self._pending_resets, []
+                tbuf = self._tbuf.copy()
+            if resets:
+                self._apply_pending_resets(resets)
             t0 = time.time()
             try:
-                self.state, y = self._step(self.state, self.targets, self._put(x))
+                self.state, y = self._step(
+                    self.state, self._put_targets(tbuf), self._put(x)
+                )
                 out = np.asarray(y)  # sync + readback
             except Exception:
                 if self._donate:
@@ -319,16 +397,23 @@ class PoolServer:
                             + "}"
                         )
                     elif command == "update_param":
-                        # Device work (per-slot target rewrite) — keep it
-                        # off the event loop, where it would stall every
-                        # other session's handshake/IO on remote backends.
-                        err = await asyncio.get_running_loop().run_in_executor(
-                            None, self.pool.update_param,
+                        # Pure host work (a target-buffer write): runs
+                        # inline on the event loop and never waits on a
+                        # device dispatch — control-plane latency stays
+                        # well under one block period even while the pool
+                        # is mid-step.
+                        err = self.pool.update_param(
                             slot, cmd.get("effect_id"), cmd.get("param"),
                             cmd.get("value"),
                         )
                         if err:
                             print(err)
+                        if cmd.get("ack"):
+                            await websocket.send(json.dumps({
+                                "type": "param_ack",
+                                "param": cmd.get("param"),
+                                "ok": err is None,
+                            }))
                     elif command == "get_pool_stats":
                         deadline_ms = (
                             self.pool.blocksize / self.pool.fs * 1000.0
@@ -350,21 +435,12 @@ class PoolServer:
                 except Exception as e:
                     print(f"Error processing pool command: {e}")
         finally:
-            # Pop the seq counter BEFORE the slot can be re-claimed: the
-            # executor hop below yields the event loop, and a new session
-            # claiming the freed slot must not have its counter deleted
-            # by this handler's continuation.
+            # Pop the seq counter before the slot can be re-claimed, then
+            # release: pure host work (the audio-state reset is queued and
+            # applied by the next dispatch), so it cannot block or be
+            # skipped by task cancellation.
             self._seqs.pop(slot, None)
-            # Slot reset touches device state — off the event loop.
-            # Shielded so task cancellation (server teardown) cannot skip
-            # the release and leak the slot.
-            fut = asyncio.get_running_loop().run_in_executor(
-                None, self.pool.release, slot
-            )
-            try:
-                await asyncio.shield(fut)
-            except asyncio.CancelledError:
-                pass  # the release still runs in the worker thread
+            self.pool.release(slot)
             print(f"Session left: slot {slot}")
 
 
@@ -375,6 +451,10 @@ async def main(argv=None):
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--shard", action="store_true",
                     help="distribute slots over all devices (multi-chip pool)")
+    ap.add_argument("--grid", action="store_true",
+                    help="bake whole-octave octaver ratios for exact-grid "
+                         "serving (higher density + -80 dBFS parity; "
+                         "semitones stops being live)")
     ap.add_argument("--port", type=int, default=int(os.environ.get("POOL_PORT", 8766)))
     args = ap.parse_args(argv)
 
@@ -399,7 +479,8 @@ async def main(argv=None):
     from aefs_tpu.utils.platform import select_platform
 
     backend = select_platform()
-    pool = SessionPool(chain_config, n_slots=args.slots, shard=args.shard)
+    pool = SessionPool(chain_config, n_slots=args.slots, shard=args.shard,
+                       grid=args.grid)
     server = PoolServer(pool)
     print(f"Pool server: {args.slots} slots on port {args.port} "
           f"(jax backend: {backend})")
