@@ -30,6 +30,12 @@ def file_static_overrides(effects_config):
             overrides[eid] = {
                 "file_semitones": float(params.get("semitones", -12.0)),
             }
+        elif etype == "reverb":
+            # Lets the model validate the comb topology against the
+            # whole-file chunk solver's C <= L < 2C constraint at BUILD
+            # time (actionable error) instead of dying at trace time deep
+            # inside ops/ringbuf.comb_bank_file_chunks.
+            overrides[eid] = {"file_mode": True}
         elif etype == "parallel":
             overrides[eid] = {"file_mode": True}
     return overrides

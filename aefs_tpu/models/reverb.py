@@ -53,6 +53,7 @@ class Reverb(EffectModel):
         jitter_ms=0.3,
         max_delay_ms=200.0,
         max_pre_delay_ms=100.0,
+        file_mode=False,
         **config,
     ):
         super().__init__(fs, blocksize, channels)
@@ -73,6 +74,20 @@ class Reverb(EffectModel):
         self.comb_lmax = max(max(side) for side in self.comb_lags)
         self.comb_lmin = min(min(side) for side in self.comb_lags)
         self.n_combs = len(comb_times_ms)
+        if file_mode and self.comb_lmax >= 2 * self.comb_lmin:
+            # The whole-file chunk solver needs one chunk size C with
+            # C <= L < 2C for every comb lag (ops/ringbuf.py:
+            # comb_bank_file_chunks), i.e. max lag < 2 * min lag across
+            # both jittered sides.  Fail at build time with the knob the
+            # user can actually fix, not at trace time inside the solver.
+            raise ValueError(
+                f"reverb comb_times_ms={tuple(comb_times_ms)} is not "
+                f"file-mode renderable: jittered comb lags span "
+                f"[{self.comb_lmin}, {self.comb_lmax}] samples at "
+                f"fs={fs}, violating max < 2*min required by the "
+                f"whole-file comb solver. Keep the longest comb time "
+                f"under twice the shortest (jitter_ms={j} included)."
+            )
 
     def init_state(self):
         f32 = jnp.float32

@@ -85,3 +85,43 @@ def test_fast_path_short_file():
     fastv = run(FIVE_FX, x, fast=True)
     assert fastv.shape == (1000, 2)
     assert np.all(np.isfinite(fastv))
+
+
+def test_reverb_bad_comb_topology_raises_at_build():
+    """A comb topology the whole-file solver cannot chunk (max lag >=
+    2*min lag) must fail at build_chain time with an actionable message
+    naming comb_times_ms — not at trace time inside ops/ringbuf
+    (Reverb.__init__ file_mode validation).  The same topology still
+    builds for STREAMING, where the blockwise solver has no such
+    constraint."""
+    cfgs = [{"effect_id": "r", "type": "reverb",
+             "params": {"rt60_s": 1.5, "comb_times_ms": (10.0, 25.0, 40.0, 55.0)}}]
+    with pytest.raises(ValueError, match="comb_times_ms"):
+        build_chain(cfgs, FS, 4096, channels_in=1,
+                    static_overrides=_file_static_overrides(cfgs))
+    # streaming build is fine
+    chain, state, tmap = build_chain(cfgs, FS, 256, channels_in=1)
+    _, y = chain.process_block(state, chain.targets(tmap),
+                               np.zeros((1, 256), np.float32))
+    assert np.asarray(y).shape == (2, 256)
+
+
+def test_reverb_near_violating_topology_file_parity():
+    """A custom topology close to the C <= L < 2C edge (max lag just
+    under 2*min) must still match the float64 oracle through the
+    whole-file fast path."""
+    from oracles import OracleReverb, run_oracle_blocks
+
+    comb_ms = (23.0, 28.0, 36.0, 45.0)  # 45 + j < 2*(23 - j): near the edge
+
+    class EdgeOracle(OracleReverb):
+        COMB_MS = comb_ms
+
+    params = {"rt60_s": 2.0, "damp": 0.1, "pre_delay_ms": 5,
+              "mix_dry": 0.7, "mix_wet": 0.5}
+    cfgs = [{"effect_id": "r", "type": "reverb",
+             "params": {**params, "comb_times_ms": comb_ms}}]
+    x = noise(8 * 4096, amp=0.2)
+    got = run(cfgs, x, fast=True)
+    ref = run_oracle_blocks(EdgeOracle(FS, **params), x.astype(np.float64), 256)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
