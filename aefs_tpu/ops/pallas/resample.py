@@ -368,18 +368,29 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
         s2 = jnp.where(m2 > 0.5, hi2, lo2)
         return s1.reshape(n), s2.reshape(n)
 
-    a_lo1, a_hi1, m1 = _cluster_anchors(at1, hist_len, size, tile)
-    a_lo2, a_hi2, m2 = _cluster_anchors(at2, hist_len, size, tile)
-
     # Tiles per program: _ROWS amortizes per-program overhead on long
     # signals, but a short block (the vmapped streaming path: each stream
     # contributes only N/tile tiles to its own pallas grid) must not pad
     # up to it — at N=256/tile=128 that would be 6 garbage tiles computed
     # for every 2 real ones.  The largest divisor of m up to _ROWS means
-    # no padded rows exist anywhere downstream.
+    # no padded rows exist anywhere downstream — EXCEPT when m is awkward
+    # (prime, 2*prime): a divisor of 1-2 would turn the fused kernel into
+    # ~m near-single-tile programs with per-program region rebuilds, so
+    # below a floor of 4 rows we pad the tile axis up to a multiple of
+    # _ROWS instead (padded tiles read ago=0 positions, outputs sliced
+    # off below).
     rows = _ROWS if m >= _ROWS else m
     while m % rows:
         rows -= 1
+    if rows < 4 and m > 4:
+        rows = _ROWS
+        pad = (-m) % rows
+        at1 = jnp.pad(at1, ((0, pad), (0, 0)))
+        at2 = jnp.pad(at2, ((0, pad), (0, 0)))
+        m = at1.shape[0]
+
+    a_lo1, a_hi1, m1 = _cluster_anchors(at1, hist_len, size, tile)
+    a_lo2, a_hi2, m2 = _cluster_anchors(at2, hist_len, size, tile)
 
     # Region geometry: program p (R tiles) reads ext[p*S : p*S + region_len]
     # with S = R*tile; region_len covers the deepest read of the last tile
@@ -405,4 +416,4 @@ def octaver_taps_fused(ext, ago1, ago2, hist_len: int, size: int, tile: int,
         at1, at2, anchors_loc, m1, m2,
         regions, hist_len, tile, window, rows, use_pallas == "interpret",
     )
-    return s1.reshape(n), s2.reshape(n)
+    return s1.reshape(-1)[:n], s2.reshape(-1)[:n]

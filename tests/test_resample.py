@@ -80,3 +80,35 @@ def test_octaver_file_fast_with_baked_ratio(semi):
     oracle_tol = -80 if semi % 12 == 0 else -45
     ref = run_oracle_blocks(OracleOctaver(FS, **params), x.astype(np.float64), 4096)
     assert err_dbfs(outs[True], ref) <= oracle_tol, err_dbfs(outs[True], ref)
+
+
+@pytest.mark.parametrize("m_tiles", [7, 6, 14])  # prime / 2*3 / 2*7 tile counts
+def test_fused_kernel_awkward_tile_counts(m_tiles):
+    """Tile counts whose largest divisor under _ROWS is 1-2 must pad up
+    to _ROWS-row programs (interpret-mode kernel) and still match the
+    gather taps — the rows=1 per-program collapse is both slow and was
+    only guarded by callers happening to pass round counts."""
+    from aefs_tpu.ops.pallas.resample import octaver_taps_fused
+    from aefs_tpu.ops.ringbuf import _wrap_patch
+
+    size, tile, window = 1920, 128, 640
+    n = m_tiles * tile
+    hist = RNG.standard_normal(size).astype(np.float32) * 0.3
+    x = RNG.standard_normal(n).astype(np.float32) * 0.3
+    step = -0.5 / size
+    p1 = np.mod(0.21 + np.arange(n) * step, 1.0).astype(np.float32)
+    ago1 = (p1 * size).astype(np.float32)
+    ago2 = ((np.mod(p1 + 0.5, 1.0)) * size).astype(np.float32)
+
+    ext = jnp.concatenate([jnp.asarray(hist), jnp.asarray(x),
+                           jnp.zeros((window,), jnp.float32)])
+    s1, s2 = octaver_taps_fused(ext, jnp.asarray(ago1), jnp.asarray(ago2),
+                                size, size, tile, window,
+                                use_pallas="interpret")
+    r1 = fractional_read_cubic(jnp.asarray(hist), jnp.asarray(x), jnp.asarray(ago1))
+    r2 = fractional_read_cubic(jnp.asarray(hist), jnp.asarray(x), jnp.asarray(ago2))
+    for got, ref, ago in ((s1, r1, ago1), (s2, r2, ago2)):
+        ca = np.ceil(ago)
+        bulk = (ca > 1) & (ca < size - 1)  # wrap lanes are patched elsewhere
+        err = np.max(np.abs(np.asarray(got)[bulk] - np.asarray(ref)[bulk]))
+        assert err < 5e-5, (m_tiles, err)
