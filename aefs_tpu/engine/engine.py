@@ -92,6 +92,13 @@ def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
     for a in audios:
         a = np.asarray(a, np.float32)
         monos.append(a.mean(axis=1) if a.ndim > 1 else a)
+    n_real = len(monos)
+    if shard:
+        # Any file count shards: pad the batch with silent entries up to
+        # a multiple of the device count (their outputs are dropped).
+        n_dev = len(jax.devices())
+        for _ in range((-n_real) % n_dev):
+            monos.append(np.zeros((superblock,), np.float32))
     b = len(monos)
     length = max(m.shape[0] for m in monos)
     lp = -(-length // superblock) * superblock
@@ -112,10 +119,6 @@ def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
-        if b % mesh.shape["data"]:
-            raise ValueError(
-                f"batch {b} must divide over {mesh.shape['data']} devices"
-            )
         put = lambda leaf: jax.device_put(
             leaf,
             NamedSharding(mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))),
@@ -130,7 +133,10 @@ def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
     )
     _, y = fn(state, targets, xd)
     out = np.clip(np.asarray(y), -1.0, 1.0)  # (B, 2, Lp)
-    return [out[i, :, : m.shape[0]].T.copy() for i, m in enumerate(monos)]
+    return [
+        out[i, :, : m.shape[0]].T.copy()
+        for i, m in enumerate(monos[:n_real])
+    ]
 
 
 class AudioEngine:

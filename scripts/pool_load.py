@@ -39,6 +39,7 @@ async def run_session(url, n_blocks, blocksize, fs, realtime, wiggle, results, i
 
     rng = np.random.default_rng(idx)
     lats = []
+    plats = []
     # Generous open timeout: a TPU-backed pool may be mid-compile or
     # mid-dispatch when many sessions connect at once.
     async with websockets.connect(url, max_size=2**24, open_timeout=120) as ws:
@@ -58,16 +59,25 @@ async def run_session(url, n_blocks, blocksize, fs, realtime, wiggle, results, i
             lats.append(time.time() - t0)
             assert msg["type"] == "processed_block", msg
             assert len(msg["output"]) == blocksize
-            if wiggle and k == n_blocks // 2:
+            if wiggle and k % 8 == 4:
+                # Acked param update: the control-plane latency under
+                # full streaming load (must stay well under one block
+                # period — the pool's step must never block control ops).
+                tp = time.time()
                 await ws.send(json.dumps({
                     "command": "update_param", "effect_id": wiggle[0],
-                    "param": wiggle[1], "value": wiggle[2],
+                    "param": wiggle[1],
+                    "value": wiggle[2] * (1.0 + rng.uniform(-0.1, 0.1)),
+                    "ack": True,
                 }))
+                ack = json.loads(await ws.recv())
+                plats.append(time.time() - tp)
+                assert ack["type"] == "param_ack", ack
             if realtime:
                 sleep = deadline - (time.time() - t0)
                 if sleep > 0:
                     await asyncio.sleep(sleep)
-        results[idx] = {"slot": slot, "lats": lats}
+        results[idx] = {"slot": slot, "lats": lats, "plats": plats}
 
 
 def wait_port(port, timeout=420.0):
@@ -117,10 +127,19 @@ async def main():
             ready = json.loads(await ws.recv())
             blocksize, fs = ready["blocksize"], ready["sample_rate"]
             chain = ready.get("chain", [])
+        # Acked-update target: the first effect with a known wiggleable
+        # param (value stays near its preset default).
+        wiggleable = {"filter": ("cutoff_hz", 900.0),
+                      "delay": ("delay_ms", 300.0),
+                      "reverb": ("rt60_s", 2000.0 / 1000),
+                      "gate": ("threshold_db", -40.0),
+                      "octaver": ("mix", 0.5),
+                      "waveshaper": ("drive", 4.0)}
         wiggle = None
         for c in chain:
-            if c.get("type") == "filter":
-                wiggle = (c["effect_id"], "cutoff_hz", 900.0)
+            if c.get("type") in wiggleable:
+                p, v = wiggleable[c["type"]]
+                wiggle = (c["effect_id"], p, v)
                 break
 
         results = {}
@@ -135,6 +154,10 @@ async def main():
         all_lats = np.concatenate([
             np.asarray(r["lats"]) for r in results.values() if "lats" in r
         ]) * 1000.0
+        all_plats = np.concatenate([
+            np.asarray(r["plats"]) for r in results.values()
+            if r.get("plats")
+        ] or [np.zeros(0)]) * 1000.0
         ok = sum(1 for r in results.values() if "lats" in r)
         audio_s = ok * args.blocks * blocksize / fs
         deadline_ms = blocksize / fs * 1000
@@ -157,6 +180,14 @@ async def main():
             "block_ms": round(deadline_ms, 2),
             "rtt_p50_ms": round(float(np.percentile(all_lats, 50)), 2),
             "rtt_p99_ms": round(float(np.percentile(all_lats, 99)), 2),
+            "param_update_p50_ms": (
+                round(float(np.percentile(all_plats, 50)), 3)
+                if all_plats.size else None
+            ),
+            "param_update_p99_ms": (
+                round(float(np.percentile(all_plats, 99)), 3)
+                if all_plats.size else None
+            ),
             "aggregate_audio_s": round(audio_s, 2),
             "wall_s": round(wall, 2),
             "aggregate_x_realtime": round(audio_s / wall, 2),
