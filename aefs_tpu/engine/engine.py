@@ -44,10 +44,12 @@ except (ImportError, OSError):
 from aefs_tpu.core.fileopts import file_static_overrides as _file_static_overrides
 
 
-def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK):
+def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK,
+                    extra_static=None):
     """Whole-file processing through a fresh chain (the file-mode core,
     engine.py:86-102): (frames, ch) float in -> (mono (frames,1),
-    clipped stereo (frames, 2)) out."""
+    clipped stereo (frames, 2)) out.  ``extra_static`` merges on top of
+    the derived file statics (e.g. a session's uploaded convreverb IR)."""
     import numpy as np
 
     if audio.ndim > 1:
@@ -56,13 +58,16 @@ def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK):
         mono = audio.reshape(-1, 1)
     mono = mono.astype(np.float32)
 
+    static = _file_static_overrides(chain_config)
+    for eid, extra in (extra_static or {}).items():
+        static[eid] = {**static.get(eid, {}), **extra}
     chain, state, targets_map = build_chain(
         chain_config,
         fs,
         superblock,
         channels_in=1,
         channels_out=2,
-        static_overrides=_file_static_overrides(chain_config),
+        static_overrides=static,
     )
     _, out = chain.process_array(state, chain.targets(targets_map), mono, fast=True)
     return mono, np.clip(out, -1.0, 1.0)
@@ -162,6 +167,10 @@ class AudioEngine:
         self._dispatch_lock = threading.Lock()
         self._targets_map = {}
         self._pending = None  # depth-1 pipeline: (chain, y, in-flight block)
+        # Uploaded convreverb IRs: {effect_id: ((ch, n) float32, ir_fs)}.
+        # Engine-lifetime (not checkpointed); stale ids are pruned when the
+        # chain no longer contains them.
+        self.custom_irs = {}
         from aefs_tpu.utils.metrics import BlockTimer
 
         self.metrics = BlockTimer(self.current_sample_rate, BLOCKSIZE)
@@ -192,6 +201,45 @@ class AudioEngine:
         # re-pack the caller's state.
         return runner, runner.pack_state(state), tgroups
 
+    def _ir_overrides(self, effects_config, fs):
+        """Static-override map carrying uploaded IRs into a chain build
+        (resampled to the build rate if the WAV's rate differs)."""
+        ids = {c.get("effect_id") for c in effects_config}
+        self.custom_irs = {k: v for k, v in self.custom_irs.items() if k in ids}
+        out = {}
+        for eid, (ir, ir_fs) in self.custom_irs.items():
+            if ir_fs != fs:
+                n_out = max(8, int(round(ir.shape[1] * fs / ir_fs)))
+                t = np.linspace(0.0, ir.shape[1] - 1, n_out)
+                ir = np.stack(
+                    [np.interp(t, np.arange(ir.shape[1]), ch) for ch in ir]
+                ).astype(np.float32)
+            out[eid] = {"ir": ir}
+        return out
+
+    def set_ir(self, effect_id: str, contents: str) -> float:
+        """Install a user-uploaded IR WAV (base64 data URL, the same
+        encoding as process_file) on a convreverb in the current chain and
+        rebuild so it takes effect.  Returns the IR length in seconds.
+        Reference analogue: the file-upload path (app.py:668-689) applied
+        to the effect's topology instead of the program input."""
+        from aefs_tpu import native
+
+        kinds = {
+            c.get("effect_id"): c.get("type") for c in self.last_chain_config
+        }
+        if kinds.get(effect_id) != "convreverb":
+            raise ValueError(
+                f"effect ID '{effect_id}' is not a convreverb in the "
+                "current chain"
+            )
+        _, content_string = contents.split(",")
+        audio, fs_ir = decode_wav(native.b64decode(content_string))
+        ir = audio.T if audio.ndim > 1 else audio[None, :]
+        self.custom_irs[effect_id] = (np.asarray(ir, np.float32), int(fs_ir))
+        self.build_chain(self.last_chain_config)
+        return ir.shape[-1] / float(fs_ir)
+
     def build_chain(self, effects_config):
         self.last_chain_config = effects_config
         chain, state, targets_map = build_chain(
@@ -200,6 +248,9 @@ class AudioEngine:
             BLOCKSIZE,
             channels_in=CHANNELS_IN,
             channels_out=CHANNELS_OUT,
+            static_overrides=self._ir_overrides(
+                effects_config, self.current_sample_rate
+            ),
         )
         targets = chain.targets(targets_map)
         runner, sgroups, tgroups = self._warm_runner(chain, state, targets)
@@ -420,7 +471,10 @@ class AudioEngine:
     def process_file_array(self, audio: np.ndarray, fs: int):
         """(frames, ch) float32 -> (frames, 2) float32 through a fresh
         chain built from the last config at the file's sample rate."""
-        return process_offline(self.last_chain_config, audio, fs)
+        return process_offline(
+            self.last_chain_config, audio, fs,
+            extra_static=self._ir_overrides(self.last_chain_config, fs),
+        )
 
     async def process_wav_file(self, contents: str, websocket):
         if self.is_processing_file:

@@ -197,6 +197,25 @@ async def handler(websocket):
                     asyncio.create_task(
                         audio_engine.process_wav_file(cmd.get("contents"), websocket)
                     )
+                elif command == "set_ir":
+                    # Additive extension: user-uploaded convreverb IR
+                    # (WAV data URL, same encoding as process_file).
+                    # Rebuild happens in the executor (XLA compile).
+                    eid = cmd.get("effect_id")
+                    try:
+                        seconds = await asyncio.get_running_loop().run_in_executor(
+                            None, audio_engine.set_ir, eid, cmd.get("contents")
+                        )
+                        await websocket.send(json.dumps({
+                            "type": "ir_set", "effect_id": eid, "ok": True,
+                            "ir_seconds": round(seconds, 3),
+                        }))
+                    except Exception as e:
+                        print(f"Error setting IR: {e}")
+                        await websocket.send(json.dumps({
+                            "type": "ir_set", "effect_id": eid, "ok": False,
+                            "error": str(e),
+                        }))
                 elif command == "save_session":
                     # Additive extension: durable server-side session
                     # checkpoint (chain config + targets + audio state).

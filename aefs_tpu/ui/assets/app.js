@@ -35,7 +35,20 @@ function connect() {
     if (msg.type === "plot_data") onPlotData(msg);
     else if (msg.type === "file_processed") onFileProcessed(msg);
     else if (msg.type === "stats") onStats(msg);
+    else if (msg.type === "session_saved")
+      sessionStatus(`saved → ${msg.path}`);
+    else if (msg.type === "session_resumed") {
+      chain = msg.config || [];
+      renderChain();
+      sessionStatus(`resumed ← ${msg.path} (${chain.length} effects)`);
+    } else if (msg.type === "ir_set")
+      sessionStatus(msg.ok ? `IR set (${msg.ir_seconds} s)`
+                           : `IR failed: ${msg.error}`);
   };
+}
+
+function sessionStatus(text) {
+  $("session-status").textContent = text;
 }
 
 setInterval(() => send({ command: "get_stats" }), 2000);
@@ -71,7 +84,8 @@ function onPlotData(msg) {
 function renderLive() {
   drawTime($("plot-time"), ringIn, ringOut);
   if (lastAnalysis) {
-    drawSpectrum($("plot-spectrum"), lastAnalysis.input.spectrum_db, lastAnalysis.output.spectrum_db);
+    drawSpectrum($("plot-spectrum"), lastAnalysis.input.spectrum_db,
+                 lastAnalysis.output.spectrum_db, lastAnalysis.freqs);
     drawChroma($("plot-chroma"), lastAnalysis.input.chroma, lastAnalysis.output.chroma);
   }
 }
@@ -155,6 +169,29 @@ function effectControls(card, fx, onParam) {
     card.appendChild(controlRow(label, min, max, step, fx.params[param],
       (v) => onParam(param, v)));
   });
+  if (fx.type === "convreverb") {
+    // User IR upload: WAV -> data URL -> set_ir (server decodes, rebuilds
+    // the chain with the custom IR; ir_set response lands in the session
+    // status line).
+    const row = document.createElement("div");
+    row.className = "row";
+    const lab = document.createElement("label");
+    lab.textContent = "IR WAV";
+    const inp = document.createElement("input");
+    inp.type = "file"; inp.accept = ".wav,audio/wav";
+    inp.onchange = () => {
+      const f = inp.files[0];
+      if (!f) return;
+      const reader = new FileReader();
+      reader.onload = () => {
+        sessionStatus("uploading IR…");
+        send({ command: "set_ir", effect_id: fx.effect_id, contents: reader.result });
+      };
+      reader.readAsDataURL(f);
+    };
+    row.append(lab, inp);
+    card.appendChild(row);
+  }
 }
 
 function renderParallelCard(card, fx) {
@@ -273,7 +310,8 @@ function drawFileWindow(tSec) {
   if (a && a.original && a.original.spectrum_db.length) {
     const w = Math.max(0, Math.min(a.original.spectrum_db.length - 1,
       Math.floor(tSec / a.hop_s)));
-    drawSpectrum($("plot-spectrum"), a.original.spectrum_db[w], a.processed.spectrum_db[w]);
+    drawSpectrum($("plot-spectrum"), a.original.spectrum_db[w],
+                 a.processed.spectrum_db[w], a.freqs);
     drawChroma($("plot-chroma"), a.original.chroma[w], a.processed.chroma[w]);
   }
 }
@@ -303,6 +341,15 @@ async function init() {
   $("add-effect").onclick = () => addEffect(typeSel.value);
   $("start-mic").onclick = () => send({ command: "start_mic" });
   $("stop-mic").onclick = () => send({ command: "stop" });
+  $("save-session").onclick = () => {
+    sessionStatus("saving…");
+    send({ command: "save_session" });
+  };
+  $("resume-session").onclick = () => {
+    sessionStatus("resuming…");
+    send({ command: "resume_session" });
+  };
+  attachSpectrumInteractions($("plot-spectrum"));
   $("load-preset").onclick = () => loadPreset($("preset-select").value);
   $("delete-preset").onclick = () => {
     const p = getPresets(); delete p[$("preset-select").value]; setPresets(p);

@@ -45,13 +45,99 @@ function drawTime(canvas, input, output) {
   drawSeries(ctx, w, h, output, Palette.output, -1, 1, 1600);
 }
 
-function drawSpectrum(canvas, inDb, outDb) {
+/* Interactive spectrum: wheel-zoom around the cursor, drag-pan,
+ * hover readout (freq + in/out dB), double-click reset.  The view is a
+ * fraction [lo, hi] of the log-spaced bin axis; the bins ship from the
+ * server with their frequency axis (utils/analysis.py plot_freqs), so
+ * both live and file-scrub modes share the same interactions
+ * (reference analogue: Plotly zoom/pan/hover, 02_custom.js:178-250). */
+const SpecView = { lo: 0, hi: 1 };
+let specState = null;   // {canvas, inDb, outDb, freqs}
+let specHover = null;   // cursor x in CSS px, or null
+
+function fmtHz(f) {
+  return f >= 1000 ? (f / 1000).toFixed(f >= 10000 ? 0 : 1) + " kHz"
+                   : Math.round(f) + " Hz";
+}
+
+function drawSpectrum(canvas, inDb, outDb, freqs) {
+  specState = { canvas, inDb, outDb, freqs: freqs || null };
+  renderSpectrum();
+}
+
+function renderSpectrum() {
+  if (!specState) return;
+  const { canvas, inDb, outDb, freqs } = specState;
   const { ctx, w, h } = prepCanvas(canvas);
   drawGrid(ctx, w, h);
-  drawSeries(ctx, w, h, inDb, Palette.input, -100, 0);
-  drawSeries(ctx, w, h, outDb, Palette.output, -100, 0);
+  const n = inDb ? inDb.length : 0;
+  if (!n) return;
+  const i0 = Math.max(0, Math.floor(SpecView.lo * (n - 1)));
+  const i1 = Math.min(n - 1, Math.max(i0 + 1, Math.ceil(SpecView.hi * (n - 1))));
+  const slice = (d) => Array.prototype.slice.call(d, i0, i1 + 1);
+  drawSeries(ctx, w, h, slice(inDb), Palette.input, -100, 0);
+  if (outDb) drawSeries(ctx, w, h, slice(outDb), Palette.output, -100, 0);
   ctx.fillStyle = Palette.text; ctx.font = "10px sans-serif";
-  ctx.fillText("20 Hz", 4, h - 4); ctx.fillText("20 kHz", w - 38, h - 4);
+  const fLo = freqs ? freqs[i0] : null, fHi = freqs ? freqs[i1] : null;
+  ctx.fillText(fLo != null ? fmtHz(fLo) : "20 Hz", 4, h - 4);
+  const hiTxt = fHi != null ? fmtHz(fHi) : "20 kHz";
+  ctx.fillText(hiTxt, w - ctx.measureText(hiTxt).width - 4, h - 4);
+
+  if (specHover != null) {
+    const frac = Math.max(0, Math.min(1, specHover / w));
+    const idx = i0 + Math.round(frac * (i1 - i0));
+    const x = ((idx - i0) / (i1 - i0)) * w;
+    ctx.strokeStyle = Palette.text; ctx.lineWidth = 1;
+    ctx.setLineDash([3, 3]);
+    ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, h); ctx.stroke();
+    ctx.setLineDash([]);
+    const fv = freqs ? fmtHz(freqs[idx]) : `bin ${idx}`;
+    const iv = inDb[idx] != null ? inDb[idx].toFixed(1) : "—";
+    const ov = outDb && outDb[idx] != null ? outDb[idx].toFixed(1) : "—";
+    const txt = `${fv}   in ${iv} dB   out ${ov} dB`;
+    ctx.font = "11px sans-serif";
+    const tw = ctx.measureText(txt).width + 10;
+    const tx = Math.min(Math.max(2, x + 8), w - tw - 2);
+    ctx.fillStyle = "rgba(18,21,26,0.85)";
+    ctx.fillRect(tx, 4, tw, 16);
+    ctx.fillStyle = "#e0e6ee";
+    ctx.fillText(txt, tx + 5, 16);
+  }
+}
+
+function attachSpectrumInteractions(canvas) {
+  let dragging = false, dragX = 0, dragLo = 0, dragHi = 1;
+  canvas.addEventListener("wheel", (e) => {
+    e.preventDefault();
+    const w = canvas.clientWidth || 1;
+    const frac = e.offsetX / w;
+    const span = SpecView.hi - SpecView.lo;
+    const c = SpecView.lo + frac * span;
+    const ns = Math.min(1, Math.max(0.01, span * (e.deltaY > 0 ? 1.25 : 0.8)));
+    SpecView.lo = Math.max(0, Math.min(c - frac * ns, 1 - ns));
+    SpecView.hi = SpecView.lo + ns;
+    renderSpectrum();
+  }, { passive: false });
+  canvas.addEventListener("mousedown", (e) => {
+    dragging = true; dragX = e.offsetX;
+    dragLo = SpecView.lo; dragHi = SpecView.hi;
+  });
+  window.addEventListener("mouseup", () => { dragging = false; });
+  canvas.addEventListener("mousemove", (e) => {
+    if (dragging) {
+      const w = canvas.clientWidth || 1;
+      const span = dragHi - dragLo;
+      const d = ((dragX - e.offsetX) / w) * span;
+      SpecView.lo = Math.max(0, Math.min(dragLo + d, 1 - span));
+      SpecView.hi = SpecView.lo + span;
+    }
+    specHover = e.offsetX;
+    renderSpectrum();
+  });
+  canvas.addEventListener("mouseleave", () => { specHover = null; renderSpectrum(); });
+  canvas.addEventListener("dblclick", () => {
+    SpecView.lo = 0; SpecView.hi = 1; renderSpectrum();
+  });
 }
 
 const NOTE_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"];

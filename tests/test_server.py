@@ -273,3 +273,96 @@ def test_ws_malformed_uploads_do_not_kill_the_server():
             await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_ws_set_ir_round_trip(tmp_path):
+    """User-uploaded convreverb IR (reference analogue: the file-upload
+    path, app.py:668-689, applied to effect topology): a pure delayed
+    impulse IR turns the convreverb into a scaled delay — the processed
+    file must show exactly that.  A bad effect id answers ir_set
+    ok=false without killing the server."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**29)
+        port = server.sockets[0].getsockname()[1]
+        fs = 48000
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**29) as client:
+                await client.send(json.dumps({
+                    "command": "build_chain",
+                    "config": [
+                        {"effect_id": "cv", "type": "convreverb",
+                         "params": {"mix_dry": 0.0, "mix_wet": 1.0,
+                                    "ir_seconds": 0.1}},
+                    ],
+                }))
+                # IR: impulse of 0.5 at 1000 samples -> y = 0.5 x[n-1000]
+                lag = 1000
+                ir = np.zeros(4000, np.float32)
+                ir[lag] = 0.5
+                ir_url = "data:audio/wav;base64," + base64.b64encode(
+                    encode_wav_int16(ir[:, None], fs)).decode()
+
+                # wrong id first: clean refusal
+                await client.send(json.dumps({
+                    "command": "set_ir", "effect_id": "nope",
+                    "contents": ir_url}))
+                msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                assert msg["type"] == "ir_set" and not msg["ok"]
+
+                await client.send(json.dumps({
+                    "command": "set_ir", "effect_id": "cv",
+                    "contents": ir_url}))
+                msg = json.loads(await asyncio.wait_for(client.recv(), 120))
+                assert msg["type"] == "ir_set" and msg["ok"], msg
+                assert msg["ir_seconds"] == pytest.approx(4000 / fs, abs=1e-3)
+
+                rng = np.random.default_rng(0)
+                # amp 0.1 keeps peaks under the int16 encode's +-1 clip
+                # (the reference vs output comparison assumes no clipping)
+                sig = (0.1 * rng.standard_normal(fs)).astype(np.float32)
+                data_url = "data:audio/wav;base64," + base64.b64encode(
+                    encode_wav_int16(sig[:, None], fs)).decode()
+                await client.send(json.dumps({
+                    "command": "process_file", "contents": data_url}))
+                for _ in range(50):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 180))
+                    if msg["type"] == "file_processed":
+                        break
+                else:
+                    raise AssertionError("no file_processed response")
+                out = np.asarray(msg["processed_samples"])
+                # int16 WAV quantization on both the IR and the payload:
+                # ~1e-3 floor; the delayed-impulse structure must dominate.
+                ref = np.zeros_like(out)
+                ref[lag:] = 0.5 * sig[:-lag]
+                err = np.max(np.abs(out - ref))
+                assert err < 5e-3, err
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_spa_serves_session_and_interaction_surfaces():
+    """The SPA ships the session save/resume buttons, the convreverb IR
+    upload path, and the spectrum zoom/pan/hover interactions (VERDICT
+    round-2 missing #2/#3)."""
+    import os
+    import aefs_tpu.ui as ui
+
+    assets = os.path.join(os.path.dirname(ui.__file__), "assets")
+    html = open(os.path.join(assets, "index.html")).read()
+    appjs = open(os.path.join(assets, "app.js")).read()
+    plotsjs = open(os.path.join(assets, "plots.js")).read()
+    assert 'id="save-session"' in html and 'id="resume-session"' in html
+    assert "save_session" in appjs and "resume_session" in appjs
+    assert "set_ir" in appjs and "convreverb" in appjs
+    assert "attachSpectrumInteractions" in appjs
+    for evt in ("wheel", "mousedown", "mousemove", "dblclick"):
+        assert f'"{evt}"' in plotsjs, evt
