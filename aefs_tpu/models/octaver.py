@@ -40,7 +40,7 @@ class Octaver(EffectModel):
 
     def __init__(self, fs, blocksize, channels=2, window_ms=40.0,
                  file_semitones=None, resample_tile=None,
-                 grid_semitones=None, **config):
+                 grid_semitones=None, grid_phase_lock=False, **config):
         super().__init__(fs, blocksize, channels)
         # Grain window; minimum size guards tiny rates (octaver.py:106).
         self.size = max(int(fs * float(window_ms) / 1000.0), 16)
@@ -85,9 +85,36 @@ class Octaver(EffectModel):
             ge if ge is not None and pow2_stream_geometry_ok(self.size, ge, blocksize)
             else None
         )
+        # Phase-locked grid (batched serving): the integer phase lives in a
+        # shared "grid_phase" pseudo-param the DRIVER advances each block
+        # (server/pool.py advances it host-side), instead of per-stream
+        # state.  A batch-uniform phase keeps every tap slice start
+        # unbatched under vmap — the 12x dynamic-slice lowering cliff
+        # (ops/gridtaps.py:_slice1).  Absolute grain phase is inaudible,
+        # so sessions joining a running pool at the shared phase match the
+        # reference semantics from their own first block.
+        self._phase_lock = bool(grid_phase_lock) and self._grid_e is not None
+        if self._phase_lock:
+            self.PARAMS = {
+                **self.PARAMS,
+                "grid_phase": ParamSpec(0.0, 0.0, float(2 ** 24)),
+            }
+
+    def grid_phase_advance(self, n=None):
+        """(per-block advance, modulus) of the integer phase numerator —
+        the recurrence a phase-locking driver must apply per block."""
+        e = self._grid_e
+        n = self.blocksize if n is None else int(n)
+        if e < 0:
+            d = 1 << (-e)
+            return (n * (d - 1)) % (d * self.size), d * self.size
+        r = 1 << e
+        return (-n * (r - 1)) % self.size, self.size
 
     def init_state(self):
         if self._grid_e is not None:
+            if self._phase_lock:  # phase arrives via the grid_phase param
+                return {"hist": jnp.zeros((self.size,), jnp.float32)}
             return {
                 "hist": jnp.zeros((self.size,), jnp.float32),
                 "num": jnp.int32(0),
@@ -106,14 +133,20 @@ class Octaver(EffectModel):
 
         mix = p["mix"]
         mono = jnp.mean(x, axis=0)  # octaver.py:126-128
+        num0 = (
+            p["grid_phase"].astype(jnp.int32) if self._phase_lock
+            else state["num"]
+        )
         s1, s2, p1, p2, num = octaver_taps_pow2_stream(
-            state["hist"], mono, self._grid_e, state["num"]
+            state["hist"], mono, self._grid_e, num0
         )
         two_pi = jnp.float32(2.0 * jnp.pi)
         g1 = 0.5 * (1.0 - jnp.cos(two_pi * p1))  # octaver.py:66-67
         g2 = 0.5 * (1.0 - jnp.cos(two_pi * p2))
         wet = s1 * g1 + s2 * g2
-        new_state = {"hist": ring_push(state["hist"], mono), "num": num}
+        new_state = {"hist": ring_push(state["hist"], mono)}
+        if not self._phase_lock:
+            new_state["num"] = num
         y = x * (1.0 - mix) + wet[None, :] * mix
         return new_state, y
 

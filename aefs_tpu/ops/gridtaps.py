@@ -165,6 +165,19 @@ def pow2_stream_geometry_ok(size: int, e: int, blocksize: int) -> bool:
     return r == 1 or n * (r - 1) <= s
 
 
+def _slice1(vec, start, length: int):
+    """Dynamic slice whose START must be batch-uniform under vmap.
+
+    With an unbatched ``start`` (the phase-locked pool / any single
+    stream), a vmapped ``lax.dynamic_slice`` lowers to one static-batch
+    slice (~14 us measured on v5e for (128, 2304)->(128, 128)).  With a
+    PER-BATCH start it degrades ~12x (175 us; an explicit one-descriptor
+    gather is no better, 225 us) — which is why the pool's grid serving
+    mode phase-locks all slots to one shared scalar phase instead of
+    carrying per-slot phases (server/pool.py)."""
+    return jax.lax.dynamic_slice(vec, (start,), (length,))
+
+
 def octaver_taps_pow2_stream(hist, x, e: int, num):
     """Both octaver taps for ratio 2^e from an ARBITRARY carried phase,
     exactly — the streaming extension of ``octaver_taps_pow2``.
@@ -221,13 +234,11 @@ def octaver_taps_pow2_stream(hist, x, e: int, num):
                 rf = jnp.mod(r0 + n0 * (d - 1), ds)
                 caf = (rf + d - 1) // d
                 start = s + n0 - caf
-                pre = jax.lax.dynamic_slice(firs[c], (start,), (l,))
-                post = jax.lax.dynamic_slice(firs[c], (start + s,), (l,))
+                pre = _slice1(firs[c], start, l)
+                post = _slice1(firs[c], start + s, l)
                 vals = jnp.where(rf + j * (d * (d - 1)) >= ds, post, pre)
                 rep = jnp.repeat(vals, d)
-                shifted = jax.lax.dynamic_slice(
-                    jnp.concatenate([zpad, rep]), (d - n0,), (n,)
-                )
+                shifted = _slice1(jnp.concatenate([zpad, rep]), d - n0, n)
                 acc = acc + jnp.where(jnp.mod(i - r0 - c, d) == 0, shifted, 0.0)
             return _wrap_patch(ext, s, n, ca, frac, acc), r
 
@@ -253,13 +264,11 @@ def octaver_taps_pow2_stream(hist, x, e: int, num):
         r = jnp.mod(r0 - i * (r_up - 1), s)
         idx0 = s - r0
         off = jnp.mod(idx0, r_up)
-        view = jax.lax.dynamic_slice(
-            ext_p, (off,), (nrows * r_up,)
-        ).reshape(nrows, r_up)[:, 0]
+        view = _slice1(ext_p, off, nrows * r_up).reshape(nrows, r_up)[:, 0]
         k0 = (idx0 - off) // r_up
         streamp = jnp.concatenate([zfront, view, ztail])
-        pre = jax.lax.dynamic_slice(streamp, (k0 + sr,), (n,))
-        post = jax.lax.dynamic_slice(streamp, (k0,), (n,))
+        pre = _slice1(streamp, k0 + sr, n)
+        post = _slice1(streamp, k0, n)
         vals = jnp.where(i * (r_up - 1) > r0, post, pre)
         return _wrap_patch(ext, s, n, r, jnp.zeros((n,), f32), vals), r
 

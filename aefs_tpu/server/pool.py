@@ -72,7 +72,12 @@ def grid_static_overrides(chain_config):
         st = cfg.get("params", {}).get("semitones", -12.0)
         if pow2_exponent(st) is not None:
             eid = cfg.get("effect_id") or f"fx{i}"
-            overrides[eid] = {"grid_semitones": float(st)}
+            # phase-locked: the pool advances one shared grid_phase per
+            # dispatch, keeping every tap slice start batch-uniform
+            # (per-slot phases cost ~12x in slice lowering — gridtaps
+            # _slice1).  Joining sessions start at the shared phase.
+            overrides[eid] = {"grid_semitones": float(st),
+                              "grid_phase_lock": True}
     return overrides
 
 
@@ -144,15 +149,32 @@ class SessionPool:
                 )
             )
         self._tbuf0 = self._tbuf.copy()  # fresh-slot column template
+        # Phase-locked grid rows: batch-uniform scalars (vmap axis None),
+        # advanced host-side once per dispatch, never reset per slot.
+        self._phase_rows = {
+            self._trows[(i, "grid_phase")]: model
+            for i, (eid, model) in enumerate(self.chain.effects)
+            if (i, "grid_phase") in self._trows
+        }
 
         def unflatten(tflat):
             return tuple(
                 {
-                    name: tflat[self._trows[(i, name)]]
+                    name: (
+                        tflat[self._trows[(i, name)], 0]
+                        if name == "grid_phase"
+                        else tflat[self._trows[(i, name)]]
+                    )
                     for name in model.PARAMS
                 }
                 for i, (eid, model) in enumerate(self.chain.effects)
             )
+
+        target_axes = tuple(
+            {name: (None if name == "grid_phase" else 0)
+             for name in model.PARAMS}
+            for i, (eid, model) in enumerate(self.chain.effects)
+        )
 
         # Donation default OFF: donated dispatches serialize through
         # remote relays (PERF.md round-2 third pass — 27 vs 3.4 ms/step
@@ -162,7 +184,7 @@ class SessionPool:
         self._donate = os.environ.get("AEFS_POOL_DONATE", "0") == "1"
         self._step = jax.jit(
             lambda st, tflat, x: jax.vmap(
-                self.chain.process_block, in_axes=(0, 0, 0)
+                self.chain.process_block, in_axes=(0, target_axes, 0)
             )(st, unflatten(tflat), x),
             donate_argnums=(0,) if self._donate else (),
         )
@@ -239,7 +261,10 @@ class SessionPool:
         host work: a leaving session never blocks on the device."""
         with self._ctrl_lock:
             self._targets_maps[slot] = dict_copy(self._tmap0)
+            keep = {r: self._tbuf[r, slot] for r in self._phase_rows}
             self._tbuf[:, slot] = self._tbuf0[:, slot]
+            for r, v in keep.items():  # shared phase survives slot churn
+                self._tbuf[r, slot] = v
             self._pending_resets.append(slot)
             self._free.append(slot)
 
@@ -257,6 +282,8 @@ class SessionPool:
         if param == "semitones" and getattr(model, "_grid_e", None) is not None:
             return ("Warning: 'semitones' is grid-specialized (static) in "
                     "this pool and cannot be updated live")
+        if param == "grid_phase":
+            return "Warning: 'grid_phase' is pool-managed and not settable"
         eff_index = [eid for eid, _ in self.chain.effects].index(effect_id)
         with self._ctrl_lock:
             self._targets_maps[slot].setdefault(effect_id, {})[param] = float(value)
@@ -309,6 +336,13 @@ class SessionPool:
                     self.state = self._fresh_batched_state()
                 raise
             self.last_step_ms = (time.time() - t0) * 1000.0
+            # Advance the shared grid phase(s) for the block just
+            # processed (every slot stepped — idle ones on silence).
+            if self._phase_rows:
+                with self._ctrl_lock:
+                    for r, model in self._phase_rows.items():
+                        adv, mod = model.grid_phase_advance(self.blocksize)
+                        self._tbuf[r, :] = (self._tbuf[r, 0] + adv) % mod
         return {slot: out[slot].T for slot in blocks}
 
 

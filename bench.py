@@ -236,11 +236,15 @@ def bench_stream_latency(cfgs, n_blocks=200):
         fn = loop_fn(iters)
         st, acc = fn(state, targets, xb)
         float(acc)  # compile + settle
-        t0 = time.time()
-        st, acc = fn(state, targets, xb)
-        float(acc)
-        times[iters] = time.time() - t0
-    dev_ms = (times[320] - times[64]) / 256 * 1000
+        best = None
+        for _ in range(3):  # tunnel RTT noise can exceed the loop delta
+            t0 = time.time()
+            st, acc = fn(state, targets, xb)
+            float(acc)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[iters] = best
+    dev_ms = max((times[320] - times[64]) / 256 * 1000, 1e-3)
     deadline = 256 / FS * 1000
     log(f"[bench] stream 256-block latency: sync p50={p50:.2f} ms "
         f"p99={p99:.2f} ms; pipelined(depth-1) p50={pipe50:.2f} ms; "
@@ -329,7 +333,7 @@ def preflight_sweep():
     return True
 
 
-def wait_for_device(max_wait_s=1200, probe_every_s=60):
+def wait_for_device(max_wait_s=1500, probe_every_s=60):
     """The development TPU tunnel wedges transfers for ~10 min after a
     process is killed mid-claim, and a wedged transfer may HANG FOREVER —
     so one probe thread is not a retry.  Launch a FRESH daemon probe
@@ -366,7 +370,8 @@ def wait_for_device(max_wait_s=1200, probe_every_s=60):
     return ready.is_set()
 
 
-def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40):
+def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
+                          static_overrides=None, tag=""):
     """One (S, N) point of the serving-density sweep.  Two measurements:
 
     - device-limited step time: slope between two on-device ``fori_loop``
@@ -384,7 +389,8 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40):
     from jax import lax
     from aefs_tpu.core.chain import build_chain
 
-    chain, _, tmap = build_chain(cfgs, FS, blocksize, channels_in=1)
+    chain, _, tmap = build_chain(cfgs, FS, blocksize, channels_in=1,
+                                 static_overrides=static_overrides)
     targets = chain.targets(tmap)
     init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
 
@@ -439,7 +445,7 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40):
     deadline = blocksize / FS
     sustained_dev = n_streams * deadline / dev
     sustained_host = n_streams * deadline / host
-    log(f"[bench] multistream S={n_streams} block={blocksize}: device "
+    log(f"[bench] multistream{tag} S={n_streams} block={blocksize}: device "
         f"{dev*1000:.2f} ms/step -> {sustained_dev:.0f} streams; tunnel "
         f"host loop {host*1000:.1f} ms/step -> {sustained_host:.0f} "
         f"({deadline*1000:.1f} ms block latency)")
@@ -450,23 +456,37 @@ def bench_multistream(cfgs):
     """Batched serving density: S independent chains stepped together
     (vmapped) on one chip — the production many-sessions-per-chip axis
     (parallel/ shards the same batch over a mesh; server/pool.py is the
-    product surface).  256-sample blocks — the reference's own mic
-    cadence — outperform larger blocks since the adaptive-rows kernel
-    fix, so the sweep scales S at the strict cadence plus one 512-block
-    point (10.7 ms block latency) for the latency-tolerant regime.
-    Returns (best device-limited count, best tunnel host-loop count)."""
+    product surface).  Two serving modes, both measured:
+
+    - generic (live semitones, Pallas banded-resampler octaver),
+    - exact-grid (pool --grid: whole-octave ratios baked, integer-phase
+      taps — ops/gridtaps.py:octaver_taps_pow2_stream), the density mode
+      for whole-octave sessions.
+
+    Returns (best device-limited count overall, best tunnel host-loop
+    count, {mode: best device-limited count}).
+    """
+    from aefs_tpu.server.pool import grid_static_overrides
+
     best_dev, best_host = 0.0, 0.0
-    # 256-sample blocks (the reference's own mic cadence) now beat larger
-    # blocks outright, so the sweep scales S at the strict cadence and
-    # keeps one larger-block point for the latency-tolerant regime.
-    for n_streams, blocksize in ((128, 256), (256, 256), (256, 512)):
-        try:
-            d, h = bench_multistream_one(cfgs, n_streams, blocksize)
-            best_dev, best_host = max(best_dev, d), max(best_host, h)
-        except Exception as e:
-            log(f"[bench] multistream S={n_streams} N={blocksize} FAILED: "
-                f"{type(e).__name__}: {e}")
-    return best_dev, best_host
+    per_mode = {}
+    grid_ov = grid_static_overrides(cfgs)
+    sweeps = [("generic", None, ((128, 256), (256, 256), (256, 512)))]
+    if grid_ov:
+        sweeps.append(("grid", grid_ov, ((128, 256), (256, 256))))
+    for mode, ov, points in sweeps:
+        for n_streams, blocksize in points:
+            try:
+                d, h = bench_multistream_one(
+                    cfgs, n_streams, blocksize,
+                    static_overrides=ov, tag=f"[{mode}]",
+                )
+                best_dev, best_host = max(best_dev, d), max(best_host, h)
+                per_mode[mode] = max(per_mode.get(mode, 0.0), d)
+            except Exception as e:
+                log(f"[bench] multistream[{mode}] S={n_streams} N={blocksize} "
+                    f"FAILED: {type(e).__name__}: {e}")
+    return best_dev, best_host, per_mode
 
 
 def bench_batch_render(cfgs, x, b=16, superblock=4096, k=4):
@@ -551,7 +571,7 @@ def main():
     # no try/except catches.  At the hard deadline, print whatever has
     # been measured so far and exit — a partial capture with the headline
     # beats round 2's empty one.
-    deadline_s = float(os.environ.get("AEFS_BENCH_DEADLINE_S", "2400"))
+    deadline_s = float(os.environ.get("AEFS_BENCH_DEADLINE_S", "2700"))
 
     def watchdog():
         time.sleep(max(deadline_s - (time.time() - t_start), 0))
@@ -568,7 +588,7 @@ def main():
     preflight_sweep()
     if not wait_for_device():
         _emit(results, printed,
-              error="TPU device did not become ready within 1200 s")
+              error="TPU device did not become ready within 1500 s")
         return
     x = rain_like()
 
@@ -593,9 +613,13 @@ def main():
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
 
     try:
-        dev_streams, host_streams = bench_multistream(CONFIGS["5_five_effect"])
+        dev_streams, host_streams, per_mode = bench_multistream(
+            CONFIGS["5_five_effect"]
+        )
         results["concurrent_realtime_streams"] = dev_streams
         results["concurrent_realtime_streams_tunnel_hostloop"] = host_streams
+        for mode, d in per_mode.items():
+            results[f"concurrent_realtime_streams_{mode}"] = d
     except Exception as e:
         log(f"[bench] multistream FAILED: {type(e).__name__}: {e}")
 

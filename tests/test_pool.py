@@ -333,22 +333,37 @@ def test_pool_grid_octaver_specialization():
     cfg = [{"effect_id": "o", "type": "octaver",
             "params": {"semitones": -12, "mix": 0.9}}]
     ov = grid_static_overrides(cfg)
-    assert ov == {"o": {"grid_semitones": -12.0}}
+    assert ov == {"o": {"grid_semitones": -12.0, "grid_phase_lock": True}}
 
     pool = SessionPool(cfg, n_slots=2, grid=True)
     err = pool.update_param(0, "o", "semitones", -7)
     assert err and "grid-specialized" in err
+    err = pool.update_param(0, "o", "grid_phase", 7)
+    assert err and "pool-managed" in err
     assert pool.update_param(0, "o", "mix", 0.9) is None
 
+    # Reference: the same phase-locked chain driven single-stream, with
+    # the grid_phase target advanced per block exactly as the pool does.
     chain, state, tmap = build_chain(
         cfg, pool.fs, pool.blocksize, channels_in=1, channels_out=2,
         static_overrides=ov,
     )
-    targets = chain.targets(tmap)
+    model = dict(chain.effects)["o"]
+    adv, mod = model.grid_phase_advance()
+    phase = 0
     rng = np.random.default_rng(2)
     for _ in range(6):
         blk = rng.standard_normal(pool.blocksize).astype(np.float32) * 0.3
         out = pool.step_blocks({0: blk})
-        state, y = chain.process_block(state, targets, blk[None, :])
+        tm = {k: dict(v) for k, v in tmap.items()}
+        tm.setdefault("o", {})["grid_phase"] = float(phase)
+        state, y = chain.process_block(state, chain.targets(tm), blk[None, :])
+        phase = (phase + adv) % mod
         err = np.max(np.abs(out[0] - np.asarray(y).T))
         assert err < 1e-6, err
+    # the pool's shared phase actually advanced
+    row = next(iter(pool._phase_rows))
+    assert pool._tbuf[row, 0] == phase
+    # a released slot keeps the shared phase (fresh state, same grid)
+    pool.release(0)
+    assert pool._tbuf[row, 0] == pool._tbuf[row, 1] == phase
