@@ -156,16 +156,52 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
     for _ in range(k):
         st, y = fn(st, targets, xd)
     float(jnp.sum(jnp.abs(y[:, -4:])))
-    best = max((time.time() - t0) / k, 1e-9)
+    pipelined = max((time.time() - t0) / k, 1e-9)
 
     t0 = time.time()
     out = np.asarray(y)
     d2h_s = time.time() - t0
 
-    rtf = (len(x) / FS) / best
-    log(f"[bench] {name}: device {best*1000:.1f} ms/run pipelined "
-        f"({single_s*1000:.1f} ms single-dispatch) for {len(x)/FS:.1f} s audio "
-        f"-> {rtf:.0f}x realtime (compile {compile_s:.1f} s, "
+    # Device-only run time via an on-device fori_loop slope (2 vs 8
+    # iterations, best of 3): the pipelined host loop above is bounded by
+    # the dev tunnel's per-dispatch enqueue rate on bad relay sessions
+    # (~30 ms RTT), which a production host-attached TPU does not pay.
+    from jax import lax
+
+    def loop_fn(iters):
+        def body(_, carry):
+            cst, acc = carry
+            cst, yy = chain.process_whole(cst, targets, xd)
+            return cst, acc + yy[0, -1]
+
+        return jax.jit(lambda st0: lax.fori_loop(0, iters, body,
+                                                 (st0, jnp.float32(0.0))))
+
+    st0 = chain.init_state(init_cfg)
+    times = {}
+    try:
+        for iters in (2, 8):
+            lf = loop_fn(iters)
+            _, acc = lf(st0)
+            float(acc)
+            best_t = None
+            for _ in range(3):
+                t0 = time.time()
+                _, acc = lf(st0)
+                float(acc)
+                dt = time.time() - t0
+                best_t = dt if best_t is None else min(best_t, dt)
+            times[iters] = best_t
+        device_s = max((times[8] - times[2]) / 6, 1e-9)
+    except Exception as e:
+        log(f"[bench] {name} device-slope failed ({e}); using pipelined")
+        device_s = pipelined
+
+    rtf = (len(x) / FS) / device_s
+    log(f"[bench] {name}: device {device_s*1000:.2f} ms/run (slope; "
+        f"{pipelined*1000:.1f} ms host-pipelined, {single_s*1000:.1f} ms "
+        f"single-dispatch) for {len(x)/FS:.1f} s audio -> {rtf:.0f}x "
+        f"realtime on-device (compile {compile_s:.1f} s, "
         f"h2d {h2d_s*1000:.0f} ms, d2h {d2h_s*1000:.0f} ms)")
     return rtf
 
