@@ -1,0 +1,69 @@
+"""The bench harness's environment-survival machinery (round 3's #1
+deliverable): stray-process detection must find TPU-holding processes by
+exact pid while never touching the harness's own ancestor chain or
+unrelated python processes (e.g. the tunnel keeper)."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench
+
+
+def test_ancestor_pids_include_self_chain():
+    pids = bench._ancestor_pids()
+    assert os.getpid() in pids
+    assert os.getppid() in pids
+
+
+def test_find_stray_python_classification(tmp_path):
+    # A process whose cmdline carries a known TPU-holder signature...
+    marker = tmp_path / "tpu_worker_probe.py"
+    marker.write_text("import time; time.sleep(30)")
+    stray = subprocess.Popen([sys.executable, str(marker)])
+    # ...and one unrelated python process.
+    other = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        time.sleep(0.3)
+        cands, others = bench.find_stray_python()
+        cand_pids = {p for p, _ in cands}
+        other_pids = {p for p, _ in others}
+        assert stray.pid in cand_pids, cands
+        assert other.pid not in cand_pids
+        assert other.pid in other_pids
+        # the test runner itself is an ancestor: never a candidate
+        assert os.getpid() not in cand_pids | other_pids
+    finally:
+        stray.kill()
+        other.kill()
+        stray.wait()
+        other.wait()
+
+
+def test_emit_prints_one_json_line_idempotently(capsys):
+    import threading
+
+    printed = {"done": False, "lock": threading.Lock()}
+    results = {"5_five_effect": 1234.5, "stream_p50_ms": 1.0}
+    bench._emit(results, printed)
+    bench._emit(results, printed, error="should not print twice")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["metric"] == "realtime_factor_48k_stereo_5fx_chain"
+    assert rec["value"] == 1234.5
+    assert "error" not in rec
+
+
+def test_emit_partial_with_error(capsys):
+    import threading
+
+    printed = {"done": False, "lock": threading.Lock()}
+    bench._emit({}, printed, error="watchdog deadline 1s (partial)")
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 0.0 and "watchdog" in rec["error"]

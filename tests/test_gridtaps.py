@@ -128,3 +128,27 @@ def test_stream_taps_block_split_invariant(e):
 
     np.testing.assert_array_equal(run(256), run(128))
     np.testing.assert_array_equal(run(256), run(512))
+
+
+@pytest.mark.parametrize("fs,semitones", [(44100, -12), (44100, 12), (32000, -24)])
+def test_stream_grid_parity_other_rates(fs, semitones):
+    """Exact-grid streaming holds the -80 dBFS bar at non-48k rates
+    (window size = fs * 40 ms changes every divisibility property)."""
+    from aefs_tpu.ops.gridtaps import pow2_stream_geometry_ok, pow2_exponent
+
+    size = max(int(fs * 40.0 / 1000.0), 16)
+    e = pow2_exponent(semitones)
+    assert pow2_stream_geometry_ok(size, e, 256), (size, e)
+
+    frames = 40 * 256
+    x = tones(frames, fs=fs)
+    chain_cfg = {"effect_id": "o", "type": "octaver",
+                 "params": {"semitones": semitones, "mix": 1.0}}
+    chain, state, tmap = build_chain(
+        [chain_cfg], fs, 256, channels_in=2,
+        static_overrides={"o": {"grid_semitones": semitones}},
+    )
+    _, got = chain.process_array(state, chain.targets(tmap), x)
+    oracle = OracleOctaver(fs, semitones=semitones, mix=1.0)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), 256)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
