@@ -133,7 +133,7 @@ UI_CONTROLS = {
         ("delay_ms", "Delay time (ms)", 50, 1000, 1),
         ("mix_dry", "Dry mix", 0, 1, 0.01),
         ("mix_wet", "Wet mix", 0, 1, 0.01),
-        ("offset_ms", "Stereo offset", 0, 1000, 1),
+        ("offset_ms", "Stereo offset", -1000, 1000, 1),
     ],
     "reverb": [
         ("rt60_s", "60dB decay time (s)", 0.1, 10.0, 0.1),

@@ -21,10 +21,14 @@ def file_static_overrides(effects_config):
         etype = cfg.get("type")
         if etype == "delay":
             d = float(params.get("delay_ms", 375.0))
+            off = float(params.get("offset_ms", 30.0))
+            # A negative offset puts the RIGHT lag below delay_ms; the
+            # blockwise solver's exactness bound must use the smaller lag.
+            d_r = max(1.0, min(d + off, 1499.0))
             overrides[eid] = {
-                "min_delay_ms": max(1.0, min(d, 1499.0)),
+                "min_delay_ms": max(1.0, min(d, d_r, 1499.0)),
                 "file_delay_ms": d,
-                "file_offset_ms": float(params.get("offset_ms", 30.0)),
+                "file_offset_ms": off,
             }
         elif etype == "octaver":
             overrides[eid] = {

@@ -156,6 +156,7 @@ class AudioEngine:
         self.status_count = 0
         self.stream = None
         self.last_chain_config = []
+        self.last_file_contents = None
         self._lock = threading.Lock()
         # Serializes device-op ENQUEUE between the audio path (whose step
         # donates the packed state buffers) and state readers
@@ -481,6 +482,9 @@ class AudioEngine:
             print("Warning. A file is already being process. Ignoring new request")
             return
         self.is_processing_file = True
+        # Kept for the reprocess_file command (reference wishlist todo:5:
+        # "re-apply effects to the file" without re-uploading).
+        self.last_file_contents = contents
         try:
             print("Info: Processing WAV")
             from aefs_tpu import native

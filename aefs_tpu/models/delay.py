@@ -32,7 +32,9 @@ class StereoDelay(EffectModel):
         "feedback": ParamSpec(0.2, 0.0, 0.95, smooth="step", step=0.02),
         "mix_dry": ParamSpec(0.8, 0.0, 2.0),
         "mix_wet": ParamSpec(0.8, 0.0, 2.0),
-        "offset_ms": ParamSpec(30.0, 0.0, 1500.0),
+        # Negative offsets (R earlier than L — reference wishlist todo:8)
+        # clamp so the right lag never falls below the solver's min delay.
+        "offset_ms": ParamSpec(30.0, -1499.0, 1500.0),
     }
 
     def __init__(self, fs, blocksize, channels=2, max_delay_ms=1500.0,
@@ -40,6 +42,7 @@ class StereoDelay(EffectModel):
                  **config):
         super().__init__(fs, blocksize, channels)
         self.max_delay_ms = float(max_delay_ms)
+        self.min_delay_ms = float(min_delay_ms)
         # Ring size: int(fs * max_delay_ms / 1000) + 1 (delay.py:33).
         self.size = int(fs * self.max_delay_ms / 1000.0) + 1
         self.min_delay = max(1, int(fs * float(min_delay_ms) / 1000.0))
@@ -49,7 +52,8 @@ class StereoDelay(EffectModel):
         self.file_lags = None
         if file_delay_ms is not None:
             d_l = min(float(file_delay_ms), self.max_delay_ms - 1.0)
-            d_r = min(d_l + float(file_offset_ms or 0.0), self.max_delay_ms - 1.0)
+            d_r = min(max(d_l + float(file_offset_ms or 0.0),
+                          self.min_delay_ms), self.max_delay_ms - 1.0)
             self.file_lags = tuple(
                 min(max(int(fs * d / 1000.0), 1), self.size - 1) for d in (d_l, d_r)
             )
@@ -67,7 +71,8 @@ class StereoDelay(EffectModel):
 
     def process(self, state, p, x):
         d_l_ms = p["delay_ms"]
-        d_r_ms = jnp.minimum(d_l_ms + p["offset_ms"], self.max_delay_ms - 1.0)
+        d_r_ms = jnp.clip(d_l_ms + p["offset_ms"],
+                          self.min_delay_ms, self.max_delay_ms - 1.0)
         fb = p["feedback"]
 
         def to_samples(ms):

@@ -197,6 +197,18 @@ async def handler(websocket):
                     asyncio.create_task(
                         audio_engine.process_wav_file(cmd.get("contents"), websocket)
                     )
+                elif command == "reprocess_file":
+                    # Additive extension (reference wishlist todo:5):
+                    # re-run the LAST uploaded file through the CURRENT
+                    # chain without re-shipping the payload.
+                    if audio_engine.last_file_contents is None:
+                        print("Warning: no file uploaded yet; nothing to reprocess")
+                    else:
+                        asyncio.create_task(
+                            audio_engine.process_wav_file(
+                                audio_engine.last_file_contents, websocket
+                            )
+                        )
                 elif command == "set_ir":
                     # Additive extension: user-uploaded convreverb IR
                     # (WAV data URL, same encoding as process_file).

@@ -287,6 +287,10 @@ function loadPreset(name) {
 function onFileProcessed(msg) {
   $("busy-spinner").classList.add("hidden");
   $("players").classList.remove("hidden");
+  $("reprocess-file").classList.remove("hidden");
+  const dl = $("download-processed");
+  dl.classList.remove("hidden");
+  dl.href = msg.processed_b64;
   fileData = {
     original: msg.original_samples,
     processed: msg.processed_samples,
@@ -350,6 +354,13 @@ async function init() {
     send({ command: "resume_session" });
   };
   attachSpectrumInteractions($("plot-spectrum"));
+  $("smooth-spectrum").onchange = () => {
+    specSmooth.on = $("smooth-spectrum").checked;
+  };
+  $("reprocess-file").onclick = () => {
+    $("busy-spinner").classList.remove("hidden");
+    send({ command: "reprocess_file" });
+  };
   $("load-preset").onclick = () => loadPreset($("preset-select").value);
   $("delete-preset").onclick = () => {
     const p = getPresets(); delete p[$("preset-select").value]; setPresets(p);

@@ -60,7 +60,25 @@ function fmtHz(f) {
                    : Math.round(f) + " Hz";
 }
 
+/* Optional temporal smoothing (EMA across frames — reference wishlist
+ * todo:9 "opcion para smooth spectrum"), toggled by #smooth-spectrum. */
+let specSmooth = { on: false, in: null, out: null };
+
+function smoothSeries(prev, cur) {
+  if (!prev || prev.length !== cur.length) return Array.from(cur);
+  const a = 0.7, out = new Array(cur.length);
+  for (let i = 0; i < cur.length; i++) out[i] = a * prev[i] + (1 - a) * cur[i];
+  return out;
+}
+
 function drawSpectrum(canvas, inDb, outDb, freqs) {
+  if (specSmooth.on && inDb) {
+    specSmooth.in = smoothSeries(specSmooth.in, inDb);
+    specSmooth.out = outDb ? smoothSeries(specSmooth.out, outDb) : null;
+    inDb = specSmooth.in; outDb = specSmooth.out;
+  } else {
+    specSmooth.in = specSmooth.out = null;
+  }
   specState = { canvas, inDb, outDb, freqs: freqs || null };
   renderSpectrum();
 }

@@ -75,7 +75,8 @@ class OracleStereoDelay:
     def process(self, x):  # x: (N, 2)
         p = self.p
         d_l = p["delay_ms"]
-        d_r = min(d_l + p["offset_ms"], self.max_delay_ms - 1.0)
+        # negative offsets clamp at the solver's min delay (1 ms default)
+        d_r = min(max(d_l + p["offset_ms"], 1.0), self.max_delay_ms - 1.0)
         wet_l = self.L.process(x[:, 0], d_l, p["feedback"])
         wet_r = self.R.process(x[:, 1], d_r, p["feedback"])
         out = np.stack(

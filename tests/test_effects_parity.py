@@ -48,6 +48,12 @@ def run_chain(cfg, x, blocksize=N, static_overrides=None, fs=FS):
         {"delay_ms": 375, "feedback": 0.2, "mix_dry": 1.0, "mix_wet": 1.0, "offset_ms": 0},
         {"delay_ms": 100, "feedback": 0.6, "mix_dry": 0.7, "mix_wet": 0.5, "offset_ms": 30},
         {"delay_ms": 2, "feedback": 0.5, "mix_dry": 0.5, "mix_wet": 0.9, "offset_ms": 3},
+        # negative offset: R earlier than L (reference wishlist todo:8)
+        {"delay_ms": 375, "feedback": 0.3, "mix_dry": 0.8, "mix_wet": 0.8,
+         "offset_ms": -120},
+        # clamps at the 1 ms min delay
+        {"delay_ms": 50, "feedback": 0.4, "mix_dry": 0.7, "mix_wet": 0.8,
+         "offset_ms": -200},
     ],
 )
 def test_delay_parity(params):

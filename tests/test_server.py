@@ -364,5 +364,72 @@ def test_spa_serves_session_and_interaction_surfaces():
     assert "save_session" in appjs and "resume_session" in appjs
     assert "set_ir" in appjs and "convreverb" in appjs
     assert "attachSpectrumInteractions" in appjs
+    assert 'id="reprocess-file"' in html and 'id="download-processed"' in html
+    assert 'id="smooth-spectrum"' in html and "reprocess_file" in appjs
+    assert "smoothSeries" in plotsjs
     for evt in ("wheel", "mousedown", "mousemove", "dblclick"):
         assert f'"{evt}"' in plotsjs, evt
+
+
+def test_ws_reprocess_file_uses_current_chain():
+    """reprocess_file (wishlist todo:5) re-runs the LAST upload through
+    the CURRENT chain without re-shipping the payload: after a chain
+    change the second result must differ from the first; with no upload
+    yet the command is a logged no-op."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**29)
+        port = server.sockets[0].getsockname()[1]
+        fs = 48000
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**29) as client:
+                # no upload yet: must not kill the server
+                await client.send(json.dumps({"command": "reprocess_file"}))
+
+                await client.send(json.dumps({
+                    "command": "build_chain",
+                    "config": [
+                        {"effect_id": "f", "type": "filter",
+                         "params": {"filter_type": 0, "cutoff_hz": 8000,
+                                    "q": 0.707}}],
+                }))
+                rng = np.random.default_rng(1)
+                sig = (0.1 * rng.standard_normal(fs // 2)).astype(np.float32)
+                url = "data:audio/wav;base64," + base64.b64encode(
+                    encode_wav_int16(sig[:, None], fs)).decode()
+                await client.send(json.dumps(
+                    {"command": "process_file", "contents": url}))
+
+                async def next_processed():
+                    for _ in range(50):
+                        m = json.loads(await asyncio.wait_for(client.recv(), 120))
+                        if m["type"] == "file_processed":
+                            return np.asarray(m["processed_samples"])
+                    raise AssertionError("no file_processed")
+
+                first = await next_processed()
+                # close the filter hard, then re-apply WITHOUT contents
+                await client.send(json.dumps({
+                    "command": "update_param", "effect_id": "f",
+                    "param": "cutoff_hz", "value": 200}))
+                await client.send(json.dumps({
+                    "command": "build_chain",
+                    "config": [
+                        {"effect_id": "f", "type": "filter",
+                         "params": {"filter_type": 0, "cutoff_hz": 200,
+                                    "q": 0.707}}],
+                }))
+                await client.send(json.dumps({"command": "reprocess_file"}))
+                second = await next_processed()
+                assert first.shape == second.shape
+                # the 200 Hz lowpass bites (2nd-order rolloff: ~half RMS)
+                assert np.sqrt(np.mean(second**2)) < 0.7 * np.sqrt(np.mean(first**2))
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
