@@ -367,3 +367,32 @@ def test_pool_grid_octaver_specialization():
     # a released slot keeps the shared phase (fresh state, same grid)
     pool.release(0)
     assert pool._tbuf[row, 0] == pool._tbuf[row, 1] == phase
+
+
+def test_pool_sharded_grid_matches_unsharded_grid():
+    """shard=True composes with grid=True: the batch-uniform grid_phase
+    scalar reads across the sharded target buffer and the outputs match
+    the single-device grid pool."""
+    import jax
+    from aefs_tpu.server.pool import SessionPool
+
+    assert len(jax.devices()) >= 8
+    cfg = [
+        {"effect_id": "o", "type": "octaver",
+         "params": {"semitones": -12, "mix": 0.7}},
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 3000, "q": 0.8}},
+    ]
+    pa = SessionPool(cfg, n_slots=8, grid=True)
+    pb = SessionPool(cfg, n_slots=8, shard=True, grid=True)
+    for p in (pa, pb):
+        p.update_param(2, "f", "cutoff_hz", 700)
+    rng = np.random.default_rng(4)
+    for i in range(5):
+        blocks = {s: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.2
+                  for s in (0, 2, 5)}
+        oa = pa.step_blocks(dict(blocks))
+        ob = pb.step_blocks(dict(blocks))
+        for s in blocks:
+            err = np.max(np.abs(oa[s] - ob[s]))
+            assert err < 1e-5, (i, s, err)
