@@ -55,3 +55,26 @@ def pick_devices(ch_in=1, ch_out=2, in_hint=("usb", "mic"), out_hint=("system",)
             return pulse_idx, pulse_idx
 
     return None, None
+
+
+def list_devices(ch_in=1, ch_out=2):
+    """Enumerate PortAudio devices for the UI's input/output pickers
+    (reference wishlist todo:2 "poder elegir input y output").  Returns
+    [] in server mode (no sounddevice / no audio hardware)."""
+    if sd is None:
+        return []
+    try:
+        devices = sd.query_devices()
+    except Exception:
+        return []
+    out = []
+    for i, d in enumerate(devices):
+        out.append({
+            "index": i,
+            "name": d["name"],
+            "max_input_channels": int(d["max_input_channels"]),
+            "max_output_channels": int(d["max_output_channels"]),
+            "usable_input": d["max_input_channels"] >= ch_in,
+            "usable_output": d["max_output_channels"] >= ch_out,
+        })
+    return out

@@ -157,6 +157,10 @@ class AudioEngine:
         self.stream = None
         self.last_chain_config = []
         self.last_file_contents = None
+        # User-selected (input, output) PortAudio device indices; None
+        # means OS default.  Applied at the next stream start (reference
+        # wishlist todo:2; pick_devices/list_devices in engine/devices.py).
+        self.devices = (None, None)
         self._lock = threading.Lock()
         # Serializes device-op ENQUEUE between the audio path (whose step
         # donates the packed state buffers) and state readers
@@ -434,6 +438,9 @@ class AudioEngine:
             outdata[:] = step(np.asarray(indata, np.float32))
 
         try:
+            kwargs = {}
+            if self.devices != (None, None):
+                kwargs["device"] = self.devices
             self.stream = sd.Stream(
                 samplerate=self.current_sample_rate,
                 blocksize=BLOCKSIZE,
@@ -442,6 +449,7 @@ class AudioEngine:
                 channels=(CHANNELS_IN, CHANNELS_OUT),
                 callback=callback,
                 prime_output_buffers_using_stream_callback=True,
+                **kwargs,
             )
             self.stream.start()
             self.is_running = True
@@ -458,6 +466,17 @@ class AudioEngine:
                 self.build_chain(self.last_chain_config)
         except Exception as e:
             print(f"Error on stream start: {e}")
+
+    def set_devices(self, in_index, out_index):
+        """Select the (input, output) device pair for the NEXT stream
+        start; a running stream is restarted so the change applies."""
+        self.devices = (
+            int(in_index) if in_index is not None else None,
+            int(out_index) if out_index is not None else None,
+        )
+        if self.is_running:
+            self.stop_stream()
+            self.start_mic_stream()
 
     def stop_stream(self):
         if self.stream:

@@ -209,6 +209,20 @@ async def handler(websocket):
                                 audio_engine.last_file_contents, websocket
                             )
                         )
+                elif command == "list_devices":
+                    # Additive extension (reference wishlist todo:2):
+                    # enumerate PortAudio devices; [] in server mode.
+                    from aefs_tpu.engine.devices import list_devices
+
+                    await websocket.send(json.dumps({
+                        "type": "devices",
+                        "devices": list_devices(),
+                        "selected": list(audio_engine.devices),
+                    }))
+                elif command == "set_devices":
+                    audio_engine.set_devices(
+                        cmd.get("input"), cmd.get("output")
+                    )
                 elif command == "set_ir":
                     # Additive extension: user-uploaded convreverb IR
                     # (WAV data URL, same encoding as process_file).

@@ -44,7 +44,35 @@ function connect() {
     } else if (msg.type === "ir_set")
       sessionStatus(msg.ok ? `IR set (${msg.ir_seconds} s)`
                            : `IR failed: ${msg.error}`);
+    else if (msg.type === "devices") renderDevices(msg);
   };
+  socket.addEventListener("open", () => send({ command: "list_devices" }));
+}
+
+function renderDevices(msg) {
+  // Input/output pickers (reference wishlist todo:2); hidden in server
+  // mode (no audio hardware -> empty device list).
+  const devs = msg.devices || [];
+  $("device-pickers").classList.toggle("hidden", !devs.length);
+  if (!devs.length) return;
+  const fill = (sel, key, selected) => {
+    sel.innerHTML = "<option value=''>default</option>";
+    devs.filter((d) => d[key]).forEach((d) => {
+      const o = document.createElement("option");
+      o.value = d.index; o.textContent = `${d.index}: ${d.name}`;
+      sel.appendChild(o);
+    });
+    if (selected != null) sel.value = String(selected);
+  };
+  fill($("device-in"), "usable_input", msg.selected && msg.selected[0]);
+  fill($("device-out"), "usable_output", msg.selected && msg.selected[1]);
+  const apply = () => send({
+    command: "set_devices",
+    input: $("device-in").value === "" ? null : parseInt($("device-in").value),
+    output: $("device-out").value === "" ? null : parseInt($("device-out").value),
+  });
+  $("device-in").onchange = apply;
+  $("device-out").onchange = apply;
 }
 
 function sessionStatus(text) {

@@ -433,3 +433,54 @@ def test_ws_reprocess_file_uses_current_chain():
             await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_ws_device_selection_surface():
+    """list_devices/set_devices (wishlist todo:2): server mode answers an
+    empty device list; set_devices stores the pair for the next stream
+    start without raising (no audio hardware in the image)."""
+    websockets = pytest.importorskip("websockets")
+
+    async def scenario():
+        import websockets as ws
+        from aefs_tpu.server import backend
+
+        server = await ws.serve(backend.handler, "127.0.0.1", 0, max_size=2**26)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**26) as client:
+                await client.send(json.dumps({"command": "list_devices"}))
+                msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                assert msg["type"] == "devices"
+                assert msg["devices"] == []  # no sounddevice in the image
+                assert msg["selected"] == [None, None]
+                await client.send(json.dumps(
+                    {"command": "set_devices", "input": 3, "output": 5}))
+                await client.send(json.dumps({"command": "list_devices"}))
+                msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                assert msg["selected"] == [3, 5]
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_list_devices_with_stubbed_hardware(monkeypatch):
+    """list_devices maps PortAudio rows to picker entries (stubbed sd)."""
+    from aefs_tpu.engine import devices as devmod
+
+    class FakeSd:
+        @staticmethod
+        def query_devices():
+            return [
+                {"name": "USB Mic", "max_input_channels": 1,
+                 "max_output_channels": 0, "hostapi": 0},
+                {"name": "Speakers", "max_input_channels": 0,
+                 "max_output_channels": 2, "hostapi": 0},
+            ]
+
+    monkeypatch.setattr(devmod, "sd", FakeSd)
+    devs = devmod.list_devices()
+    assert [d["usable_input"] for d in devs] == [True, False]
+    assert [d["usable_output"] for d in devs] == [False, True]
