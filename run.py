@@ -38,6 +38,13 @@ def run_services(backend_port: int, ui_port: int):
     check_and_install_dependencies()
     env = dict(os.environ, PORT=str(backend_port), BACKEND_PORT=str(backend_port))
     procs = {}
+    # SIGTERM must tear the children down too (KeyboardInterrupt only
+    # covers Ctrl-C): without this, killing the launcher leaks the
+    # backend + UI processes — and a leaked backend can hold the TPU.
+    def _terminate(_sig, _frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _terminate)
     try:
         print(f"Starting backend on port {backend_port}...")
         procs["backend"] = subprocess.Popen(
