@@ -162,10 +162,15 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
     out = np.asarray(y)
     d2h_s = time.time() - t0
 
-    # Device-only run time via an on-device fori_loop slope (2 vs 8
-    # iterations, best of 3): the pipelined host loop above is bounded by
-    # the dev tunnel's per-dispatch enqueue rate on bad relay sessions
-    # (~30 ms RTT), which a production host-attached TPU does not pay.
+    # Device-only run time via an on-device fori_loop slope: the
+    # pipelined host loop above is bounded by the dev tunnel's
+    # per-dispatch enqueue rate on bad relay sessions (~30 ms RTT), which
+    # a production host-attached TPU does not pay.  The iteration
+    # contrast scales so the DELTA device work is ~150 ms — small
+    # contrasts drown in the tunnel's +-10 ms wall jitter (observed:
+    # negative slopes on fast configs).  A nonsensical slope (<= 0 or
+    # above the pipelined wall) falls back to the pipelined number,
+    # which is a strict upper bound on device time.
     from jax import lax
 
     def loop_fn(iters):
@@ -178,21 +183,27 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
                                                  (st0, jnp.float32(0.0))))
 
     st0 = chain.init_state(init_cfg)
+    hi = int(min(max(0.15 / max(pipelined, 1e-4), 8), 64))
+    lo = max(2, hi // 8)
     times = {}
     try:
-        for iters in (2, 8):
+        for iters in (lo, hi):
             lf = loop_fn(iters)
             _, acc = lf(st0)
             float(acc)
             best_t = None
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.time()
                 _, acc = lf(st0)
                 float(acc)
                 dt = time.time() - t0
                 best_t = dt if best_t is None else min(best_t, dt)
             times[iters] = best_t
-        device_s = max((times[8] - times[2]) / 6, 1e-9)
+        device_s = (times[hi] - times[lo]) / (hi - lo)
+        if not (0.0 < device_s <= pipelined * 1.5):
+            log(f"[bench] {name} slope {device_s*1000:.2f} ms implausible "
+                f"(noise); using pipelined upper bound")
+            device_s = pipelined
     except Exception as e:
         log(f"[bench] {name} device-slope failed ({e}); using pipelined")
         device_s = pipelined
@@ -268,7 +279,7 @@ def bench_stream_latency(cfgs, n_blocks=200):
         return jax.jit(many)
 
     times = {}
-    for iters in (64, 320):
+    for iters in (64, 1024):  # ~50 ms delta work: above tunnel jitter
         fn = loop_fn(iters)
         st, acc = fn(state, targets, xb)
         float(acc)  # compile + settle
@@ -280,7 +291,7 @@ def bench_stream_latency(cfgs, n_blocks=200):
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[iters] = best
-    dev_ms = max((times[320] - times[64]) / 256 * 1000, 1e-3)
+    dev_ms = max((times[1024] - times[64]) / 960 * 1000, 1e-3)
     deadline = 256 / FS * 1000
     log(f"[bench] stream 256-block latency: sync p50={p50:.2f} ms "
         f"p99={p99:.2f} ms; pipelined(depth-1) p50={pipe50:.2f} ms; "
@@ -369,7 +380,7 @@ def preflight_sweep():
     return True
 
 
-def wait_for_device(max_wait_s=1500, probe_every_s=60):
+def wait_for_device(max_wait_s=2100, probe_every_s=60):
     """The development TPU tunnel wedges transfers for ~10 min after a
     process is killed mid-claim, and a wedged transfer may HANG FOREVER —
     so one probe thread is not a retry.  Launch a FRESH daemon probe
@@ -467,16 +478,27 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
 
         return jax.jit(many)
 
+    # Delta device work ~120 ms (small contrasts drown in tunnel wall
+    # jitter — a 0.4 ms step needs ~300 iterations of contrast).
+    hi = int(min(max(0.12 / max(host, 1e-4) + 8, 40), 320))
     times = {}
-    for iters in (8, 40):
+    for iters in (8, hi):
         fn = loop_fn(iters)
         s2, acc = fn(state, targets, x)
         float(acc)
-        t0 = time.time()
-        s2, acc = fn(state, targets, x)
-        float(acc)
-        times[iters] = time.time() - t0
-    dev = (times[40] - times[8]) / 32
+        best_t = None
+        for _ in range(3):
+            t0 = time.time()
+            s2, acc = fn(state, targets, x)
+            float(acc)
+            dt = time.time() - t0
+            best_t = dt if best_t is None else min(best_t, dt)
+        times[iters] = best_t
+    dev = (times[hi] - times[8]) / (hi - 8)
+    if not (0.0 < dev <= host * 1.5):
+        log(f"[bench] multistream{tag} S={n_streams} slope "
+            f"{dev*1000:.2f} ms implausible (noise); using host loop")
+        dev = host
 
     deadline = blocksize / FS
     sustained_dev = n_streams * deadline / dev
@@ -607,7 +629,7 @@ def main():
     # no try/except catches.  At the hard deadline, print whatever has
     # been measured so far and exit — a partial capture with the headline
     # beats round 2's empty one.
-    deadline_s = float(os.environ.get("AEFS_BENCH_DEADLINE_S", "2700"))
+    deadline_s = float(os.environ.get("AEFS_BENCH_DEADLINE_S", "3600"))
 
     def watchdog():
         time.sleep(max(deadline_s - (time.time() - t_start), 0))
@@ -624,7 +646,7 @@ def main():
     preflight_sweep()
     if not wait_for_device():
         _emit(results, printed,
-              error="TPU device did not become ready within 1500 s")
+              error="TPU device did not become ready within 2100 s")
         return
     x = rain_like()
 
