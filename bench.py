@@ -183,26 +183,50 @@ def bench_file_mode(name, cfgs, x, superblock, repeats=6):
                                                  (st0, jnp.float32(0.0))))
 
     st0 = chain.init_state(init_cfg)
-    hi = int(min(max(0.15 / max(pipelined, 1e-4), 8), 64))
-    lo = max(2, hi // 8)
-    times = {}
-    try:
-        for iters in (lo, hi):
-            lf = loop_fn(iters)
+
+    def measure(iters):
+        lf = loop_fn(iters)
+        _, acc = lf(st0)
+        float(acc)
+        best_t = None
+        for _ in range(4):
+            t0 = time.time()
             _, acc = lf(st0)
             float(acc)
-            best_t = None
-            for _ in range(4):
-                t0 = time.time()
-                _, acc = lf(st0)
-                float(acc)
-                dt = time.time() - t0
-                best_t = dt if best_t is None else min(best_t, dt)
-            times[iters] = best_t
-        device_s = (times[hi] - times[lo]) / (hi - lo)
-        if not (0.0 < device_s <= pipelined * 1.5):
-            log(f"[bench] {name} slope {device_s*1000:.2f} ms implausible "
-                f"(noise); using pipelined upper bound")
+            dt = time.time() - t0
+            best_t = dt if best_t is None else min(best_t, dt)
+        return best_t
+
+    # The initial contrast is sized from the tunnel-inflated pipelined
+    # wall, which badly undersizes it for fast configs (a 0.3 ms config
+    # behind an 18 ms tunnel wall got hi=8 -> 1.8 ms of delta device
+    # work, i.e. pure jitter).  If the measured delta doesn't clear the
+    # jitter floor, rescale the iteration gap from the loop's own
+    # per-iteration wall (a sound estimate once iters amortizes the
+    # dispatch overhead) so the delta device work is ~250 ms, and retry.
+    hi = int(min(max(0.15 / max(pipelined, 1e-4), 8), 64))
+    lo = max(2, hi // 8)
+    device_s = None
+    try:
+        for _ in range(3):
+            t_lo, t_hi = measure(lo), measure(hi)
+            slope = (t_hi - t_lo) / (hi - lo)
+            if 0.0 < slope <= pipelined * 1.5 and (t_hi - t_lo) >= 0.02:
+                device_s = slope
+                break
+            est = slope if slope > 1e-6 else t_hi / hi
+            new_hi = lo + int(min(max(0.25 / max(est, 1e-6), hi - lo + 8),
+                                  2048))
+            if new_hi <= hi:
+                device_s = slope if 0.0 < slope <= pipelined * 1.5 else None
+                break
+            log(f"[bench] {name} slope contrast too small "
+                f"(delta {1000*(t_hi-t_lo):.1f} ms); retrying with "
+                f"iters {lo}/{new_hi}")
+            hi = new_hi
+        if device_s is None:
+            log(f"[bench] {name} slope implausible (noise); "
+                f"using pipelined upper bound")
             device_s = pipelined
     except Exception as e:
         log(f"[bench] {name} device-slope failed ({e}); using pipelined")
@@ -478,11 +502,7 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
 
         return jax.jit(many)
 
-    # Delta device work ~120 ms (small contrasts drown in tunnel wall
-    # jitter — a 0.4 ms step needs ~300 iterations of contrast).
-    hi = int(min(max(0.12 / max(host, 1e-4) + 8, 40), 320))
-    times = {}
-    for iters in (8, hi):
+    def measure(iters):
         fn = loop_fn(iters)
         s2, acc = fn(state, targets, x)
         float(acc)
@@ -493,11 +513,34 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
             float(acc)
             dt = time.time() - t0
             best_t = dt if best_t is None else min(best_t, dt)
-        times[iters] = best_t
-    dev = (times[hi] - times[8]) / (hi - 8)
-    if not (0.0 < dev <= host * 1.5):
-        log(f"[bench] multistream{tag} S={n_streams} slope "
-            f"{dev*1000:.2f} ms implausible (noise); using host loop")
+        return best_t
+
+    # Adaptive contrast, same rationale as bench_file: size the first
+    # gap from the tunnel host loop, then rescale from the loop's own
+    # per-iteration wall until the delta device work clears the tunnel's
+    # jitter floor (~250 ms of delta for a 0.4 ms grid step needs ~600
+    # iterations of gap, far beyond the old 320 cap).
+    lo = 8
+    hi = int(min(max(0.12 / max(host, 1e-4) + lo, 40), 320))
+    dev = None
+    for _ in range(3):
+        t_lo, t_hi = measure(lo), measure(hi)
+        slope = (t_hi - t_lo) / (hi - lo)
+        if 0.0 < slope <= host * 1.5 and (t_hi - t_lo) >= 0.02:
+            dev = slope
+            break
+        est = slope if slope > 1e-6 else t_hi / hi
+        new_hi = lo + int(min(max(0.25 / max(est, 1e-6), hi - lo + 8), 2048))
+        if new_hi <= hi:
+            dev = slope if 0.0 < slope <= host * 1.5 else None
+            break
+        log(f"[bench] multistream{tag} S={n_streams} slope contrast too "
+            f"small (delta {1000*(t_hi-t_lo):.1f} ms); retrying with "
+            f"iters {lo}/{new_hi}")
+        hi = new_hi
+    if dev is None:
+        log(f"[bench] multistream{tag} S={n_streams} slope implausible "
+            f"(noise); using host loop")
         dev = host
 
     deadline = blocksize / FS
