@@ -331,15 +331,19 @@ def comb_bank_block_static(hists, lps, x, lags, g, h):
     blocks): every lag-L read predates the block, so the outputs are
     STATIC per-comb history windows (lags are compile-time topology,
     reverb.py:158-177), and the damping recurrence — constant-coefficient
-    within a block — collapses to one T_h Toeplitz matmul (MXU), the same
-    closed form as the file path's chunk solve.  No dynamic slices, no
-    scans: the profiled streaming step spent ~2 ms in their sequential
-    TPU lowerings.
+    within a block — is a log-depth Hillis prefix with h^s by repeated
+    squaring (``const_affine_hillis``).  No dynamic slices, no
+    sequential scans (the profiled streaming step spent ~2 ms in their
+    TPU lowerings), and no (N, N) Toeplitz propagator (the previous
+    closed form; too much HBM traffic once the serving pool vmaps it
+    per stream).
 
     hists: (B, Lmax); lps: (B,); x: (N,) shared or (B, N) per-comb input;
     lags: static ints (B,); g: (B,) traced; h: traced scalar.
     Returns (y, new_hists, new_lps) like ``comb_bank_block``.
     """
+    from aefs_tpu.ops.scan import const_affine_hillis
+
     b, lmax = hists.shape
     n = x.shape[-1]
     lags = tuple(int(l) for l in lags)
@@ -348,15 +352,13 @@ def comb_bank_block_static(hists, lps, x, lags, g, h):
 
     y = jnp.stack([hists[c, lmax - lag : lmax - lag + n] for c, lag in enumerate(lags)])
 
-    dt = xb.dtype
-    j_i = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
-    t_h = jnp.where(j_i >= 0, jnp.power(h, jnp.maximum(j_i, 0).astype(dt)), 0.0)
-    hpow = jnp.power(h, jnp.arange(1, n + 1, dtype=dt))
-    damped = (
-        jnp.einsum("ji,bi->bj", t_h, (1.0 - h) * y,
-                   precision=jax.lax.Precision.HIGHEST)
-        + lps[:, None] * hpow[None, :]
-    )
+    # Constant-coefficient damping recurrence as a Hillis prefix over
+    # lanes (ops/scan.py:const_affine_hillis).  The previous closed form
+    # (one T_h Toeplitz matmul) materializes an (N, N) propagator, which
+    # under the serving pool's stream vmap becomes (S, N, N) — ~33 MB of
+    # HBM traffic per step at S=128 against ~1 MB here (measured: the
+    # T_h build was 85 us of the 400 us batched grid step).
+    damped = const_affine_hillis(h, (1.0 - h) * y, lps[:, None])
     w = xb + g[:, None] * damped
     new_hists = jnp.concatenate([hists, w], axis=-1)[:, -lmax:]
     return y, new_hists, damped[:, -1]

@@ -92,6 +92,50 @@ def affine_scan_long(mult, add, init, chunk: int = 512):
     return y.reshape(m * c)[:n]
 
 
+def const_affine_hillis(h, add, init):
+    """Solve y[n] = h * y[n-1] + add[n] over the LAST axis for a
+    constant (traced, broadcastable) coefficient ``h``, y[-1] = init.
+
+    Hillis-Steele span doubling with ``h^s`` tracked by repeated
+    squaring: log2(N) levels of contiguous pad + static slice + FMA on
+    the ``add`` tensor itself.  Two wins over the alternatives for the
+    batched serving step (one chain per vmapped stream, per-stream h):
+
+    - vs the T_h Toeplitz matmul (``comb_bank_block_static``'s original
+      closed form): no (S, N, N) propagator materialization — the
+      batched build wrote/read ~33 MB per step at S=128, N=256 where
+      this touches log2(N) x the (S, B, N) 1 MB operand;
+    - vs ``lax.associative_scan``: no Blelloch strided lane slices
+      (the documented TPU layout-pass trap, see ``affine_scan_long``).
+
+    Same math as ``affine_scan`` up to reassociation (constant
+    coefficient makes every combine exact in structure; observed
+    divergence vs the float64 oracle stays under the -80 dBFS bar).
+
+    h: scalar or broadcastable to ``add`` minus its last axis (e.g.
+    (B, 1) against (B, N)); add: (..., N); init: broadcastable to one
+    last-axis slice of ``add`` — e.g. (B, 1) against (B, N).
+    Returns y with the shape of ``add``.
+    """
+    add = jnp.asarray(add)
+    n = add.shape[-1]
+    dt = add.dtype
+    h = jnp.asarray(h, dt)
+    assert not h.ndim or h.shape[-1] == 1, h.shape
+    b = add
+    hp = h
+    pad = [(0, 0)] * (add.ndim - 1)
+    s = 1
+    while s < n:
+        shifted = jnp.pad(b, pad + [(s, 0)])[..., :n]
+        b = b + hp * shifted
+        hp = hp * hp
+        s *= 2
+    # Carried-in value: y[n] += init * h^(n+1).
+    hpow = h * jnp.power(h, jnp.arange(n, dtype=dt))
+    return b + jnp.asarray(init, dt) * hpow
+
+
 def _bshape(mult, add, axis):
     """Shape for mult: same scan-axis length as add, broadcast elsewhere."""
     mult = jnp.asarray(mult)

@@ -37,6 +37,31 @@ def test_affine_scan_matches_loop():
     assert np.max(np.abs(y - ref)) < 1e-4
 
 
+def test_const_affine_hillis_matches_loop():
+    from aefs_tpu.ops.scan import const_affine_hillis
+
+    b, n = 5, 256
+    h = RNG.uniform(0.1, 0.95, (b, 1)).astype(np.float32)
+    add = RNG.standard_normal((b, n)).astype(np.float32)
+    init = RNG.standard_normal((b, 1)).astype(np.float32)
+    y = np.asarray(const_affine_hillis(jnp.asarray(h), jnp.asarray(add),
+                                       jnp.asarray(init)))
+    ref = np.zeros((b, n))
+    prev = init[:, 0].astype(np.float64)
+    for i in range(n):
+        prev = h[:, 0] * prev + add[:, i]
+        ref[:, i] = prev
+    assert np.max(np.abs(y - ref)) < 1e-4
+    # Scalar h / scalar init, non-power-of-two length.
+    y1 = np.asarray(const_affine_hillis(jnp.float32(0.5),
+                                        jnp.asarray(add[0, :44]),
+                                        jnp.float32(0.25)))
+    prev = 0.25
+    for i in range(44):
+        prev = 0.5 * prev + add[0, i]
+        assert abs(y1[i] - prev) < 1e-4
+
+
 def test_affine_scan_axis_and_broadcast():
     k, l = 7, 13
     add = RNG.standard_normal((k, l)).astype(np.float32)
