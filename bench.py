@@ -471,8 +471,25 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
         one,
     )
 
+    # PER-SLOT parameter targets, like the product pool (server/pool.py
+    # target_axes): every session diverges its params independently, so
+    # the honest density number must pay for per-stream coefficients.
+    # Sole exception mirrors the pool too: ``grid_phase`` is the
+    # phase-locked batch-uniform scalar (vmap axis None — a per-slot
+    # phase would re-trigger the batched-index dynamic-slice cliff).
+    targets = tuple(
+        {name: (v if name == "grid_phase"
+                else jnp.broadcast_to(jnp.asarray(v), (n_streams,)))
+         for name, v in tg.items()}
+        for tg in targets
+    )
+    target_axes = tuple(
+        {name: (None if name == "grid_phase" else 0) for name in tg}
+        for tg in targets
+    )
+
     def batched(st, tg, x):
-        return jax.vmap(chain.process_block, in_axes=(0, None, 0))(st, tg, x)
+        return jax.vmap(chain.process_block, in_axes=(0, target_axes, 0))(st, tg, x)
 
     step = jax.jit(batched)
     x = jnp.asarray(
