@@ -49,6 +49,55 @@ class Chain:
             params.append(model.initial_params(configs.get(eid, {})))
         return {"fx": tuple(fx), "params": tuple(params)}
 
+    def state_axes(self, batch_axis: int = 0):
+        """vmap in/out axes for a batched (multi-stream) state pytree:
+        ``batch_axis`` everywhere except each model's LOCKSTEP_STATE
+        leaves, which stay unbatched (None) — they are pure per-block
+        counters identical in every stream when all streams step
+        together, and keeping them uniform keeps ring-row index ops off
+        the batched-index DUS trap (ops/ringbuf.py:rowring_write)."""
+        fx = tuple(
+            {k: (None if k in model.LOCKSTEP_STATE else batch_axis)
+             for k in model.init_state()}
+            for eid, model in self.effects
+        )
+        return {"fx": fx, "params": batch_axis}
+
+    def batch_state(self, one, n_streams: int):
+        """Broadcast a single-stream state to ``n_streams`` slots,
+        keeping LOCKSTEP_STATE leaves unbatched (shared counters) —
+        the batched-state companion of ``state_axes``."""
+        bcast = lambda leaf: jnp.broadcast_to(
+            leaf[None], (n_streams,) + leaf.shape
+        ).copy()
+        # Lockstep leaves are COPIED, not aliased: ``one`` may be a shared
+        # fresh-state template, and a donated dispatch would otherwise
+        # consume the template's buffer.
+        copy = lambda leaf: jnp.array(leaf, copy=True)
+        fx = tuple(
+            {k: jax.tree.map(copy if k in model.LOCKSTEP_STATE else bcast, v)
+             for k, v in st.items()}
+            for (eid, model), st in zip(self.effects, one["fx"])
+        )
+        return {"fx": fx, "params": jax.tree.map(bcast, one["params"])}
+
+    def graft_slot_state(self, batched, single, slot):
+        """Write ``single``'s audio state into one slot of a batched
+        state (pool slot reset).  LOCKSTEP_STATE leaves keep the shared
+        running counter: a freshly zeroed ring is self-consistent from
+        ANY row alignment, and resetting the shared row would desync the
+        other slots."""
+        fx = tuple(
+            {k: (bst[k] if k in model.LOCKSTEP_STATE else jax.tree.map(
+                lambda b, s: b.at[slot].set(s), bst[k], sst[k]))
+             for k in bst}
+            for (eid, model), bst, sst in zip(
+                self.effects, batched["fx"], single["fx"])
+        )
+        params = jax.tree.map(lambda b, s: b.at[slot].set(s),
+                              batched["params"], single["params"])
+        return {"fx": fx, "params": params}
+
     def targets(self, per_effect: dict):
         """Build the targets pytree (tuple of dicts in chain order) from a
         host-side {effect_id: {param: float}} map; missing params fall back

@@ -24,6 +24,14 @@ from aefs_tpu.core.params import ParamSpec, init_params
 class EffectModel:
     kind: str = ""
     PARAMS: dict[str, ParamSpec] = {}
+    # Top-level state keys that are pure per-block counters: they advance
+    # identically in every stream whenever all streams step together
+    # (serving pools dispatch every slot every block), independent of
+    # params or audio.  Batched steppers map them to vmap axis None
+    # (Chain.state_axes) so index ops on them stay batch-uniform — a
+    # per-stream ring-row index is a documented 12x TPU lowering trap
+    # (CLAUDE.md; ops/ringbuf.py:rowring_write).
+    LOCKSTEP_STATE: tuple = ()
 
     def __init__(self, fs: int, blocksize: int, channels: int = 2, **config):
         self.fs = int(fs)

@@ -26,6 +26,10 @@ from aefs_tpu.ops.ringbuf import feedback_delay_block_rows, rowring_rows
 class StereoDelay(EffectModel):
     kind = "delay"
 
+    # The block-row ring's row pointer advances once per block regardless
+    # of params/audio — lockstep across pool slots (see EffectModel).
+    LOCKSTEP_STATE = ("row",)
+
     # Bounds/steps from StereoDelayEffect (delay.py:48-58).
     PARAMS = {
         "delay_ms": ParamSpec(375.0, 1.0, 1499.0, smooth="step_ms", step=2.0),

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
-from aefs_tpu.ops.scan import affine_scan, affine_scan_long
+from aefs_tpu.ops.scan import affine_hillis, affine_scan_long
 
 
 class NoiseGate(EffectModel):
@@ -50,7 +50,10 @@ class NoiseGate(EffectModel):
         open_ = level > thresh
         mult = jnp.where(open_, 1.0 - att, 1.0 - rel)
         add = jnp.where(open_, att, 0.0)
-        scan = affine_scan_long if x.shape[-1] >= 4096 else affine_scan
+        # Mic blocks: hand-rolled Hillis over lanes (affine_hillis) — the
+        # associative_scan Blelloch lowering's strided lane slices cost a
+        # layout pass each, ~2.5x of this op on the batched serving step.
+        scan = affine_scan_long if x.shape[-1] >= 4096 else affine_hillis
         gain = scan(mult, add, state["gain"])
 
         return {"gain": gain[-1]}, x * gain[None, :]

@@ -106,14 +106,23 @@ def rowring_read(ring, row, d, n: int):
 def rowring_write(ring, row, blk):
     """Write ``blk`` into slot ``row`` of a block-row ring.
 
-    Not a ``dynamic_update_slice``: under the multistream vmap the row
-    index is per-stream state, and XLA lowers a batched-index DUS to a
-    sequential per-stream while loop plus two full-ring layout copies
-    (profiled ~0.45 ms/step of the S=128 serving step).  The one-hot
-    select writes the ring in one vectorized pass instead — measured
-    0.60 -> 0.35 ms/step for the batched delay, and only a full-ring
-    elementwise pass (~290 KB, sub-microsecond) in the single-stream
-    case."""
+    ``row`` is LOCKSTEP — identical across any stream vmap (it is a pure
+    per-block counter, and every serving-pool slot steps on every
+    dispatch, so rows never diverge; ``Chain.state_axes`` maps such
+    leaves to vmap axis None).  Implementation history, all measured on
+    the S=128 grid serving step on the v5e:
+
+    - PER-STREAM row + dynamic_update_slice: XLA lowers the batched-index
+      DUS to a sequential per-stream while loop plus two full-ring layout
+      copies (~0.45 ms of the step) — the documented 12x trap;
+    - lockstep row + DUS (batch-uniform start): O(N) slice semantics,
+      but WITHOUT buffer donation XLA still materializes a full-ring
+      copy before the in-place update — step 0.346 ms;
+    - lockstep row + one-hot select (this impl): full-ring masked pass
+      (read+write R*N), but it FUSES with the consumer instead of
+      standing as a copy — step 0.256 ms.  Donated dispatch could make
+      DUS truly in-place, but the serving/bench path does not donate
+      through the tunnel, and 0.256 < 0.346 stands as measured."""
     oh = jax.lax.broadcasted_iota(jnp.int32, (ring.shape[0], 1), 0) == row
     return jnp.where(oh, blk[None, :], ring)
 
@@ -293,7 +302,7 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     Returns (y, new_hists, new_lps) with y: (B, N) raw delayed outputs
     (the comb output is the undamped read, reverb.py:41-43).
     """
-    from aefs_tpu.ops.scan import affine_scan
+    from aefs_tpu.ops.scan import const_affine_hillis
 
     b, lmax = hists.shape
     n = x.shape[-1]
@@ -316,9 +325,9 @@ def comb_bank_block(hists, lps, x, lags, g, h, min_lag: int):
     k = max(1, -(-n // max(1, min_lag)))
     y = jnp.zeros((b, n), x.dtype)
     for _ in range(k):
-        damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
+        damped = const_affine_hillis(h, (1.0 - h) * y, lps_col)
         y = jnp.where(in_hist, base_hist, x_shift + g_col * shift(damped, lags))
-    damped = affine_scan(h, (1.0 - h) * y, lps_col, axis=1)
+    damped = const_affine_hillis(h, (1.0 - h) * y, lps_col)
 
     w = xb + g_col * damped
     new_hists = jnp.concatenate([hists, w], axis=-1)[:, -lmax:]

@@ -92,6 +92,32 @@ def affine_scan_long(mult, add, init, chunk: int = 512):
     return y.reshape(m * c)[:n]
 
 
+def affine_hillis(mult, add, init):
+    """``affine_scan`` over the LAST axis as a hand-rolled Hillis-Steele:
+    log2(N) levels of contiguous pad + static slice + FMA on the (a, b)
+    pair.  Same math as ``lax.associative_scan`` up to reassociation, but
+    none of its Blelloch strided lane slices (``[0:c:2]``), which cost a
+    layout pass each on TPU (see ``affine_scan_long``) — profiled on the
+    batched serving step, the gate's (S, 256) lane scan drops ~2.5x.
+
+    mult, add: (..., N) with matching shapes (broadcast ``mult`` first);
+    init: broadcastable to one last-axis slice.  Returns y = (..., N).
+    """
+    add = jnp.asarray(add)
+    n = add.shape[-1]
+    a = jnp.broadcast_to(jnp.asarray(mult, add.dtype), add.shape)
+    b = add
+    pad = [(0, 0)] * (add.ndim - 1)
+    s = 1
+    while s < n:
+        a_sh = jnp.pad(a, pad + [(s, 0)], constant_values=1.0)[..., :n]
+        b_sh = jnp.pad(b, pad + [(s, 0)])[..., :n]
+        b = a * b_sh + b
+        a = a * a_sh
+        s *= 2
+    return a * jnp.asarray(init, add.dtype) + b
+
+
 def const_affine_hillis(h, add, init):
     """Solve y[n] = h * y[n-1] + add[n] over the LAST axis for a
     constant (traced, broadcastable) coefficient ``h``, y[-1] = init.

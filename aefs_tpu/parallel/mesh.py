@@ -73,6 +73,9 @@ class ShardedStreams:
                 return NamedSharding(mesh, P("data", None, "model", None))
             if "lps" in keys and leaf.ndim >= 3:
                 return NamedSharding(mesh, P("data", None, "model"))
+            if leaf.ndim == 0:
+                # Lockstep counters carry no stream axis — replicate.
+                return NamedSharding(mesh, P())
             spec = ("data",) + (None,) * (leaf.ndim - 1)
             return NamedSharding(mesh, P(*spec))
 
@@ -80,12 +83,9 @@ class ShardedStreams:
 
     def init_state(self, configs=None):
         """Batched, sharded initial state for all streams."""
-        one = self.chain.init_state(configs)
-        batched = jax.tree.map(
-            lambda leaf: jnp.broadcast_to(
-                leaf[None], (self.n_streams,) + leaf.shape
-            ).copy(),
-            one,
+        # Lockstep ring rows stay unbatched/replicated (Chain.state_axes).
+        batched = self.chain.batch_state(
+            self.chain.init_state(configs), self.n_streams
         )
         shardings = self._state_shardings(batched)
         return jax.device_put(batched, shardings), shardings
@@ -103,10 +103,13 @@ class ShardedStreams:
             def one_stream(state, targets, x):
                 return chain.process_block(state, targets, x)
 
+            state_axes = chain.state_axes()
+
             def step(state, targets, x):
-                state, y = jax.vmap(one_stream, in_axes=(0, None, 0))(
-                    state, targets, x
-                )
+                state, y = jax.vmap(
+                    one_stream, in_axes=(state_axes, None, 0),
+                    out_axes=(state_axes, 0),
+                )(state, targets, x)
                 # Global clip meter: reduction over every stream on every
                 # device — XLA lowers this to an ICI all-reduce.
                 peak = jnp.max(jnp.abs(y))

@@ -126,7 +126,11 @@ class SessionPool:
                     f"{mesh.shape['data']} devices"
                 )
             self._sharding = lambda leaf: NamedSharding(
-                mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))
+                mesh,
+                # Lockstep counters (and other unbatched scalars) have no
+                # slot axis to shard — replicate them.
+                P(*(("data",) + (None,) * (leaf.ndim - 1)))
+                if leaf.ndim else P(),
             )
         self.state = self._fresh_batched_state()
         # Per-slot parameter targets: host-side maps + ONE packed host
@@ -182,9 +186,15 @@ class SessionPool:
         # that.  On a host-attached TPU donation is strictly better (it
         # updates the ring buffers in place): AEFS_POOL_DONATE=1.
         self._donate = os.environ.get("AEFS_POOL_DONATE", "0") == "1"
+        # State axes: slot axis 0 everywhere except lockstep counters
+        # (ring rows), which stay batch-uniform across slots
+        # (Chain.state_axes; ops/ringbuf.py:rowring_write).
+        state_axes = self.chain.state_axes()
         self._step = jax.jit(
             lambda st, tflat, x: jax.vmap(
-                self.chain.process_block, in_axes=(0, target_axes, 0)
+                self.chain.process_block,
+                in_axes=(state_axes, target_axes, 0),
+                out_axes=(state_axes, 0),
             )(st, unflatten(tflat), x),
             donate_argnums=(0,) if self._donate else (),
         )
@@ -222,12 +232,7 @@ class SessionPool:
         import jax
         import jax.numpy as jnp
 
-        state = jax.tree.map(
-            lambda leaf: jnp.broadcast_to(
-                leaf[None], (self.n_slots,) + leaf.shape
-            ).copy(),
-            self._fresh_single,
-        )
+        state = self.chain.batch_state(self._fresh_single, self.n_slots)
         if self._sharding is not None:
             state = jax.tree.map(
                 lambda leaf: jax.device_put(leaf, self._sharding(leaf)), state
@@ -298,9 +303,11 @@ class SessionPool:
         import jax
 
         for slot in resets:
-            self.state = jax.tree.map(
-                lambda batched, single: batched.at[slot].set(single),
-                self.state, self._fresh_single,
+            # Lockstep counters keep their shared running value: a zeroed
+            # ring is self-consistent from any row alignment
+            # (Chain.graft_slot_state).
+            self.state = self.chain.graft_slot_state(
+                self.state, self._fresh_single, slot
             )
 
     # -- batched step ------------------------------------------------------

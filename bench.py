@@ -465,11 +465,9 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
     targets = chain.targets(tmap)
     init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
 
-    one = chain.init_state(init_cfg)
-    state = jax.tree.map(
-        lambda leaf: jnp.broadcast_to(leaf[None], (n_streams,) + leaf.shape).copy(),
-        one,
-    )
+    # Lockstep ring rows stay unbatched, like the pool (Chain.state_axes).
+    state = chain.batch_state(chain.init_state(init_cfg), n_streams)
+    state_axes = chain.state_axes()
 
     # PER-SLOT parameter targets, like the product pool (server/pool.py
     # target_axes): every session diverges its params independently, so
@@ -489,7 +487,9 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
     )
 
     def batched(st, tg, x):
-        return jax.vmap(chain.process_block, in_axes=(0, target_axes, 0))(st, tg, x)
+        return jax.vmap(chain.process_block,
+                        in_axes=(state_axes, target_axes, 0),
+                        out_axes=(state_axes, 0))(st, tg, x)
 
     step = jax.jit(batched)
     x = jnp.asarray(

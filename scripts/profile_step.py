@@ -117,14 +117,15 @@ def main():
         s, n = args.streams, args.blocksize
         ch, _, tm = build_chain(cfgs, FS, n, channels_in=1)
         tg = ch.targets(tm)
-        one = ch.init_state({c["effect_id"]: c["params"] for c in cfgs})
-        st = jax.tree.map(
-            lambda l: jnp.broadcast_to(l[None], (s,) + l.shape).copy(), one
+        st = ch.batch_state(
+            ch.init_state({c["effect_id"]: c["params"] for c in cfgs}), s
         )
+        axes = ch.state_axes()
         fn = jax.jit(
-            lambda st, tg, x: jax.vmap(ch.process_block, in_axes=(0, None, 0))(
-                st, tg, x
-            )
+            lambda st, tg, x: jax.vmap(
+                ch.process_block, in_axes=(axes, None, 0),
+                out_axes=(axes, 0),
+            )(st, tg, x)
         )
         xx = jnp.asarray(
             0.1 * np.random.default_rng(3).standard_normal((s, 1, n)), jnp.float32
