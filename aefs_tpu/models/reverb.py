@@ -184,7 +184,7 @@ class Reverb(EffectModel):
         diffusers as residue-class scans over the full signal, the
         pre-delay as one gather.  Requires fresh (zero) reverb state, which
         file mode guarantees (fresh chain per file, engine.py:86-99)."""
-        from aefs_tpu.ops.ringbuf import comb_bank_file_chunks
+        from aefs_tpu.ops.ringbuf import comb_bank_file_sums
 
         fs = jnp.float32(self.fs)
         rt60 = p["rt60_s"]
@@ -206,26 +206,24 @@ class Reverb(EffectModel):
             -3.0 * (jnp.asarray(all_lags, jnp.float32) / fs) / jnp.maximum(1e-3, rt60),
         )
         side_of = (0,) * self.n_combs + (1,) * self.n_combs
-        y_mbc, d_mbc, c = comb_bank_file_chunks(
-            pre_out, all_lags, g_all, damp, side_of=side_of
+        # Fused solve: per-side comb SUMS plus the last-3-chunk damped
+        # tail — the only two things this path reads — so the kernel
+        # never writes the full per-comb y/damped tensors to HBM.
+        y_msc, d3, c = comb_bank_file_sums(
+            pre_out, all_lags, g_all, damp, side_of, 2
         )
 
         n = x.shape[-1]
         b = self.n_combs
         lmax = self.comb_lmax
-        # Per-side comb sums (reverb.py:234-241) straight off the chunks:
-        # sum over the bank axis, then a layout-preserving reshape.
-        comb_y = [
-            y_mbc[:, side * b : (side + 1) * b, :].sum(axis=1).reshape(-1)[:n][None]
-            for side in range(2)
-        ]
+        comb_y = [y_msc[:, side, :].reshape(-1)[:n][None] for side in range(2)]
 
         # Final ring state w = x + g*damped over the last ``lmax`` true
-        # samples, extracted from the last few chunks (tiny arrays).
-        m = y_mbc.shape[0]
-        k = min(m, -(-lmax // c) + 1)
+        # samples, extracted from the damped tail chunks (tiny arrays).
+        m = y_msc.shape[0]
+        k = min(m, -(-lmax // c) + 1)  # <= 3 since lmax < 2C
         off = m * c - k * c  # padded-coordinate start of the tail window
-        d_tail = jnp.moveaxis(d_mbc[-k:], 0, 1).reshape(2 * b, k * c)
+        d_tail = jnp.moveaxis(d3[3 - k :], 0, 1).reshape(2 * b, k * c)
         take = min(n, lmax)
         start = n - take
         d_win = jax.lax.slice(d_tail, (0, start - off), (2 * b, n - off))

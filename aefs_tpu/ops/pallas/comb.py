@@ -114,6 +114,145 @@ def _make_kernel(lags, side_of, c):
     return kernel
 
 
+def _make_sums_kernel(lags, side_of, c, n_sides):
+    b = len(lags)
+    s = max(side_of) + 1
+
+    def kernel(h_ref, g_ref, x_ref, ysum_ref, dtail_ref,
+               prev2, prev1, dlast, px2, px1):
+        i = pl.program_id(0)
+        h = h_ref[0, 0]
+
+        @pl.when(i == 0)
+        def _init():
+            prev2[...] = jnp.zeros((b, c), jnp.float32)
+            prev1[...] = jnp.zeros((b, c), jnp.float32)
+            dlast[...] = jnp.zeros((b, 1), jnp.float32)
+            px2[...] = jnp.zeros((s, c), jnp.float32)
+            px1[...] = jnp.zeros((s, c), jnp.float32)
+            dtail_ref[...] = jnp.zeros((3, b, c), jnp.float32)
+
+        xc = x_ref[...]  # (S, C) raw source chunk
+        g = g_ref[0, :]  # (B,)
+
+        # Lag-shifted windows, identical to comb_bank_file_pallas.
+        ext_x = jnp.concatenate([px2[...], px1[...], xc], axis=1)  # (S, 3C)
+        xs = jnp.concatenate(
+            [
+                pltpu.roll(
+                    ext_x[side_of[bi] : side_of[bi] + 1, :], lag + c, 1
+                )[:, :c]
+                for bi, lag in enumerate(lags)
+            ],
+            axis=0,
+        )  # (B, C)
+        ext = jnp.concatenate([prev2[...], prev1[...]], axis=1)  # (B, 2C)
+        r = jnp.concatenate(
+            [
+                pltpu.roll(ext[bi : bi + 1, :], lag, 1)[:, :c]
+                for bi, lag in enumerate(lags)
+            ],
+            axis=0,
+        )  # (B, C)
+
+        y = xs + g[:, None] * r
+
+        # The downstream consumer (reverb.process_file) only ever reads
+        # the per-side SUM of the bank — reduce on-chip, write (S_out, C).
+        ysum_ref[0] = jnp.concatenate(
+            [
+                sum(y[bi : bi + 1] for bi in range(b) if side_of[bi] == si)
+                for si in range(n_sides)
+            ],
+            axis=0,
+        )
+
+        # In-chunk damping recurrence damped[n] = h*damped[n-1] + (1-h)y[n]
+        # as a lane-axis Hillis-Steele with h^s by repeated squaring —
+        # O(C log C) VPU work in place of the (C, C) propagator matmul
+        # (O(C^2) on the MXU, ~0.6 ms of the file pass at C=1408).  The
+        # cross-chunk carry folds into lane 0 of the addend.
+        lane = lax.broadcasted_iota(jnp.int32, (b, c), 1)
+        acc = (1.0 - h) * y + jnp.where(lane == 0, h * dlast[...], 0.0)
+        hs = h
+        step = 1
+        while step < c:
+            rolled = pltpu.roll(acc, step, 1)
+            acc = acc + jnp.where(lane >= step, hs * rolled, 0.0)
+            hs = hs * hs
+            step *= 2
+        damped = acc
+
+        # Only the tail of ``damped`` survives the file pass (final ring
+        # state reconstruction reads < 2 chunks): keep the last three
+        # chunks resident and flush them once at the final grid step.
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _flush_tail():
+            dtail_ref[0] = prev2[...]
+            dtail_ref[1] = prev1[...]
+            dtail_ref[2] = damped
+
+        prev2[...] = prev1[...]
+        prev1[...] = damped
+        dlast[...] = damped[:, c - 1 : c]
+        px2[...] = px1[...]
+        px1[...] = xc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lags", "side_of", "c", "n_sides", "interpret")
+)
+def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
+                               side_of: tuple, n_sides: int,
+                               interpret: bool = False):
+    """Fused-output variant of ``comb_bank_file_pallas``: returns
+    (ysum, d_tail) where ysum: (M, n_sides, C) is the per-side comb-bank
+    sum and d_tail: (3, B, C) holds the damped state for the last three
+    chunks (zero rows for chunks before the signal start).  HBM traffic
+    drops from 2 * (M, B, C) writes (~114 MB per 18.6 s file, of which
+    the reverb reads <7%) to one (M, S, C) write (~7 MB), and the
+    damping solve runs as an in-kernel log-step scan instead of an MXU
+    propagator matmul."""
+    b = len(lags)
+    s, n_pad = x.shape
+    m = n_pad // c
+    h_arr = jnp.asarray(h, jnp.float32).reshape(1, 1)
+    g_arr = jnp.asarray(g, jnp.float32).reshape(1, b)
+
+    spec_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    spec_g = pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((s, c), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_ysum = pl.BlockSpec(
+        (1, n_sides, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # One VMEM-resident block revisited by every grid step, flushed once.
+    spec_dtail = pl.BlockSpec(
+        (3, b, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    ysum, d_tail = pl.pallas_call(
+        _make_sums_kernel(lags, side_of, c, n_sides),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n_sides, c), jnp.float32),
+            jax.ShapeDtypeStruct((3, b, c), jnp.float32),
+        ),
+        grid=(m,),
+        in_specs=[spec_scalar, spec_g, spec_x],
+        out_specs=(spec_ysum, spec_dtail),
+        scratch_shapes=[
+            pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-2
+            pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-1
+            pltpu.VMEM((b, 1), jnp.float32),   # damped[-1] carry
+            pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-2
+            pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-1
+        ],
+        interpret=interpret,
+    )(h_arr, g_arr, x)
+    return ysum, d_tail
+
+
 @functools.partial(
     jax.jit, static_argnames=("lags", "side_of", "c", "interpret")
 )

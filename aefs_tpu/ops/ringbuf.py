@@ -483,7 +483,14 @@ def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None,
         r = jnp.stack([ext[i, 2 * c - lag : 3 * c - lag] for i, lag in enumerate(lags)])
         y = xs_chunk + g_col * r
         damped = (
-            jnp.einsum("ji,bi->bj", t_h, one_mh * y) + d_last[:, None] * hpow[None, :]
+            # HIGHEST: on TPU the default matmul precision is bf16-ish,
+            # which costs the damped recurrence ~25 dB vs the float64
+            # oracle (-55 dB measured; the pallas sums kernel's log-step
+            # scan reaches -139 dB).  This fallback is the parity
+            # reference, so it must stay full f32.
+            jnp.einsum("ji,bi->bj", t_h, one_mh * y,
+                       precision=lax.Precision.HIGHEST)
+            + d_last[:, None] * hpow[None, :]
         )
         return (prev1, damped, damped[:, -1]), (y, damped)
 
@@ -494,6 +501,56 @@ def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None,
         xs,  # (M, B, C)
     )
     return ys, damps, c
+
+
+def comb_bank_file_sums(x, lags, g, h, side_of, n_sides: int,
+                        use_pallas=None):
+    """``comb_bank_file_chunks`` reduced to what the reverb file path
+    actually consumes: (ysum, d_tail, c) with ysum: (M, n_sides, C) the
+    per-side comb-bank sums and d_tail: (3, B, C) the damped chunks for
+    the last three chunk slots (leading rows zero when the signal is
+    shorter — a zero damped history IS the pre-signal state).  On TPU
+    this runs the fused Pallas kernel, which never materializes the full
+    (M, B, C) y/damped tensors in HBM and solves the in-chunk damping
+    recurrence as a log-step scan instead of a (C, C) propagator matmul
+    (~0.76 -> ~0.15 ms of the 18.6 s flagship file pass)."""
+    _, n = x.shape
+    b = len(lags)
+    side_of = tuple(side_of)
+    c = (min(lags) // 128) * 128
+    if not c or not all(c <= lag < 2 * c for lag in lags):
+        c = min(lags)
+    if not all(c <= lag < 2 * c for lag in lags):
+        raise ValueError(f"comb lags {lags} violate C <= L < 2C for C={c}")
+    m = -(-n // c)
+    n_pad = m * c
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from aefs_tpu.ops.pallas.comb import comb_bank_file_pallas_sums
+
+        return comb_bank_file_pallas_sums(
+            jnp.pad(x, ((0, 0), (0, n_pad - n))), g, h,
+            tuple(int(l) for l in lags), c, side_of, n_sides,
+            interpret=use_pallas == "interpret",
+        ) + (c,)
+
+    y_mbc, d_mbc, c = comb_bank_file_chunks(
+        x, lags, g, h, chunk=c, use_pallas=False, side_of=side_of
+    )
+    ysum = jnp.stack(
+        [
+            sum(y_mbc[:, bi] for bi in range(b) if side_of[bi] == si)
+            for si in range(n_sides)
+        ],
+        axis=1,
+    )  # (M, n_sides, C)
+    k = min(m, 3)
+    d_tail = jnp.concatenate(
+        [jnp.zeros((3 - k, b, c), x.dtype), d_mbc[m - k :]], axis=0
+    )
+    return ysum, d_tail, c
 
 
 def allpass_block(hist, x, a, lag: int):

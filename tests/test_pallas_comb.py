@@ -80,3 +80,48 @@ def test_pallas_comb_shared_sides():
     d_p = jnp.moveaxis(d_mbc, 0, 1).reshape(8, n_pad)[:, :n]
     assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
     assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-5
+
+def test_pallas_comb_sums_matches_fallback():
+    """Fused kernel (per-side sums + 3-chunk damped tail, in-kernel
+    Hillis damping scan) vs the XLA fallback reduction."""
+    from aefs_tpu.ops.ringbuf import comb_bank_file_sums
+
+    rng = np.random.default_rng(3)
+    lags = (1425, 1780, 1972, 2097, 1411, 1766, 1958, 2083)
+    side_of = (0, 0, 0, 0, 1, 1, 1, 1)
+    n = 20000
+    x2 = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+    g = jnp.asarray(np.linspace(0.5, 0.9, 8), jnp.float32)
+    h = jnp.float32(0.25)
+
+    y_ref, d_ref, c_ref = comb_bank_file_sums(
+        x2, lags, g, h, side_of, 2, use_pallas=False
+    )
+    y_p, d_p, c = comb_bank_file_sums(
+        x2, lags, g, h, side_of, 2, use_pallas="interpret"
+    )
+    assert c == c_ref and y_p.shape == y_ref.shape and d_p.shape == (3, 8, c)
+    assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-4
+
+
+def test_pallas_comb_sums_short_signal():
+    """Signals shorter than three chunks: the leading damped-tail rows
+    stay zero (the pre-signal state) and sums still match."""
+    from aefs_tpu.ops.ringbuf import comb_bank_file_sums
+
+    rng = np.random.default_rng(4)
+    lags = (1425, 1780, 1972, 2097)
+    side_of = (0, 0, 1, 1)
+    for n in (900, 1500, 2900):  # m = 1, 2, 3 chunks at c = 1408
+        x2 = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+        g = jnp.asarray([0.5, 0.6, 0.7, 0.8], jnp.float32)
+        h = jnp.float32(0.3)
+        y_ref, d_ref, _ = comb_bank_file_sums(
+            x2, lags, g, h, side_of, 2, use_pallas=False
+        )
+        y_p, d_p, _ = comb_bank_file_sums(
+            x2, lags, g, h, side_of, 2, use_pallas="interpret"
+        )
+        assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
+        assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-4
