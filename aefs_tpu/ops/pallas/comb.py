@@ -114,7 +114,7 @@ def _make_kernel(lags, side_of, c):
     return kernel
 
 
-def _make_sums_kernel(lags, side_of, c, n_sides):
+def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
     b = len(lags)
     s = max(side_of) + 1
 
@@ -132,100 +132,134 @@ def _make_sums_kernel(lags, side_of, c, n_sides):
             px1[...] = jnp.zeros((s, c), jnp.float32)
             dtail_ref[...] = jnp.zeros((3, b, c), jnp.float32)
 
-        xc = x_ref[...]  # (S, C) raw source chunk
         g = g_ref[0, :]  # (B,)
-
-        # Lag-shifted windows, identical to comb_bank_file_pallas.
-        ext_x = jnp.concatenate([px2[...], px1[...], xc], axis=1)  # (S, 3C)
-        xs = jnp.concatenate(
-            [
-                pltpu.roll(
-                    ext_x[side_of[bi] : side_of[bi] + 1, :], lag + c, 1
-                )[:, :c]
-                for bi, lag in enumerate(lags)
-            ],
-            axis=0,
-        )  # (B, C)
-        ext = jnp.concatenate([prev2[...], prev1[...]], axis=1)  # (B, 2C)
-        r = jnp.concatenate(
-            [
-                pltpu.roll(ext[bi : bi + 1, :], lag, 1)[:, :c]
-                for bi, lag in enumerate(lags)
-            ],
-            axis=0,
-        )  # (B, C)
-
-        y = xs + g[:, None] * r
-
-        # The downstream consumer (reverb.process_file) only ever reads
-        # the per-side SUM of the bank — reduce on-chip, write (S_out, C).
-        ysum_ref[0] = jnp.concatenate(
-            [
-                sum(y[bi : bi + 1] for bi in range(b) if side_of[bi] == si)
-                for si in range(n_sides)
-            ],
-            axis=0,
-        )
-
-        # In-chunk damping recurrence damped[n] = h*damped[n-1] + (1-h)y[n]
-        # as a lane-axis Hillis-Steele with h^s by repeated squaring —
-        # O(C log C) VPU work in place of the (C, C) propagator matmul
-        # (O(C^2) on the MXU, ~0.6 ms of the file pass at C=1408).  The
-        # cross-chunk carry folds into lane 0 of the addend.
+        xks = x_ref[...]  # (S, K*C) raw source chunks
         lane = lax.broadcasted_iota(jnp.int32, (b, c), 1)
-        acc = (1.0 - h) * y + jnp.where(lane == 0, h * dlast[...], 0.0)
-        hs = h
-        step = 1
-        while step < c:
-            rolled = pltpu.roll(acc, step, 1)
-            acc = acc + jnp.where(lane >= step, hs * rolled, 0.0)
-            hs = hs * hs
-            step *= 2
-        damped = acc
 
-        # Only the tail of ``damped`` survives the file pass (final ring
-        # state reconstruction reads < 2 chunks): keep the last three
-        # chunks resident and flush them once at the final grid step.
-        @pl.when(i == pl.num_programs(0) - 1)
-        def _flush_tail():
-            dtail_ref[0] = prev2[...]
-            dtail_ref[1] = prev1[...]
-            dtail_ref[2] = damped
+        # K chunks per grid step, recurrence carried in registers across
+        # the unrolled inner loop: the single-chunk grid was bound by the
+        # ~1.1 us/step sequential-grid overhead (635 steps for an 18.6 s
+        # file), not by compute — both the old propagator matmul and the
+        # Hillis scan are sub-microsecond per chunk.
+        cp2, cp1, cdl = prev2[...], prev1[...], dlast[...]
+        cq2, cq1 = px2[...], px1[...]
+        outs = []
+        for j in range(k_chunks):
+            xc = xks[:, j * c : (j + 1) * c]  # (S, C)
 
-        prev2[...] = prev1[...]
-        prev1[...] = damped
-        dlast[...] = damped[:, c - 1 : c]
-        px2[...] = px1[...]
-        px1[...] = xc
+            # Lag-shifted windows, identical to comb_bank_file_pallas.
+            ext_x = jnp.concatenate([cq2, cq1, xc], axis=1)  # (S, 3C)
+            xs = jnp.concatenate(
+                [
+                    pltpu.roll(
+                        ext_x[side_of[bi] : side_of[bi] + 1, :], lag + c, 1
+                    )[:, :c]
+                    for bi, lag in enumerate(lags)
+                ],
+                axis=0,
+            )  # (B, C)
+            ext = jnp.concatenate([cp2, cp1], axis=1)  # (B, 2C)
+            r = jnp.concatenate(
+                [
+                    pltpu.roll(ext[bi : bi + 1, :], lag, 1)[:, :c]
+                    for bi, lag in enumerate(lags)
+                ],
+                axis=0,
+            )  # (B, C)
+
+            y = xs + g[:, None] * r
+
+            # The downstream consumer (reverb.process_file) only reads
+            # the per-side SUM of the bank — reduce on-chip.
+            outs.append(
+                jnp.concatenate(
+                    [
+                        sum(y[bi : bi + 1] for bi in range(b)
+                            if side_of[bi] == si)
+                        for si in range(n_sides)
+                    ],
+                    axis=0,
+                )
+            )
+
+            # In-chunk damping damped[n] = h*damped[n-1] + (1-h)y[n] as a
+            # lane-axis Hillis-Steele with h^s by repeated squaring —
+            # O(C log C) VPU work in place of the (C, C) propagator
+            # matmul (which also ran at bf16 MXU precision: -55 dB vs the
+            # float64 oracle where this scan reaches -139 dB).  The
+            # cross-chunk carry folds into lane 0 of the addend.
+            # (A per-level weight VECTOR folding mask and h^s into one
+            # multiplier measured SLOWER — 0.596 vs 0.538 ms — the
+            # inline cmp+select fuses better than a VMEM scratch read.)
+            acc = (1.0 - h) * y + jnp.where(lane == 0, h * cdl, 0.0)
+            hs = h
+            step = 1
+            while step < c:
+                rolled = pltpu.roll(acc, step, 1)
+                acc = acc + jnp.where(lane >= step, hs * rolled, 0.0)
+                hs = hs * hs
+                step *= 2
+            damped = acc
+
+            # Only the damped tail survives the file pass (final ring
+            # state reads < 2 chunks): flush the last three true chunks
+            # once, at the grid step holding chunk m-1 (later padded
+            # chunks keep computing the ring-out harmlessly).
+            if j == last_j:
+                @pl.when(i == last_step)
+                def _flush_tail(d2=cp2, d1=cp1, d0=damped):
+                    dtail_ref[0] = d2
+                    dtail_ref[1] = d1
+                    dtail_ref[2] = d0
+
+            cp2, cp1 = cp1, damped
+            cdl = damped[:, c - 1 : c]
+            cq2, cq1 = cq1, xc
+
+        ysum_ref[...] = jnp.stack(outs, axis=0)  # (K, S_out, C)
+        prev2[...], prev1[...], dlast[...] = cp2, cp1, cdl
+        px2[...], px1[...] = cq2, cq1
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lags", "side_of", "c", "n_sides", "interpret")
+    jax.jit,
+    static_argnames=("lags", "side_of", "c", "n_sides", "k_chunks",
+                     "interpret"),
 )
 def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
                                side_of: tuple, n_sides: int,
+                               k_chunks: int = 8,
                                interpret: bool = False):
     """Fused-output variant of ``comb_bank_file_pallas``: returns
     (ysum, d_tail) where ysum: (M, n_sides, C) is the per-side comb-bank
     sum and d_tail: (3, B, C) holds the damped state for the last three
-    chunks (zero rows for chunks before the signal start).  HBM traffic
-    drops from 2 * (M, B, C) writes (~114 MB per 18.6 s file, of which
-    the reverb reads <7%) to one (M, S, C) write (~7 MB), and the
+    true chunks (zero rows for chunks before the signal start).  HBM
+    traffic drops from 2 * (M, B, C) writes (~114 MB per 18.6 s file, of
+    which the reverb reads <7%) to one (M, S, C) write (~7 MB); the
     damping solve runs as an in-kernel log-step scan instead of an MXU
-    propagator matmul."""
+    propagator matmul; and each grid step processes ``k_chunks`` chunks
+    to amortize the ~1.1 us sequential-grid step overhead.  The chunk
+    count is padded up to a k_chunks multiple (padded chunks ring out
+    with zero input); the first M output rows are the true ones."""
     b = len(lags)
     s, n_pad = x.shape
     m = n_pad // c
+    k = max(1, min(k_chunks, m))
+    steps = -(-m // k)
+    m2 = steps * k
+    if m2 > m:
+        x = jnp.pad(x, ((0, 0), (0, (m2 - m) * c)))
+    last_step, last_j = (m - 1) // k, (m - 1) % k
     h_arr = jnp.asarray(h, jnp.float32).reshape(1, 1)
     g_arr = jnp.asarray(g, jnp.float32).reshape(1, b)
 
     spec_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     spec_g = pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec_x = pl.BlockSpec((s, c), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((s, k * c), lambda i: (0, i), memory_space=pltpu.VMEM)
     spec_ysum = pl.BlockSpec(
-        (1, n_sides, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (k, n_sides, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     # One VMEM-resident block revisited by every grid step, flushed once.
     spec_dtail = pl.BlockSpec(
@@ -233,12 +267,12 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
     )
 
     ysum, d_tail = pl.pallas_call(
-        _make_sums_kernel(lags, side_of, c, n_sides),
+        _make_sums_kernel(lags, side_of, c, n_sides, k, last_step, last_j),
         out_shape=(
-            jax.ShapeDtypeStruct((m, n_sides, c), jnp.float32),
+            jax.ShapeDtypeStruct((m2, n_sides, c), jnp.float32),
             jax.ShapeDtypeStruct((3, b, c), jnp.float32),
         ),
-        grid=(m,),
+        grid=(steps,),
         in_specs=[spec_scalar, spec_g, spec_x],
         out_specs=(spec_ysum, spec_dtail),
         scratch_shapes=[
@@ -250,7 +284,7 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
         ],
         interpret=interpret,
     )(h_arr, g_arr, x)
-    return ysum, d_tail
+    return ysum[:m], d_tail
 
 
 @functools.partial(
