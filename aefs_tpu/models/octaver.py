@@ -251,9 +251,31 @@ class Octaver(EffectModel):
         hist = state["hist"]
 
         s1, s2, p1, p2 = octaver_taps_pow2(hist, mono, e)
+        del p1, p2  # gains below tile one exact period instead
         two_pi = jnp.float32(2.0 * jnp.pi)
-        g1 = 0.5 * (1.0 - jnp.cos(two_pi * p1))  # octaver.py:66-67
-        g2 = 0.5 * (1.0 - jnp.cos(two_pi * p2))
+        # The Hann crossfade gains are EXACTLY periodic on the pow-2 grid:
+        # p1(n) = (n*(D-1) mod D*S)/(D*S) repeats with period D*S (e<0;
+        # period S for e>0) and D-1 / R-1 are odd so gcd with the pow-2
+        # modulus is 1 — the tiled values are bitwise the full-length ones
+        # (same int32 residues -> same f32 quotients -> same cos).  One
+        # period of cos + a tile copy replaces N transcendental evals
+        # (35.5 -> 4.7 us at N=893k on v5e).
+        if e < 0:
+            d = 1 << (-e)
+            per = d * size
+            r1p = jnp.mod(jnp.arange(per, dtype=jnp.int32) * (d - 1), per)
+        else:
+            per = size
+            r1p = jnp.mod(
+                -jnp.arange(per, dtype=jnp.int32) * ((1 << e) - 1), per
+            )
+        r2p = jnp.mod(r1p + per // 2, per)
+        pf = jnp.float32(per)
+        g1p = 0.5 * (1.0 - jnp.cos(two_pi * (r1p.astype(jnp.float32) / pf)))
+        g2p = 0.5 * (1.0 - jnp.cos(two_pi * (r2p.astype(jnp.float32) / pf)))
+        k_tiles = -(-n // per)
+        g1 = jnp.tile(g1p, k_tiles)[:n]  # octaver.py:66-67
+        g2 = jnp.tile(g2p, k_tiles)[:n]
         wet = s1 * g1 + s2 * g2
 
         # Exact phasor advance: p(n) = mod(n * (1 - 2^e) / size, 1).
