@@ -230,7 +230,7 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
 )
 def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
                                side_of: tuple, n_sides: int,
-                               k_chunks: int = 8,
+                               k_chunks: int = 32,
                                interpret: bool = False):
     """Fused-output variant of ``comb_bank_file_pallas``: returns
     (ysum, d_tail) where ysum: (M, n_sides, C) is the per-side comb-bank
