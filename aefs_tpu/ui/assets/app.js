@@ -382,6 +382,8 @@ async function init() {
     send({ command: "resume_session" });
   };
   attachSpectrumInteractions($("plot-spectrum"));
+  attachTimeInteractions($("plot-time"));
+  attachChromaInteractions($("plot-chroma"));
   $("smooth-spectrum").onchange = () => {
     specSmooth.on = $("smooth-spectrum").checked;
   };

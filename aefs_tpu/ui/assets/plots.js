@@ -38,11 +38,100 @@ function drawSeries(ctx, w, h, data, color, yMin, yMax, decimate) {
   ctx.stroke();
 }
 
+/* Shared pan/zoom/hover plumbing: each interactive plot owns a view
+ * window [lo, hi] (a fraction of its x-axis) plus a hover cursor, and
+ * re-renders on wheel-zoom around the cursor, drag-pan, mouse move and
+ * double-click reset (reference analogue: Plotly's zoom/pan/hover on
+ * all three plots, 02_custom.js:165-280). */
+function attachPanZoom(canvas, view, render, setHover) {
+  let dragging = false, dragX = 0, dragLo = 0, dragHi = 1;
+  canvas.addEventListener("wheel", (e) => {
+    e.preventDefault();
+    const w = canvas.clientWidth || 1;
+    const frac = e.offsetX / w;
+    const span = view.hi - view.lo;
+    const c = view.lo + frac * span;
+    const ns = Math.min(1, Math.max(0.01, span * (e.deltaY > 0 ? 1.25 : 0.8)));
+    view.lo = Math.max(0, Math.min(c - frac * ns, 1 - ns));
+    view.hi = view.lo + ns;
+    render();
+  }, { passive: false });
+  canvas.addEventListener("mousedown", (e) => {
+    dragging = true; dragX = e.offsetX;
+    dragLo = view.lo; dragHi = view.hi;
+  });
+  window.addEventListener("mouseup", () => { dragging = false; });
+  canvas.addEventListener("mousemove", (e) => {
+    if (dragging) {
+      const w = canvas.clientWidth || 1;
+      const span = dragHi - dragLo;
+      const d = ((dragX - e.offsetX) / w) * span;
+      view.lo = Math.max(0, Math.min(dragLo + d, 1 - span));
+      view.hi = view.lo + span;
+    }
+    setHover(e.offsetX);
+    render();
+  });
+  canvas.addEventListener("mouseleave", () => { setHover(null); render(); });
+  canvas.addEventListener("dblclick", () => {
+    view.lo = 0; view.hi = 1; render();
+  });
+}
+
+function drawHoverTip(ctx, w, x, txt) {
+  const hFull = ctx.canvas.clientHeight || 0;
+  ctx.strokeStyle = Palette.text; ctx.lineWidth = 1;
+  ctx.setLineDash([3, 3]);
+  ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, hFull); ctx.stroke();
+  ctx.setLineDash([]);
+  ctx.font = "11px sans-serif";
+  const tw = ctx.measureText(txt).width + 10;
+  const tx = Math.min(Math.max(2, x + 8), w - tw - 2);
+  ctx.fillStyle = "rgba(18,21,26,0.85)";
+  ctx.fillRect(tx, 4, tw, 16);
+  ctx.fillStyle = "#e0e6ee";
+  ctx.fillText(txt, tx + 5, 16);
+}
+
+/* Interactive time plot: same view mechanics over the sample axis;
+ * the hover readout converts to milliseconds via the page's sampleRate
+ * when it is known. */
+const TimeView = { lo: 0, hi: 1 };
+let timeState = null;   // {canvas, input, output}
+let timeHover = null;
+
 function drawTime(canvas, input, output) {
+  timeState = { canvas, input, output };
+  renderTime();
+}
+
+function renderTime() {
+  if (!timeState) return;
+  const { canvas, input, output } = timeState;
   const { ctx, w, h } = prepCanvas(canvas);
   drawGrid(ctx, w, h);
-  drawSeries(ctx, w, h, input, Palette.input, -1, 1, 1600);
-  drawSeries(ctx, w, h, output, Palette.output, -1, 1, 1600);
+  const n = input ? input.length : (output ? output.length : 0);
+  if (!n) return;
+  const i0 = Math.max(0, Math.floor(TimeView.lo * (n - 1)));
+  const i1 = Math.min(n - 1, Math.max(i0 + 1, Math.ceil(TimeView.hi * (n - 1))));
+  const slice = (d) => (d ? Array.prototype.slice.call(d, i0, i1 + 1) : null);
+  drawSeries(ctx, w, h, slice(input), Palette.input, -1, 1, 1600);
+  drawSeries(ctx, w, h, slice(output), Palette.output, -1, 1, 1600);
+
+  if (timeHover != null) {
+    const frac = Math.max(0, Math.min(1, timeHover / w));
+    const idx = i0 + Math.round(frac * (i1 - i0));
+    const x = ((idx - i0) / Math.max(1, i1 - i0)) * w;
+    const fs = (typeof sampleRate !== "undefined" && sampleRate) || 0;
+    const at = fs ? `${(idx / fs * 1000).toFixed(1)} ms` : `n ${idx}`;
+    const iv = input && input[idx] != null ? input[idx].toFixed(3) : "—";
+    const ov = output && output[idx] != null ? output[idx].toFixed(3) : "—";
+    drawHoverTip(ctx, w, x, `${at}   in ${iv}   out ${ov}`);
+  }
+}
+
+function attachTimeInteractions(canvas) {
+  attachPanZoom(canvas, TimeView, renderTime, (v) => { timeHover = v; });
 }
 
 /* Interactive spectrum: wheel-zoom around the cursor, drag-pan,
@@ -105,66 +194,42 @@ function renderSpectrum() {
     const frac = Math.max(0, Math.min(1, specHover / w));
     const idx = i0 + Math.round(frac * (i1 - i0));
     const x = ((idx - i0) / (i1 - i0)) * w;
-    ctx.strokeStyle = Palette.text; ctx.lineWidth = 1;
-    ctx.setLineDash([3, 3]);
-    ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, h); ctx.stroke();
-    ctx.setLineDash([]);
     const fv = freqs ? fmtHz(freqs[idx]) : `bin ${idx}`;
     const iv = inDb[idx] != null ? inDb[idx].toFixed(1) : "—";
     const ov = outDb && outDb[idx] != null ? outDb[idx].toFixed(1) : "—";
-    const txt = `${fv}   in ${iv} dB   out ${ov} dB`;
-    ctx.font = "11px sans-serif";
-    const tw = ctx.measureText(txt).width + 10;
-    const tx = Math.min(Math.max(2, x + 8), w - tw - 2);
-    ctx.fillStyle = "rgba(18,21,26,0.85)";
-    ctx.fillRect(tx, 4, tw, 16);
-    ctx.fillStyle = "#e0e6ee";
-    ctx.fillText(txt, tx + 5, 16);
+    drawHoverTip(ctx, w, x, `${fv}   in ${iv} dB   out ${ov} dB`);
   }
 }
 
 function attachSpectrumInteractions(canvas) {
-  let dragging = false, dragX = 0, dragLo = 0, dragHi = 1;
-  canvas.addEventListener("wheel", (e) => {
-    e.preventDefault();
-    const w = canvas.clientWidth || 1;
-    const frac = e.offsetX / w;
-    const span = SpecView.hi - SpecView.lo;
-    const c = SpecView.lo + frac * span;
-    const ns = Math.min(1, Math.max(0.01, span * (e.deltaY > 0 ? 1.25 : 0.8)));
-    SpecView.lo = Math.max(0, Math.min(c - frac * ns, 1 - ns));
-    SpecView.hi = SpecView.lo + ns;
-    renderSpectrum();
-  }, { passive: false });
-  canvas.addEventListener("mousedown", (e) => {
-    dragging = true; dragX = e.offsetX;
-    dragLo = SpecView.lo; dragHi = SpecView.hi;
-  });
-  window.addEventListener("mouseup", () => { dragging = false; });
-  canvas.addEventListener("mousemove", (e) => {
-    if (dragging) {
-      const w = canvas.clientWidth || 1;
-      const span = dragHi - dragLo;
-      const d = ((dragX - e.offsetX) / w) * span;
-      SpecView.lo = Math.max(0, Math.min(dragLo + d, 1 - span));
-      SpecView.hi = SpecView.lo + span;
-    }
-    specHover = e.offsetX;
-    renderSpectrum();
-  });
-  canvas.addEventListener("mouseleave", () => { specHover = null; renderSpectrum(); });
-  canvas.addEventListener("dblclick", () => {
-    SpecView.lo = 0; SpecView.hi = 1; renderSpectrum();
-  });
+  attachPanZoom(canvas, SpecView, renderSpectrum, (v) => { specHover = v; });
 }
 
 const NOTE_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"];
 
+/* Chroma hover: highlight the pitch class under the cursor and show its
+ * in/out energies (12 bars — no zoom needed, hover readout only). */
+let chromaState = null;  // {canvas, inChroma, outChroma}
+let chromaHover = null;
+
 function drawChroma(canvas, inChroma, outChroma) {
+  chromaState = { canvas, inChroma, outChroma };
+  renderChroma();
+}
+
+function renderChroma() {
+  if (!chromaState) return;
+  const { canvas, inChroma, outChroma } = chromaState;
   const { ctx, w, h } = prepCanvas(canvas);
   const n = 12, bw = w / n;
+  const hi = chromaHover != null
+    ? Math.max(0, Math.min(n - 1, Math.floor(chromaHover / bw))) : -1;
   for (let i = 0; i < n; i++) {
     const vi = (inChroma && inChroma[i]) || 0, vo = (outChroma && outChroma[i]) || 0;
+    if (i === hi) {
+      ctx.fillStyle = "rgba(255,255,255,0.06)";
+      ctx.fillRect(i * bw, 0, bw, h);
+    }
     ctx.fillStyle = Palette.input;
     ctx.fillRect(i * bw + 2, h - 14 - vi * (h - 18), bw / 2 - 3, vi * (h - 18));
     ctx.fillStyle = Palette.output;
@@ -172,4 +237,14 @@ function drawChroma(canvas, inChroma, outChroma) {
     ctx.fillStyle = Palette.text; ctx.font = "10px sans-serif";
     ctx.fillText(NOTE_NAMES[i], i * bw + bw / 2 - 6, h - 3);
   }
+  if (hi >= 0) {
+    const vi = (inChroma && inChroma[hi]) || 0, vo = (outChroma && outChroma[hi]) || 0;
+    drawHoverTip(ctx, w, hi * bw + bw / 2,
+                 `${NOTE_NAMES[hi]}   in ${vi.toFixed(2)}   out ${vo.toFixed(2)}`);
+  }
+}
+
+function attachChromaInteractions(canvas) {
+  canvas.addEventListener("mousemove", (e) => { chromaHover = e.offsetX; renderChroma(); });
+  canvas.addEventListener("mouseleave", () => { chromaHover = null; renderChroma(); });
 }

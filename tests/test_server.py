@@ -364,6 +364,11 @@ def test_spa_serves_session_and_interaction_surfaces():
     assert "save_session" in appjs and "resume_session" in appjs
     assert "set_ir" in appjs and "convreverb" in appjs
     assert "attachSpectrumInteractions" in appjs
+    # round-3: pan/zoom/hover on ALL THREE plots (reference renders every
+    # plot with Plotly — zoom/pan/hover everywhere, 02_custom.js:165-280)
+    assert "attachTimeInteractions" in appjs and "attachChromaInteractions" in appjs
+    for fn in ("attachPanZoom", "renderTime", "renderChroma", "drawHoverTip"):
+        assert fn in plotsjs, fn
     assert 'id="reprocess-file"' in html and 'id="download-processed"' in html
     assert 'id="smooth-spectrum"' in html and "reprocess_file" in appjs
     assert "smoothSeries" in plotsjs
