@@ -84,6 +84,29 @@ def test_lag_affine_scan():
     assert np.max(np.abs(y - ref)) < 1e-5
 
 
+def test_lag_affine_scan_path_boundaries():
+    """All three row-count regimes against the float64 loop oracle: the
+    tiny-M associative scan (m <= 8), the one-chunk Toeplitz matmul
+    (8 < m <= row_chunk) and the multi-chunk Toeplitz + carry scan
+    (m > row_chunk) — the blocking must be exact at every C."""
+    a = 0.7
+    for n, lag in ((200, 40),      # m = 5: scan path
+                   (2000, 40),     # m = 50: one-chunk Toeplitz
+                   (9000, 40),     # m = 225: two chunks at C=128
+                   (9000, 13)):    # m = 693: many chunks
+        base = RNG.standard_normal(n).astype(np.float32)
+        y = np.asarray(lag_affine_scan(jnp.asarray(base), a, lag))
+        ref = np.zeros(n)
+        for i in range(n):
+            ref[i] = base[i] + (a * ref[i - lag] if i >= lag else 0.0)
+        err = np.max(np.abs(y - ref))
+        assert err < 2e-4, (n, lag, err)
+        # non-default row_chunk must agree with the default to f32 noise
+        y2 = np.asarray(lag_affine_scan(jnp.asarray(base), a, lag,
+                                        row_chunk=64))
+        assert np.max(np.abs(y2 - y)) < 2e-4, (n, lag)
+
+
 def test_linrec2_matches_loop():
     n = 400
     v = RNG.standard_normal(n).astype(np.float32)
