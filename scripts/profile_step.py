@@ -10,6 +10,11 @@ gridtaps interleave transpose) was found with exactly this view.
     python scripts/profile_step.py file      # whole-file flagship pass
     python scripts/profile_step.py stream    # batched S=128 serving step
     python scripts/profile_step.py stream --streams 256 --blocksize 512
+    python scripts/profile_step.py stream --grid   # pool --grid serving mode
+
+The stream target mirrors the PRODUCT pool step (server/pool.py): per-slot
+parameter targets, lockstep state axes, and — with ``--grid`` — the
+phase-locked exact-grid octaver (batch-uniform ``grid_phase``).
 
 Needs the real TPU (AEFS_PLATFORM unset); on CPU the trace has no
 TensorCore lanes and the script reports module wall only.
@@ -76,6 +81,8 @@ def main():
     ap.add_argument("--blocksize", type=int, default=256)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--top", type=int, default=16)
+    ap.add_argument("--grid", action="store_true",
+                    help="exact-grid phase-locked serving (pool --grid)")
     args = ap.parse_args()
 
     import jax
@@ -115,15 +122,32 @@ def main():
         report(d, args.runs, "jit_process_whole", args.top)
     else:
         s, n = args.streams, args.blocksize
-        ch, _, tm = build_chain(cfgs, FS, n, channels_in=1)
+        ov = None
+        if args.grid:
+            from aefs_tpu.server.pool import grid_static_overrides
+
+            ov = grid_static_overrides(cfgs) or None
+        ch, _, tm = build_chain(cfgs, FS, n, channels_in=1,
+                                static_overrides=ov)
         tg = ch.targets(tm)
         st = ch.batch_state(
             ch.init_state({c["effect_id"]: c["params"] for c in cfgs}), s
         )
         axes = ch.state_axes()
+        # Per-slot targets like the product pool (grid_phase stays the
+        # batch-uniform phase-locked scalar — bench_multistream_one).
+        tg = tuple(
+            {k: (v if k == "grid_phase"
+                 else jnp.broadcast_to(jnp.asarray(v), (s,)))
+             for k, v in g.items()}
+            for g in tg
+        )
+        tg_axes = tuple(
+            {k: (None if k == "grid_phase" else 0) for k in g} for g in tg
+        )
         fn = jax.jit(
             lambda st, tg, x: jax.vmap(
-                ch.process_block, in_axes=(axes, None, 0),
+                ch.process_block, in_axes=(axes, tg_axes, 0),
                 out_axes=(axes, 0),
             )(st, tg, x)
         )
