@@ -249,24 +249,41 @@ async def handler(websocket):
                         os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"),
                         "session",
                     )
-                    await asyncio.get_running_loop().run_in_executor(
-                        None, audio_engine.save_session, path
-                    )
-                    await websocket.send(json.dumps(
-                        {"type": "session_saved", "path": path}
-                    ))
+                    try:
+                        await asyncio.get_running_loop().run_in_executor(
+                            None, audio_engine.save_session, path
+                        )
+                        await websocket.send(json.dumps(
+                            {"type": "session_saved", "ok": True, "path": path}
+                        ))
+                    except Exception as e:
+                        # The client must learn about the failure too — a
+                        # print alone leaves the UI status on "saving…".
+                        print(f"Error saving session: {e}")
+                        await websocket.send(json.dumps(
+                            {"type": "session_saved", "ok": False,
+                             "path": path, "error": str(e)}
+                        ))
                 elif command == "resume_session":
                     path = cmd.get("path") or os.path.join(
                         os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"),
                         "session",
                     )
-                    cfg = await asyncio.get_running_loop().run_in_executor(
-                        None, audio_engine.resume_session, path
-                    )
-                    # Echo the restored config so the UI can sync its chain.
-                    await websocket.send(json.dumps(
-                        {"type": "session_resumed", "path": path, "config": cfg}
-                    ))
+                    try:
+                        cfg = await asyncio.get_running_loop().run_in_executor(
+                            None, audio_engine.resume_session, path
+                        )
+                        # Echo the restored config so the UI syncs its chain.
+                        await websocket.send(json.dumps(
+                            {"type": "session_resumed", "ok": True,
+                             "path": path, "config": cfg}
+                        ))
+                    except Exception as e:
+                        print(f"Error resuming session: {e}")
+                        await websocket.send(json.dumps(
+                            {"type": "session_resumed", "ok": False,
+                             "path": path, "error": str(e)}
+                        ))
                 elif command == "get_stats":
                     # Additive protocol extension: operational metrics
                     # (per-block p50/p99, deadline misses — the xrun

@@ -36,11 +36,16 @@ function connect() {
     else if (msg.type === "file_processed") onFileProcessed(msg);
     else if (msg.type === "stats") onStats(msg);
     else if (msg.type === "session_saved")
-      sessionStatus(`saved → ${msg.path}`);
+      sessionStatus(msg.ok === false ? `save failed: ${msg.error}`
+                                     : `saved → ${msg.path}`);
     else if (msg.type === "session_resumed") {
-      chain = msg.config || [];
-      renderChain();
-      sessionStatus(`resumed ← ${msg.path} (${chain.length} effects)`);
+      if (msg.ok === false) {
+        sessionStatus(`resume failed: ${msg.error}`);
+      } else {
+        chain = msg.config || [];
+        renderChain();
+        sessionStatus(`resumed ← ${msg.path} (${chain.length} effects)`);
+      }
     } else if (msg.type === "ir_set")
       sessionStatus(msg.ok ? `IR set (${msg.ir_seconds} s)`
                            : `IR failed: ${msg.error}`);
@@ -302,11 +307,20 @@ function renderPresets() {
   });
 }
 
+function freshIds(fx) {
+  // Deep-copy an effect config with regenerated ids — recursing into a
+  // parallel container's branches so their sub-effects get fresh ids too.
+  const copy = JSON.parse(JSON.stringify(fx));
+  copy.effect_id = uuid();
+  if (copy.branches) copy.branches = copy.branches.map((b) => b.map(freshIds));
+  return copy;
+}
+
 function loadPreset(name) {
   const p = getPresets()[name];
   if (!p) return;
   // Regenerate ids so live updates route to the fresh instances (app.py:644-647).
-  chain = p.map((fx) => ({ effect_id: uuid(), type: fx.type, params: Object.assign({}, fx.params) }));
+  chain = p.map(freshIds);
   sendChain();
 }
 

@@ -148,9 +148,18 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                     saved = _json.load(f)
                 assert saved["targets"]["d1"]["delay_ms"] == 500.0
 
-                # resume from a missing path must not kill the server
+                # resume from a missing path must not kill the server, and
+                # the client must be TOLD it failed (the UI status line
+                # would otherwise sit on "resuming…" forever)
                 await client.send(json.dumps({
                     "command": "resume_session", "path": str(tmp_path / "no")}))
+                for _ in range(30):
+                    msg = json.loads(await asyncio.wait_for(client.recv(), 60))
+                    if msg["type"] == "session_resumed":
+                        break
+                else:
+                    raise AssertionError("no failure response after bad resume")
+                assert msg["ok"] is False and msg.get("error")
                 await client.send(json.dumps({"command": "get_stats"}))
                 for _ in range(30):
                     msg = json.loads(await asyncio.wait_for(client.recv(), 60))
