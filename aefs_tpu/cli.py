@@ -171,7 +171,14 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
     outs = []
     progress_path = os.path.join(ckpt_dir, "progress.json")
     if resume and os.path.exists(progress_path):
-        cfg2, tmap2, rebuild_state = load_session(ckpt_dir)
+        with open(progress_path) as f:
+            progress = json.load(f)
+        done = int(progress["done_samples"])
+        # ``dir`` names the committed generation subdir (see the commit
+        # protocol below); legacy checkpoints kept everything flat.
+        gen_dir = os.path.join(ckpt_dir, progress["dir"]) if "dir" in progress \
+            else ckpt_dir
+        cfg2, tmap2, rebuild_state = load_session(gen_dir)
         chain, state, _ = build_chain(
             cfg2, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2,
             static_overrides=file_static_overrides(cfg2),
@@ -179,9 +186,7 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
         targets = chain.targets(tmap2)
         state = rebuild_state(chain.init_state())
         chain_config, tmap = cfg2, tmap2
-        with open(progress_path) as f:
-            done = int(json.load(f)["done_samples"])
-        outs = [np.load(os.path.join(ckpt_dir, "partial.npy"))]
+        outs = [np.load(os.path.join(gen_dir, "partial.npy"))]
         print(f"Resuming at {done / fs:.2f} s / {n / fs:.2f} s")
 
     while done < n:
@@ -190,12 +195,31 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
         outs.append(np.clip(y, -1.0, 1.0))
         done = end
         if done < n:
-            save_session(ckpt_dir, chain_config,
+            # Crash-safe commit: stage state + partial output in a fresh
+            # generation subdir, then atomically swap progress.json (the
+            # single manifest) to point at it.  A kill at any instant —
+            # including mid-save — leaves the previous generation intact
+            # and referenced, so resume never double-processes a chunk
+            # (the old flat layout had windows where a new state.npz sat
+            # next to an old done_samples).
+            gen_dir = os.path.join(ckpt_dir, f"gen-{done}")
+            save_session(gen_dir, chain_config,
                          {k: dict(v) for k, v in tmap.items()}, state)
-            np.save(os.path.join(ckpt_dir, "partial.npy"),
+            np.save(os.path.join(gen_dir, "partial.npy"),
                     np.concatenate(outs))
-            with open(progress_path, "w") as f:
-                json.dump({"done_samples": int(done)}, f)
+            tmp = progress_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"done_samples": int(done),
+                           "dir": f"gen-{done}"}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, progress_path)  # the commit point
+            for name in os.listdir(ckpt_dir):  # prune superseded gens
+                if name.startswith("gen-") and name != f"gen-{done}":
+                    import shutil
+
+                    shutil.rmtree(os.path.join(ckpt_dir, name),
+                                  ignore_errors=True)
             print(f"Checkpointed at {done / fs:.2f} s / {n / fs:.2f} s")
     return np.concatenate(outs)
 

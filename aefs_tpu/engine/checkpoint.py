@@ -27,24 +27,63 @@ FORMAT_VERSION = 1
 
 
 def save_session(path: str, chain_config, targets_map: dict, state) -> None:
-    """Write a session checkpoint directory."""
+    """Write a session checkpoint directory — CRASH-SAFE.
+
+    The state lands in a fresh generation-named file and ``session.json``
+    (the manifest naming it) is swapped in atomically LAST via
+    ``os.replace``: a kill at ANY instant leaves the directory holding
+    either the previous complete checkpoint or the new one, never a
+    torn mix (the old in-place overwrite had a window where ``state.npz``
+    was new while ``session.json`` was old — or half-written)."""
     os.makedirs(path, exist_ok=True)
+    manifest = os.path.join(path, "session.json")
+    gen = 0
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                gen = int(json.load(f).get("gen", 0)) + 1
+        except Exception:
+            gen = 1
     leaves, treedef = jax.tree.flatten(state)
-    np.savez(
-        os.path.join(path, "state.npz"),
-        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
-    )
-    with open(os.path.join(path, "session.json"), "w") as f:
+    state_file = f"state-{gen}.npz"
+    tmp = os.path.join(path, state_file + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, state_file))
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "format_version": FORMAT_VERSION,
                 "chain_config": chain_config,
                 "targets": targets_map,
                 "n_leaves": len(leaves),
+                "gen": gen,
+                "state_file": state_file,
             },
             f,
             indent=2,
         )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest)  # the commit point
+    # Best-effort cleanup of superseded generations (and the legacy
+    # fixed-name file) — only after the new manifest is durable.
+    for name in os.listdir(path):
+        if (
+            name != state_file
+            and name.startswith("state")
+            and (name.endswith(".npz") or name.endswith(".tmp"))
+        ):
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
 
 
 def load_session(path: str):
@@ -58,7 +97,9 @@ def load_session(path: str):
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version {meta.get('format_version')}")
-    data = np.load(os.path.join(path, "state.npz"))
+    # ``state_file`` names the committed generation; legacy checkpoints
+    # (pre-atomic layout) used the fixed name.
+    data = np.load(os.path.join(path, meta.get("state_file", "state.npz")))
     leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
 
     def rebuild_state(template_state):

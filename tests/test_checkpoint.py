@@ -128,3 +128,97 @@ def test_cli_resumable_file_job_bit_exact(tmp_path):
     a, fsa = read_wav_file(str(out_ref))
     b, fsb = read_wav_file(str(out2))
     assert fsa == fsb and np.array_equal(a, b)
+
+
+def test_save_session_atomic_generations(tmp_path):
+    """Crash-safety of the checkpoint layout: session.json is the atomic
+    commit point naming a generation state file, repeated saves prune
+    superseded generations, stray orphan files never confuse the loader,
+    and the legacy flat layout (fixed state.npz, no state_file key) still
+    loads."""
+    import json as _json
+    import os
+
+    chain, state, tmap = build_chain(CFGS, FS, 256, channels_in=2)
+    p = str(tmp_path / "ckpt")
+    save_session(p, CFGS, tmap, state)
+    save_session(p, CFGS, tmap, state)  # second generation
+    with open(os.path.join(p, "session.json")) as f:
+        meta = _json.load(f)
+    assert meta["gen"] == 1 and meta["state_file"] == "state-1.npz"
+    npzs = [n for n in os.listdir(p) if n.endswith(".npz")]
+    assert npzs == ["state-1.npz"]  # gen 0 pruned after the commit
+
+    # An orphan next-generation file (kill between state write and the
+    # manifest swap) must be ignored by the loader...
+    with open(os.path.join(p, "state-2.npz"), "wb") as f:
+        f.write(b"torn")
+    cfgs2, tmap2, rebuild = load_session(p)
+    chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
+    rebuild(template)  # loads gen 1, not the torn orphan
+    # ...and the next save must clean it up and commit gen 2 on top.
+    save_session(p, CFGS, tmap, state)
+    npzs = sorted(n for n in os.listdir(p) if n.endswith(".npz"))
+    assert npzs == ["state-2.npz"]
+
+    # Legacy flat layout loads through the default state_file name.
+    leg = str(tmp_path / "legacy")
+    os.makedirs(leg)
+    import jax
+
+    leaves, _ = jax.tree.flatten(state)
+    np.savez(os.path.join(leg, "state.npz"),
+             **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    with open(os.path.join(leg, "session.json"), "w") as f:
+        _json.dump({"format_version": 1, "chain_config": CFGS,
+                    "targets": tmap, "n_leaves": len(leaves)}, f)
+    cfgs3, _, rebuild3 = load_session(leg)
+    assert cfgs3 == CFGS
+    rebuild3(template)
+
+
+def test_cli_resume_ignores_uncommitted_generation(tmp_path):
+    """The old-bug scenario: a kill AFTER the new state checkpoint was
+    written but BEFORE the progress manifest swap.  progress.json still
+    references the older generation; resume must continue from it (never
+    from the newer orphan state, which would double-process a chunk) and
+    reproduce the uninterrupted output bit-exactly."""
+    import json as _json
+    import shutil
+
+    from aefs_tpu.cli import main as cli_main
+    from aefs_tpu.engine.wavio import write_wav_file, read_wav_file
+
+    fs = 48000
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(int(1.2 * fs)) * 0.2).astype(np.float32)
+    in_wav = tmp_path / "in.wav"
+    write_wav_file(str(in_wav), x[:, None], fs)
+    cfg = [{"effect_id": "d", "type": "delay",
+            "params": {"delay_ms": 150, "feedback": 0.5, "mix_dry": 1.0,
+                       "mix_wet": 1.0, "offset_ms": 0}}]
+    cfg_path = tmp_path / "chain.json"
+    cfg_path.write_text(_json.dumps(cfg))
+
+    out_ref = tmp_path / "ref.wav"
+    assert cli_main([str(in_wav), str(out_ref), "--config", str(cfg_path)]) == 0
+
+    ck = tmp_path / "ck"
+    out2 = tmp_path / "resumed.wav"
+    assert cli_main([str(in_wav), str(out2), "--config", str(cfg_path),
+                     "--checkpoint", str(ck),
+                     "--checkpoint-every", "0.4"]) == 0
+    with open(ck / "progress.json") as f:
+        progress = _json.load(f)
+    committed = progress["dir"]
+    # Simulate the crash window: a NEWER generation directory exists on
+    # disk (state advanced past the manifest) but was never committed.
+    orphan = ck / f"gen-{int(progress['done_samples']) + 19200}"
+    shutil.copytree(ck / committed, orphan)
+    assert cli_main([str(in_wav), str(out2), "--config", str(cfg_path),
+                     "--checkpoint", str(ck), "--resume",
+                     "--checkpoint-every", "0.4"]) == 0
+
+    a, fsa = read_wav_file(str(out_ref))
+    b, fsb = read_wav_file(str(out2))
+    assert fsa == fsb and np.array_equal(a, b)
