@@ -22,10 +22,18 @@ from aefs_tpu.ops.ringbuf import fractional_read_cubic, ring_push
 
 
 def _two_sum(a, b):
-    """Error-free transform: a + b = s + e exactly (Knuth TwoSum)."""
+    """Error-free transform: a + b = s + e exactly (Knuth TwoSum).
+
+    e = (a - a') + (b - b') with the VIRTUAL operands a' = s - b',
+    b' = s - a.  (A scrambled pairing — (a - b') + (b - a') — looks
+    plausible and passes casual tests, but its compensation term is
+    rounding noise: the phasor carry then drifts ~eps/2 per block and
+    256-sample streaming diverged from 4096-superblock processing at
+    -37..-60 dBFS.  Caught by the random-topology fuzzer,
+    tests/test_fuzz_topologies.py.)"""
     s = a + b
-    bb = s - a
-    e = (a - bb) + (b - (s - bb))
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
     return s, e
 
 

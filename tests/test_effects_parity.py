@@ -146,6 +146,25 @@ def test_octaver_parity_grid_streaming(semitones):
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 
 
+@pytest.mark.parametrize("semitones", [4.98, 7.0, -12.0, 3.5])
+def test_octaver_generic_blocksize_invariance(semitones):
+    """GENERIC (float32-phasor) path: 256-sample streaming vs
+    4096-superblock processing at mix=1.0 (worst case).  The floor is
+    ~-70 dBFS — a few ulp(1) roundings in mod(inner + base, 1) differ
+    between block decompositions and scale by the ring size.  Pinned at
+    -65: the scrambled-TwoSum carry-drift bug this guards against
+    (models/octaver.py:_two_sum docstring) measured -37..-60 here."""
+    params = {"semitones": semitones, "mix": 1.0}
+    x = bursts(8 * 4096, amp=0.3, seed=0)
+    outs = []
+    for bs in (4096, 256):
+        outs.append(run_chain(
+            {"effect_id": "o", "type": "octaver", "params": params}, x,
+            blocksize=bs,
+        ))
+    assert err_dbfs(outs[0], outs[1].astype(np.float64)) <= -65
+
+
 @pytest.mark.parametrize("blocksize", [128, 512])
 def test_octaver_grid_streaming_blocksize_invariance(blocksize):
     """The integer phase carry is exact, so different streaming block
