@@ -52,26 +52,46 @@ FUZZ_TYPES = [
 ]
 
 
-def random_chain(rng):
+def random_effect(rng, eid):
     from aefs_tpu.models import EFFECT_REGISTRY
 
+    etype, static = FUZZ_TYPES[int(rng.integers(len(FUZZ_TYPES)))]
+    cls = EFFECT_REGISTRY[etype]
+    params = dict(static)
+    for name, spec in cls.PARAMS.items():
+        v = float(rng.uniform(spec.lo, spec.hi))
+        if name in ("filter_type", "shape"):
+            v = float(int(round(v)))
+        if etype == "octaver" and name == "semitones" and rng.random() < 0.4:
+            v = float(rng.choice([-24.0, -12.0, 0.0, 12.0, 24.0]))
+        params[name] = v
+    return {"effect_id": eid, "type": etype, "params": params}
+
+
+def random_chain(rng, allow_parallel=False):
     n_fx = int(rng.integers(1, 5))
     cfgs = []
-    has_octaver = False
     for i in range(n_fx):
-        etype, static = FUZZ_TYPES[int(rng.integers(len(FUZZ_TYPES)))]
-        cls = EFFECT_REGISTRY[etype]
-        params = dict(static)
-        for name, spec in cls.PARAMS.items():
-            v = float(rng.uniform(spec.lo, spec.hi))
-            if name in ("filter_type", "shape"):
-                v = float(int(round(v)))
-            if etype == "octaver" and name == "semitones" and rng.random() < 0.4:
-                v = float(rng.choice([-24.0, -12.0, 0.0, 12.0, 24.0]))
-            params[name] = v
-        if etype == "octaver":
-            has_octaver = True
-        cfgs.append({"effect_id": f"fx{i}", "type": etype, "params": params})
+        if allow_parallel and rng.random() < 0.5:
+            branches = [
+                [random_effect(rng, f"fx{i}b{bi}e{j}")
+                 for j in range(int(rng.integers(1, 3)))]
+                for bi in range(2)
+            ]
+            cfgs.append({
+                "effect_id": f"fx{i}", "type": "parallel",
+                "params": {"gain_0": float(rng.uniform(0, 2)),
+                           "gain_1": float(rng.uniform(0, 2))},
+                "branches": branches,
+            })
+        else:
+            cfgs.append(random_effect(rng, f"fx{i}"))
+    flat = []
+    for c in cfgs:
+        flat.append(c)
+        for b in c.get("branches", []):
+            flat.extend(b)
+    has_octaver = any(c["type"] == "octaver" for c in flat)
     return cfgs, has_octaver
 
 
@@ -84,10 +104,12 @@ def run(cfgs, x, fast, blocksize):
     return out
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(8))
 def test_random_topology_consistency(seed):
+    # The last two seeds may wrap sub-effects in parallel containers
+    # (branch params lifted as b<i>_<j>_<name> — models/parallel_chain.py).
     rng = np.random.default_rng(1000 + seed)
-    cfgs, has_octaver = random_chain(rng)
+    cfgs, has_octaver = random_chain(rng, allow_parallel=seed >= 6)
     label = " -> ".join(
         f"{c['type']}({', '.join(f'{k}={v:.3g}' for k, v in c['params'].items())})"
         for c in cfgs
