@@ -107,6 +107,21 @@ class Octaver(EffectModel):
                 **self.PARAMS,
                 "grid_phase": ParamSpec(0.0, 0.0, float(2 ** 24)),
             }
+        # Double-single pitch-ratio table for the 0.5-semitone grid (every
+        # UI-reachable value: slider step 0.5, octaver.py:117-118).  The
+        # dominant drift of the generic phase path vs a float64 oracle is
+        # the f32 quantization of ratio = 2^(s/12) itself (~2^-25 relative
+        # -> ~8e-12 of phase per sample, i.e. -60 dBFS by ~8 s): when the
+        # smoothed ``semitones`` lands EXACTLY on the grid, the ratio is
+        # upgraded to hi+lo float32 pairs of the float64 value and the
+        # step is carried double-single end to end, removing the
+        # length-proportional term entirely (off-grid values keep the
+        # plain f32 ratio — bitwise the old behavior).
+        ks = np.arange(-48, 49)
+        r64 = 2.0 ** ((ks / 2.0) / 12.0)
+        self._ratio_tab_hi = r64.astype(np.float32)
+        self._ratio_tab_lo = (r64 - self._ratio_tab_hi.astype(np.float64)
+                              ).astype(np.float32)
 
     def grid_phase_advance(self, n=None):
         """(per-block advance, modulus) of the integer phase numerator —
@@ -164,7 +179,6 @@ class Octaver(EffectModel):
         size = self.size
         n = x.shape[-1]
         ratio = jnp.power(2.0, p["semitones"] / 12.0)
-        step = (1.0 - ratio) / size  # octaver.py:121-122
         mix = p["mix"]
 
         mono = jnp.mean(x, axis=0)  # octaver.py:126-128
@@ -182,15 +196,48 @@ class Octaver(EffectModel):
             hi = c - (c - v)
             return hi, v - hi
 
+        # Grid-exact double-single ratio (see __init__ table note): when
+        # 2*semitones is exactly an integer in [-48, 48], replace the f32
+        # ratio with the hi+lo pair of the float64 value.  The lookup is a
+        # one-hot masked reduction (no gather — CLAUDE.md TPU rule).
+        s2x = p["semitones"] * jnp.float32(2.0)  # exact (x2 = exponent shift)
+        k_idx = jnp.round(s2x)
+        on_grid = s2x == k_idx
+        oh = (jnp.arange(97, dtype=jnp.float32) == k_idx + 48.0).astype(
+            jnp.float32
+        )
+        ratio_hi = jnp.where(
+            on_grid & (jnp.sum(oh) > 0),
+            jnp.sum(oh * jnp.asarray(self._ratio_tab_hi)), ratio,
+        )
+        ratio_lo = jnp.sum(oh * jnp.asarray(self._ratio_tab_lo)) * jnp.where(
+            on_grid, 1.0, 0.0
+        )
+        # step = (1 - ratio_hi - ratio_lo)/size in double-single:
+        # d = 1 - ratio_hi exactly (TwoSum), the division remainder
+        # recovered with an exact split product (1920*a_hi needs 12+11
+        # mantissa bits), so step_hi + step_lo matches the float64 step to
+        # ~2^-45 — the phase carry below then accumulates it exactly.
+        size_f = jnp.float32(size)
+        d_hi, d_e = _two_sum(jnp.float32(1.0), -ratio_hi)
+        num_lo = d_e - ratio_lo
+        step_hi = d_hi / size_f
+        a_hi, a_lo = split12(step_hi)
+        rem = (d_hi - a_hi * size_f) - a_lo * size_f
+        step_lo = (rem + num_lo) / size_f
+        step = step_hi  # the f32 value (== old fl((1-ratio)/size) on-grid)
+
         inner_n = min(n, 4096)
         m = -(-n // inner_n)
         s_hi, s_lo = split12(step)
+        s_lo = s_lo + step_lo  # fold the double-single correction
         j_idx = jnp.arange(inner_n, dtype=jnp.float32)
         inner = jnp.mod(j_idx * s_hi, 1.0) + j_idx * s_lo
         base = state["phasor"] + state["comp"]
         if m > 1:
             delta = jnp.float32(inner_n) * step  # exact: 2^12 scale
             d_hi, d_lo = split12(delta)
+            d_lo = d_lo + jnp.float32(inner_n) * step_lo  # exact scale
             m_idx = jnp.arange(m, dtype=jnp.float32)
             outer = jnp.mod(m_idx * d_hi, 1.0) + m_idx * d_lo
             p1 = jnp.mod(outer[:, None] + inner[None, :] + base, 1.0)
@@ -222,10 +269,12 @@ class Octaver(EffectModel):
         q, r = divmod(n, 4096)
         delta = jnp.float32(4096) * step
         d_hi, d_lo = split12(delta)
+        d_lo = d_lo + jnp.float32(4096) * step_lo  # double-single correction
         parts = []
         if q:
             parts += [jnp.mod(jnp.float32(q) * d_hi, 1.0), jnp.float32(q) * d_lo]
         if r:
+            # s_lo already carries step_lo (folded at the ramp above)
             parts += [jnp.mod(jnp.float32(r) * s_hi, 1.0), jnp.float32(r) * s_lo]
         acc, err = state["phasor"], state["comp"]
         for part in parts:
