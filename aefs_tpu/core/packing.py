@@ -82,11 +82,19 @@ class PackedRunner:
         self.state_packer = Packer(ex_state)
         self.target_packer = Packer(ex_targets)
 
+        # The closure must capture the PACKERS, never ``self``: a
+        # self-referential closure (self -> self.fn -> packed -> cell ->
+        # self) is cyclic garbage that the serving processes — which run
+        # with gc.disable() (backend.py:123 parity) — would never free,
+        # leaking the runner, its compiled executable, and the whole chain
+        # behind ``fn`` on every rebuild (Chain.release rationale).
+        state_packer, target_packer = self.state_packer, self.target_packer
+
         def packed(sgroups, tgroups, x):
-            state = self.state_packer.unpack(sgroups)
-            targets = self.target_packer.unpack(tgroups)
+            state = state_packer.unpack(sgroups)
+            targets = target_packer.unpack(tgroups)
             new_state, y = fn(state, targets, x)
-            return self.state_packer.pack(new_state), y
+            return state_packer.pack(new_state), y
 
         self.fn = jax.jit(packed, donate_argnums=(0,) if donate else ())
 

@@ -70,6 +70,7 @@ def process_offline(chain_config, audio, fs, superblock=FILE_SUPERBLOCK,
         static_overrides=static,
     )
     _, out = chain.process_array(state, chain.targets(targets_map), mono, fast=True)
+    chain.release()  # one-shot chain: break the jit-cache cycle (gc is off)
     return mono, np.clip(out, -1.0, 1.0)
 
 
@@ -137,6 +138,7 @@ def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
         )
     )
     _, y = fn(state, targets, xd)
+    chain.release()  # one-shot chain: break the jit-cache cycle (gc is off)
     out = np.clip(np.asarray(y), -1.0, 1.0)  # (B, 2, Lp)
     return [
         out[i, :, : m.shape[0]].T.copy()
@@ -155,6 +157,7 @@ class AudioEngine:
         self.is_processing_file = False
         self.status_count = 0
         self.stream = None
+        self.chain = None  # set by the build_chain([]) below
         self.last_chain_config = []
         self.last_file_contents = None
         # User-selected (input, output) PortAudio device indices; None
@@ -260,12 +263,19 @@ class AudioEngine:
         targets = chain.targets(targets_map)
         runner, sgroups, tgroups = self._warm_runner(chain, state, targets)
         with self._lock:
+            old = self.chain
             self.chain = chain
             self._runner = runner
             self.chain_state = sgroups  # packed groups (runner.unpack_state)
             self._targets_map = targets_map
             self._targets = tgroups
             self._pending = None  # an in-flight block belongs to the old chain
+        if old is not None and old is not chain:
+            # gc is disabled in the serving process: break the superseded
+            # chain's jit-cache cycle or it (and its compiled executables)
+            # leaks on every rebuild (Chain.release).  A racing holder of
+            # ``old`` stays correct — its cache re-jits on next use.
+            old.release()
 
     def update_param(self, effect_id: str, param_name: str, value: float):
         """Route a live parameter change (engine.py:131-145): rewrite the
@@ -333,12 +343,15 @@ class AudioEngine:
         state = rebuild_state(chain.init_state())
         runner, sgroups, tgroups = self._warm_runner(chain, state, targets)
         with self._lock:
+            old = self.chain
             self.chain = chain
             self._runner = runner
             self.chain_state = sgroups
             self._targets_map = targets_map
             self._targets = tgroups
             self._pending = None
+        if old is not None and old is not chain:
+            old.release()  # same leak rationale as build_chain
         self.last_chain_config = chain_config
         return chain_config
 

@@ -192,3 +192,39 @@ def test_rebuild_resets_state_but_param_updates_preserve_it():
     assert tail_peak() > 0.3
     eng.build_chain(cfg)                          # rebuild: state reset
     assert tail_peak() < 1e-6
+
+
+def test_chain_rebuild_frees_under_gc_disable():
+    """The serving processes run with gc.disable() (reference parity,
+    backend.py:123), where reference CYCLES are never collected: a chain
+    rebuild must free the superseded chain by refcounting alone.  Guards
+    two past cycles: the PackedRunner closure capturing ``self``
+    (core/packing.py) and the chain jit-cache holding bound-method jits
+    (Chain.release) — before the fix, 30 rebuilds left 30/30 chains (and
+    their compiled executables) alive."""
+    import gc
+    import weakref
+
+    from aefs_tpu.engine.engine import AudioEngine
+
+    cfg_a = [{"effect_id": "f", "type": "filter",
+              "params": {"filter_type": 0, "cutoff_hz": 2000, "q": 0.8}}]
+    cfg_b = [{"effect_id": "w", "type": "waveshaper",
+              "params": {"drive": 4.0, "shape": 1, "mix": 1.0,
+                         "out_gain": 1.0}}]
+    x = 0.1 * np.random.default_rng(0).standard_normal((256, 1)).astype(
+        np.float32)
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        eng = AudioEngine()
+        refs = []
+        for i in range(6):
+            eng.build_chain(cfg_a if i % 2 == 0 else cfg_b)
+            refs.append(weakref.ref(eng.chain))
+            eng.process_stream_block(x)
+        alive = sum(1 for r in refs if r() is not None)
+        assert alive == 1, f"{alive}/6 chains alive under gc.disable()"
+    finally:
+        if was_enabled:
+            gc.enable()
