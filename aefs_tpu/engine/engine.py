@@ -500,6 +500,18 @@ class AudioEngine:
         with self._lock:
             self._pending = None
 
+    def close(self):
+        """End-of-session teardown: stop the stream and break the live
+        chain's jit-cache cycle so the engine frees by refcounting alone —
+        the server disables gc, and without this every client
+        connect/disconnect leaked the session's final chain and its
+        compiled executables (Chain.release rationale)."""
+        self.stop_stream()
+        with self._lock:
+            chain, self.chain, self._runner = self.chain, None, None
+        if chain is not None:
+            chain.release()
+
     # -- file mode (engine.py:67-129) -----------------------------------
     def process_file_array(self, audio: np.ndarray, fs: int):
         """(frames, ch) float32 -> (frames, 2) float32 through a fresh

@@ -305,7 +305,10 @@ async def handler(websocket):
             except Exception as e:
                 print(f"Error processing command: {e}")
     finally:
-        audio_engine.stop_stream()
+        # close() (not just stop_stream) breaks the session chain's
+        # jit-cache cycle: gc is disabled, so a plain drop would leak the
+        # chain + compiled executables on every client churn.
+        audio_engine.close()
         sender_task.cancel()
         connected_client = None
         print("Disconnected from frontend client")

@@ -225,6 +225,10 @@ def test_chain_rebuild_frees_under_gc_disable():
             eng.process_stream_block(x)
         alive = sum(1 for r in refs if r() is not None)
         assert alive == 1, f"{alive}/6 chains alive under gc.disable()"
+        # End-of-session close() frees the FINAL chain too (per-connection
+        # churn in the server would otherwise leak one chain per client).
+        eng.close()
+        assert all(r() is None for r in refs), "chain leaked past close()"
     finally:
         if was_enabled:
             gc.enable()
