@@ -318,6 +318,13 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
 
     chain = Chain(fs, channels_in, channels_out, blocksize, effects)
     chain.config_seeds = configs
+    # The raw config this chain was built from, kept ON the chain so
+    # consumers that snapshot a chain atomically (engine.save_session)
+    # get the MATCHING config — the engine's last_chain_config is the
+    # latest *requested* config, which can be newer than the live chain
+    # for the whole compile window of a concurrent rebuild (a checkpoint
+    # pairing new config with old state is unloadable: leaf mismatch).
+    chain.source_config = effects_config
     state = chain.init_state(configs)
     targets_map = {
         eid: {k: float(v) for k, v in configs.get(eid, {}).items()}

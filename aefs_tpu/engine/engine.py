@@ -318,11 +318,17 @@ class AudioEngine:
         # slices must be enqueued before any later step donates them.
         with self._dispatch_lock:
             with self._lock:
-                runner, sgroups, tmap = (
-                    self._runner, self.chain_state, self._targets_map
+                chain, runner, sgroups, tmap = (
+                    self.chain, self._runner, self.chain_state,
+                    self._targets_map,
                 )
             state = runner.unpack_state(sgroups)
-        save_session(path, self.last_chain_config, tmap, state)
+        # Config from the SNAPSHOTTED chain, not last_chain_config: a
+        # concurrent build_chain updates the latter before its (seconds-
+        # long) compile finishes, and a checkpoint pairing the new config
+        # with this chain's state would be unloadable (leaf mismatch —
+        # caught by the randomized concurrency hammer).
+        save_session(path, chain.source_config, tmap, state)
         return path
 
     def resume_session(self, path: str):

@@ -126,3 +126,95 @@ def test_save_session_while_streaming_resume_exact():
     o1 = eng.process_stream_block(blk)
     o2 = eng2.process_stream_block(blk)
     np.testing.assert_array_equal(o1, o2)
+
+
+def test_randomized_concurrency_hammer():
+    """Seeded multi-threaded monkey: four threads race the full control
+    surface (param storms, topology rebuilds, session save/resume,
+    reprocess-style file jobs) against a continuously streaming audio
+    thread for a fixed op budget.  Any exception, non-finite audio, or a
+    wedged thread fails; this generalizes the targeted interleavings
+    above to arbitrary schedules (run under gc.disable like the server)."""
+    import asyncio
+    import base64
+    import gc
+    import tempfile
+
+    from aefs_tpu.engine.wavio import encode_wav_int16
+
+    rng = np.random.default_rng(1234)
+    errors = []
+    stop = threading.Event()
+
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        eng = AudioEngine()
+        eng.build_chain(CHAIN_A)
+        tmp = tempfile.mkdtemp(prefix="aefs_hammer_")
+        wav = encode_wav_int16(
+            (0.2 * np.random.default_rng(0).standard_normal((2048, 1))
+             ).astype(np.float32), 48000)
+        url = "data:audio/wav;base64," + base64.b64encode(wav).decode()
+
+        class NullWS:
+            async def send(self, m):
+                pass
+
+        def audio_thread():
+            x = 0.1 * rng.standard_normal((256, 1)).astype(np.float32)
+            try:
+                while not stop.is_set():
+                    out = eng.process_stream_block(x)
+                    if not np.all(np.isfinite(out)):
+                        errors.append("non-finite audio")
+                        return
+            except Exception as e:  # pragma: no cover
+                errors.append(f"audio: {type(e).__name__}: {e}")
+
+        def control_thread(seed):
+            r = np.random.default_rng(seed)
+            try:
+                for _ in range(40):
+                    op = r.integers(0, 10)
+                    if op <= 4:
+                        eng.update_param(
+                            str(r.choice(["d1", "g1", "zz"])),
+                            str(r.choice(["feedback", "delay_ms",
+                                          "threshold_db", "bogus"])),
+                            float(r.uniform(-100, 2000)))
+                    elif op <= 6:
+                        eng.build_chain(CHAIN_A if r.random() < 0.5 else CHAIN_B)
+                    elif op == 7:
+                        eng.save_session(f"{tmp}/s{seed}")
+                    elif op == 8:
+                        try:
+                            eng.resume_session(f"{tmp}/s{seed}")
+                        except FileNotFoundError:
+                            pass
+                    else:
+                        asyncio.run(eng.process_wav_file(url, NullWS()))
+            except Exception as e:  # pragma: no cover
+                errors.append(f"ctl{seed}: {type(e).__name__}: {e}")
+
+        at = threading.Thread(target=audio_thread, daemon=True)
+        cts = [threading.Thread(target=control_thread, args=(s,), daemon=True)
+               for s in (1, 2, 3)]
+        at.start()
+        for t in cts:
+            t.start()
+        for t in cts:
+            t.join(timeout=300)
+            assert not t.is_alive(), "control thread wedged"
+        stop.set()
+        at.join(timeout=60)
+        assert not at.is_alive(), "audio thread wedged"
+        assert not errors, errors
+        # still fully functional afterwards
+        out = eng.process_stream_block(
+            0.1 * rng.standard_normal((256, 1)).astype(np.float32))
+        assert out.shape == (256, 2) and np.all(np.isfinite(out))
+        eng.close()
+    finally:
+        if was_enabled:
+            gc.enable()
