@@ -164,6 +164,11 @@ class AudioEngine:
         # means OS default.  Applied at the next stream start (reference
         # wishlist todo:2; pick_devices/list_devices in engine/devices.py).
         self.devices = (None, None)
+        # Live file stream (start_file_stream): lossless processed-block
+        # queue for client playback + its source thread.
+        self.playback_queue = None
+        self._file_thread = None
+        self._file_stream_stop = None
         self._lock = threading.Lock()
         # Serializes device-op ENQUEUE between the audio path (whose step
         # donates the packed state buffers) and state readers
@@ -486,6 +491,90 @@ class AudioEngine:
         except Exception as e:
             print(f"Error on stream start: {e}")
 
+    # -- live file stream (reference wishlist todo:4, preferred design:
+    #    "MEJOR hacer streaming con el file para que el backend aplique
+    #    los efectos en vivo") -------------------------------------------
+    def start_file_stream(self, contents: str = None, realtime: bool = True):
+        """Stream a WAV through the LIVE hot path: the file replaces the
+        microphone as the block source, so parameter changes are applied
+        in real time while it plays — the reference wishlist's preferred
+        design for re-applying effects (todo:4), which its offline
+        process_file path could not do.
+
+        Processed blocks go to ``self.playback_queue`` (lossless, unlike
+        the drop-on-full plot queues) as ``(seq, (N, 2) float32)`` pairs,
+        terminated by ``None``; the serving layer ships them to the client
+        for Web Audio playback.  ``realtime=True`` paces dispatch at the
+        block cadence so knob turns land where the listener hears them;
+        ``False`` runs flat-out (tests, faster-than-realtime export).
+        """
+        if self.is_running:
+            print("Warning: stream is already running")
+            return
+        contents = contents or self.last_file_contents
+        if not contents:
+            print("Warning: no file uploaded yet; nothing to stream")
+            return
+        self.last_file_contents = contents
+
+        from aefs_tpu import native
+
+        _, content_string = contents.split(",")
+        audio, fs = decode_wav(native.b64decode(content_string))
+        if audio.ndim > 1:  # same downmix as file mode (process_offline)
+            mono = audio.mean(axis=1, keepdims=True).astype(np.float32)
+        else:
+            mono = audio.reshape(-1, 1).astype(np.float32)
+
+        if fs != self.current_sample_rate:
+            # Sample-rate renegotiation, exactly like the mic path: the
+            # chain and the xrun deadline both depend on the rate.
+            from aefs_tpu.utils.metrics import BlockTimer
+
+            self.current_sample_rate = int(fs)
+            self.metrics = BlockTimer(int(fs), BLOCKSIZE)
+            print(f"Rebuilding effects chain for {fs} Hz...")
+            self.build_chain(self.last_chain_config)
+
+        n = mono.shape[0]
+        pad = (-n) % BLOCKSIZE
+        if pad:
+            mono = np.concatenate([mono, np.zeros((pad, 1), np.float32)])
+        self.playback_queue = queue.Queue()
+        self._file_stream_stop = threading.Event()
+        stop = self._file_stream_stop
+        period = BLOCKSIZE / float(fs)
+
+        def run():
+            import time
+
+            try:
+                next_t = time.monotonic()
+                for seq in range(mono.shape[0] // BLOCKSIZE):
+                    if stop.is_set():
+                        break
+                    blk = mono[seq * BLOCKSIZE:(seq + 1) * BLOCKSIZE]
+                    out = self.process_stream_block(blk)
+                    if seq == mono.shape[0] // BLOCKSIZE - 1 and pad:
+                        out = out[: BLOCKSIZE - pad]  # trim tail padding
+                    self.playback_queue.put((seq, out))
+                    if realtime:
+                        next_t += period
+                        delay = next_t - time.monotonic()
+                        if delay > 0:
+                            time.sleep(delay)
+                        else:  # fell behind (tunnel hiccup): don't burst
+                            next_t = time.monotonic()
+            except Exception as e:  # chain swap races re-raise here only
+                print(f"Error in file stream: {e}")
+            finally:
+                self.playback_queue.put(None)
+                self.is_running = False
+
+        self._file_thread = threading.Thread(target=run, daemon=True)
+        self.is_running = True
+        self._file_thread.start()
+
     def set_devices(self, in_index, out_index):
         """Select the (input, output) device pair for the NEXT stream
         start; a running stream is restarted so the change applies."""
@@ -503,6 +592,11 @@ class AudioEngine:
             self.stream.close()
             self.stream = None
             self.is_running = False
+        if self._file_thread is not None:
+            self._file_stream_stop.set()
+            t, self._file_thread = self._file_thread, None
+            if t is not threading.current_thread():
+                t.join(timeout=30)
         with self._lock:
             self._pending = None
 

@@ -122,6 +122,60 @@ async def data_sender(websocket, data_queues, audio_engine, analyzer=None):
             break
 
 
+async def audio_streamer(websocket, audio_engine):
+    """Pump for the live file stream (reference wishlist todo:4 preferred
+    design): drains the engine's lossless playback queue and ships
+    processed stereo blocks as ``stream_audio`` messages for Web Audio
+    playback, batching whatever accumulated each tick into one message.
+    Ends with ``{"type": "stream_audio_end"}`` when the file runs out (the
+    engine enqueues a ``None`` sentinel) or the stream is stopped."""
+    from aefs_tpu import native
+
+    loop = asyncio.get_running_loop()
+    q = audio_engine.playback_queue
+
+    def drain():
+        try:
+            first = q.get(timeout=0.25)
+        except queue.Empty:
+            return ([], False)
+        if first is None:
+            return ([], True)
+        blocks, done = [first], False
+        while True:
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                done = True
+                break
+            blocks.append(item)
+        return (blocks, done)
+
+    try:
+        while True:
+            blocks, done = await loop.run_in_executor(None, drain)
+            if blocks:
+                chunk = np.concatenate([b for _, b in blocks])
+                head = json.dumps({
+                    "type": "stream_audio",
+                    "seq": int(blocks[0][0]),
+                    "sample_rate": audio_engine.current_sample_rate,
+                })
+                await websocket.send(
+                    head[:-1]
+                    + ',"left":' + native.json_f32_array(chunk[:, 0])
+                    + ',"right":' + native.json_f32_array(chunk[:, min(1, chunk.shape[1] - 1)])
+                    + "}"
+                )
+            if done:
+                await websocket.send(json.dumps({"type": "stream_audio_end"}))
+                return
+    except Exception:
+        pass
+
+
 async def handler(websocket):
     global connected_client
     if connected_client is not None:
@@ -208,6 +262,27 @@ async def handler(websocket):
                             audio_engine.process_wav_file(
                                 audio_engine.last_file_contents, websocket
                             )
+                        )
+                elif command == "stream_file":
+                    # Additive extension (reference wishlist todo:4,
+                    # preferred design): play the uploaded file through
+                    # the LIVE path so param changes apply audibly in
+                    # real time.  Decode + possible chain rebuild happen
+                    # in the executor (XLA compile); once the engine's
+                    # source thread is up, attach the playback pump.
+                    def _start():
+                        audio_engine.start_file_stream(
+                            cmd.get("contents"),
+                            realtime=cmd.get("realtime", True),
+                        )
+                        return audio_engine.is_running
+
+                    started = await asyncio.get_running_loop().run_in_executor(
+                        None, _start
+                    )
+                    if started:
+                        asyncio.create_task(
+                            audio_streamer(websocket, audio_engine)
                         )
                 elif command == "list_devices":
                     # Additive extension (reference wishlist todo:2):

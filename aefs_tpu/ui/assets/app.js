@@ -34,6 +34,8 @@ function connect() {
     const msg = JSON.parse(ev.data);
     if (msg.type === "plot_data") onPlotData(msg);
     else if (msg.type === "file_processed") onFileProcessed(msg);
+    else if (msg.type === "stream_audio") onStreamAudio(msg);
+    else if (msg.type === "stream_audio_end") onStreamAudioEnd();
     else if (msg.type === "stats") onStats(msg);
     else if (msg.type === "session_saved")
       sessionStatus(msg.ok === false ? `save failed: ${msg.error}`
@@ -326,10 +328,41 @@ function loadPreset(name) {
 
 /* ---------------- file mode ---------------- */
 
+/* Live file streaming (stream_file command): the backend plays the
+ * uploaded file through the LIVE path — param changes apply audibly in
+ * real time — and ships processed stereo blocks here for Web Audio
+ * playback. Blocks are scheduled on a running time cursor with a small
+ * lead so network jitter doesn't underrun. */
+let streamCtx = null;      // lazy AudioContext (user-gesture constraint)
+let streamT = 0;           // next-buffer start time in ctx clock
+let streaming = false;
+
+function onStreamAudio(msg) {
+  if (!streaming) return;
+  if (!streamCtx) streamCtx = new (window.AudioContext || window.webkitAudioContext)();
+  const n = msg.left.length;
+  const buf = streamCtx.createBuffer(2, n, msg.sample_rate);
+  buf.getChannelData(0).set(msg.left);
+  buf.getChannelData(1).set(msg.right);
+  const src = streamCtx.createBufferSource();
+  src.buffer = buf;
+  src.connect(streamCtx.destination);
+  const at = Math.max(streamCtx.currentTime + 0.08, streamT);
+  src.start(at);
+  streamT = at + n / msg.sample_rate;
+}
+
+function onStreamAudioEnd() {
+  streaming = false;
+  $("stream-file").classList.remove("hidden");
+  $("stop-file-stream").classList.add("hidden");
+}
+
 function onFileProcessed(msg) {
   $("busy-spinner").classList.add("hidden");
   $("players").classList.remove("hidden");
   $("reprocess-file").classList.remove("hidden");
+  $("stream-file").classList.remove("hidden");
   const dl = $("download-processed");
   dl.classList.remove("hidden");
   dl.href = msg.processed_b64;
@@ -404,6 +437,18 @@ async function init() {
   $("reprocess-file").onclick = () => {
     $("busy-spinner").classList.remove("hidden");
     send({ command: "reprocess_file" });
+  };
+  $("stream-file").onclick = () => {
+    streaming = true;
+    streamT = 0;
+    if (streamCtx) streamCtx.resume();
+    $("stream-file").classList.add("hidden");
+    $("stop-file-stream").classList.remove("hidden");
+    send({ command: "stream_file" });
+  };
+  $("stop-file-stream").onclick = () => {
+    send({ command: "stop" });
+    onStreamAudioEnd();
   };
   $("load-preset").onclick = () => loadPreset($("preset-select").value);
   $("delete-preset").onclick = () => {

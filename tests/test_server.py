@@ -383,6 +383,10 @@ def test_spa_serves_session_and_interaction_surfaces():
     assert "smoothSeries" in plotsjs
     for evt in ("wheel", "mousedown", "mousemove", "dblclick"):
         assert f'"{evt}"' in plotsjs, evt
+    # round-3: live file streaming (wishlist todo:4 preferred design)
+    assert 'id="stream-file"' in html and 'id="stop-file-stream"' in html
+    assert "stream_file" in appjs and "onStreamAudio" in appjs
+    assert "AudioContext" in appjs
 
 
 def test_ws_reprocess_file_uses_current_chain():
