@@ -373,14 +373,18 @@ class AudioEngine:
         Feeds the plot queues exactly like the reference's PlotDataTap
         chain heads/tails (core.py:89-106): input tap sees the fanned
         block, output tap the processed one; both drop on full."""
-        with self._lock:
-            chain, runner = self.chain, self._runner
-            state, targets = self.chain_state, self._targets
         import jax.numpy as jnp
 
         with self.metrics.block():
             x = jnp.asarray(in_block.T)
             with self._dispatch_lock:  # enqueue only — returns immediately
+                # Read the state INSIDE the dispatch lock: two concurrent
+                # callers (e.g. mic callback + file-stream thread) must
+                # never dispatch the same packed groups — the step donates
+                # them, and the second dispatch would read deleted buffers.
+                with self._lock:
+                    chain, runner = self.chain, self._runner
+                    state, targets = self.chain_state, self._targets
                 state, y = runner(state, targets, x)
                 # Publish the post-step state BEFORE releasing the dispatch
                 # lock: the step just donated the previous packed groups, so
@@ -411,18 +415,19 @@ class AudioEngine:
         reference's primed output buffers (engine.py:172-173), which
         likewise ship one block late to decouple capture from playback.
         """
-        with self._lock:
-            chain, runner = self.chain, self._runner
-            state, targets = self.chain_state, self._targets
         import jax.numpy as jnp
 
         with self.metrics.block():
             x = jnp.asarray(in_block.T)
             with self._dispatch_lock:  # enqueue only — returns immediately
+                # Same read-inside-dispatch + publish-before-release
+                # contract as the synchronous path: concurrent callers must
+                # not double-donate, and save_session must never find
+                # chain_state pointing at groups this step just donated.
+                with self._lock:
+                    chain, runner = self.chain, self._runner
+                    state, targets = self.chain_state, self._targets
                 state, y = runner(state, targets, x)
-                # Same publish-before-release contract as the synchronous
-                # path: save_session must never find chain_state pointing at
-                # groups this step just donated.
                 with self._lock:
                     pending, self._pending = self._pending, (chain, y)
                     if self.chain is chain:
@@ -540,9 +545,11 @@ class AudioEngine:
         pad = (-n) % BLOCKSIZE
         if pad:
             mono = np.concatenate([mono, np.zeros((pad, 1), np.float32)])
-        self.playback_queue = queue.Queue()
-        self._file_stream_stop = threading.Event()
-        stop = self._file_stream_stop
+        # The thread writes to ITS OWN queue (captured, not self.*): two
+        # racing starts would otherwise cross-post into whichever queue
+        # the attribute last pointed at.
+        pq = self.playback_queue = queue.Queue()
+        stop = self._file_stream_stop = threading.Event()
         period = BLOCKSIZE / float(fs)
 
         def run():
@@ -557,7 +564,7 @@ class AudioEngine:
                     out = self.process_stream_block(blk)
                     if seq == mono.shape[0] // BLOCKSIZE - 1 and pad:
                         out = out[: BLOCKSIZE - pad]  # trim tail padding
-                    self.playback_queue.put((seq, out))
+                    pq.put((seq, out))
                     if realtime:
                         next_t += period
                         delay = next_t - time.monotonic()
@@ -568,7 +575,7 @@ class AudioEngine:
             except Exception as e:  # chain swap races re-raise here only
                 print(f"Error in file stream: {e}")
             finally:
-                self.playback_queue.put(None)
+                pq.put(None)
                 self.is_running = False
 
         self._file_thread = threading.Thread(target=run, daemon=True)

@@ -176,8 +176,15 @@ def test_randomized_concurrency_hammer():
             r = np.random.default_rng(seed)
             try:
                 for _ in range(40):
-                    op = r.integers(0, 10)
-                    if op <= 4:
+                    op = r.integers(0, 12)
+                    if op == 10:
+                        # live file stream: a SECOND concurrent caller of
+                        # process_stream_block (the read-inside-dispatch
+                        # contract keeps double-donation impossible)
+                        eng.start_file_stream(url, realtime=False)
+                    elif op == 11:
+                        eng.stop_stream()
+                    elif op <= 4:
                         eng.update_param(
                             str(r.choice(["d1", "g1", "zz"])),
                             str(r.choice(["feedback", "delay_ms",

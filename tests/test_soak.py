@@ -39,6 +39,7 @@ JUNK = [
     '{"command": "update_param"}',
     '{"command": "set_ir", "effect_id": null, "contents": "xyz"}',
     '{"command": "stream_block", "audio": "nope"}',
+    '{"command": "stream_file", "contents": "data:audio/wav;base64,%%%"}',
 ]
 
 
@@ -67,8 +68,14 @@ def test_backend_protocol_soak(tmp_path):
         try:
             async with ws.connect(f"ws://127.0.0.1:{port}", max_size=2**26) as c:
                 for i in range(100):
-                    op = rng.integers(0, 10)
-                    if op <= 2:  # param storm (valid + invalid mixed)
+                    op = rng.integers(0, 12)
+                    if op == 10:  # live file stream (flat-out) ...
+                        await c.send(json.dumps({
+                            "command": "stream_file", "contents": url,
+                            "realtime": False}))
+                    elif op == 11:  # ... raced against stop
+                        await c.send(json.dumps({"command": "stop"}))
+                    elif op <= 2:  # param storm (valid + invalid mixed)
                         await c.send(json.dumps({
                             "command": "update_param",
                             "effect_id": rng.choice(["f", "d", "w", "g", "zz"]),
