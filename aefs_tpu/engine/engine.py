@@ -512,14 +512,17 @@ class AudioEngine:
         for Web Audio playback.  ``realtime=True`` paces dispatch at the
         block cadence so knob turns land where the listener hears them;
         ``False`` runs flat-out (tests, faster-than-realtime export).
+        Returns True iff a stream actually started (False: already
+        running / no upload) — the serving layer must not attach a
+        playback pump otherwise.
         """
         if self.is_running:
             print("Warning: stream is already running")
-            return
+            return False
         contents = contents or self.last_file_contents
         if not contents:
             print("Warning: no file uploaded yet; nothing to stream")
-            return
+            return False
         self.last_file_contents = contents
 
         from aefs_tpu import native
@@ -581,6 +584,7 @@ class AudioEngine:
         self._file_thread = threading.Thread(target=run, daemon=True)
         self.is_running = True
         self._file_thread.start()
+        return True
 
     def set_devices(self, in_index, out_index):
         """Select the (input, output) device pair for the NEXT stream

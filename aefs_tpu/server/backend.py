@@ -270,15 +270,12 @@ async def handler(websocket):
                     # real time.  Decode + possible chain rebuild happen
                     # in the executor (XLA compile); once the engine's
                     # source thread is up, attach the playback pump.
-                    def _start():
-                        audio_engine.start_file_stream(
+                    started = await asyncio.get_running_loop().run_in_executor(
+                        None,
+                        lambda: audio_engine.start_file_stream(
                             cmd.get("contents"),
                             realtime=cmd.get("realtime", True),
-                        )
-                        return audio_engine.is_running
-
-                    started = await asyncio.get_running_loop().run_in_executor(
-                        None, _start
+                        ),
                     )
                     if started:
                         asyncio.create_task(

@@ -109,9 +109,12 @@ def test_file_stream_stop_midway_and_renegotiation():
     eng.build_chain([{"effect_id": "g", "type": "gate",
                       "params": {"threshold_db": -60,
                                  "attack_ms": 5, "release_ms": 50}}])
-    eng.start_file_stream(_data_url(x, fs), realtime=True)
+    assert eng.start_file_stream(_data_url(x, fs), realtime=True) is True
     assert eng.is_running
     assert eng.current_sample_rate == fs
+    # a second start while running is refused (and must NOT be given a
+    # playback pump by the serving layer — the False return is the gate)
+    assert eng.start_file_stream(_data_url(x, fs)) is False
     # a couple of real-time paced blocks, then stop
     got = [eng.playback_queue.get(timeout=60)]
     eng.stop_stream()
