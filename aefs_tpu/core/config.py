@@ -54,6 +54,14 @@ EFFECT_DEFAULTS = {
         "q": 0.707,
     },
     # New in this build:
+    "compressor": {
+        "threshold_db": -24.0,
+        "ratio": 4.0,
+        "attack_ms": 10.0,
+        "release_ms": 100.0,
+        "knee_db": 6.0,
+        "makeup_db": 0.0,
+    },
     "waveshaper": {
         "drive": 4.0,
         "shape": 1,  # 0=hard clip, 1=tanh, 2=cubic soft
@@ -118,6 +126,11 @@ DEFAULT_PRESETS = {
         {"effect_id": "cv1", "type": "convreverb",
          "params": {"ir_seconds": 2.5, "mix_dry": 0.7, "mix_wet": 0.5}},
     ],
+    "Glue Bus": [
+        {"effect_id": "cp1", "type": "compressor",
+         "params": {"threshold_db": -18.0, "ratio": 3.0, "attack_ms": 30.0,
+                    "release_ms": 200.0, "knee_db": 6.0, "makeup_db": 3.0}},
+    ],
 }
 
 # Params that are static topology (rebuild the chain on change) rather
@@ -159,6 +172,14 @@ UI_CONTROLS = {
         ("filter_type", "Type (0=Low, 1=High, 2=Band)", 0, 2, 1),
         ("cutoff_hz", "Frequency (Hz)", 20, 10000, 10),
         ("q", "Resonance (Q)", 0.1, 5.0, 0.1),
+    ],
+    "compressor": [
+        ("threshold_db", "Threshold (dB)", -60, 0, 1),
+        ("ratio", "Ratio", 1, 20, 0.5),
+        ("attack_ms", "Attack (ms)", 0.1, 500, 0.1),
+        ("release_ms", "Release (ms)", 10, 1000, 10),
+        ("knee_db", "Knee width (dB)", 0, 24, 1),
+        ("makeup_db", "Makeup gain (dB)", -12, 24, 0.5),
     ],
     "waveshaper": [
         ("drive", "Drive", 1.0, 50.0, 0.5),

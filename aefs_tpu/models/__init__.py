@@ -7,6 +7,7 @@ configs 3-4).
 
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.models.biquad import BiquadFilter
+from aefs_tpu.models.compressor import Compressor
 from aefs_tpu.models.delay import StereoDelay
 from aefs_tpu.models.gate import NoiseGate
 from aefs_tpu.models.octaver import Octaver
@@ -20,6 +21,7 @@ EFFECT_REGISTRY = {
     "delay": StereoDelay,
     "reverb": Reverb,
     "gate": NoiseGate,
+    "compressor": Compressor,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -31,6 +33,7 @@ EFFECT_REGISTRY = {
 __all__ = [
     "EffectModel",
     "BiquadFilter",
+    "Compressor",
     "StereoDelay",
     "NoiseGate",
     "Octaver",

@@ -118,6 +118,73 @@ def affine_hillis(mult, add, init):
     return a * jnp.asarray(init, add.dtype) + b
 
 
+def maxtimes_hillis(mult, add, init):
+    """Solve y[n] = max(add[n], mult[n] * y[n-1]) over the LAST axis,
+    y[-1] = init — the (max, x) semiring analogue of ``affine_hillis``.
+
+    The map y -> max(b, a*y) with a >= 0 composes associatively:
+    (a2, b2) o (a1, b1) = (a1*a2, max(b2, a2*b1)) — multiplication by a
+    nonnegative constant distributes over max.  This is the decay stage
+    of a peak detector (compressor/limiter envelope): a = per-sample
+    release multiplier in (0, 1), b = |x| >= 0, entirely in the LINEAR
+    domain (no per-sample log/exp).  Identity element (1, 0) — valid
+    because every operand is nonnegative.
+
+    mult, add: (..., N) nonnegative (broadcast ``mult`` first);
+    init: nonnegative, broadcastable to one last-axis slice.
+    """
+    add = jnp.asarray(add)
+    n = add.shape[-1]
+    a = jnp.broadcast_to(jnp.asarray(mult, add.dtype), add.shape)
+    b = add
+    pad = [(0, 0)] * (add.ndim - 1)
+    s = 1
+    while s < n:
+        a_sh = jnp.pad(a, pad + [(s, 0)], constant_values=1.0)[..., :n]
+        b_sh = jnp.pad(b, pad + [(s, 0)])[..., :n]  # pad 0 = max identity
+        b = jnp.maximum(a * b_sh, b)
+        a = a * a_sh
+        s *= 2
+    return jnp.maximum(a * jnp.asarray(init, add.dtype), b)
+
+
+def maxtimes_scan_long(mult, add, init, chunk: int = 512):
+    """1-D ``maxtimes_hillis`` for long signals, two-level blocked exactly
+    like ``affine_scan_long``: in-chunk Hillis over (N/chunk, chunk) rows,
+    then a tiny cross-row (max, x) scan over the row summaries.
+
+    mult, add: (N,) nonnegative; init: nonnegative scalar.  Returns (N,).
+    """
+    n = add.shape[0]
+    c = int(chunk)
+    if n <= c:
+        return maxtimes_hillis(mult, add, init)
+    m = -(-n // c)
+    dt = add.dtype
+    a_c = jnp.pad(jnp.broadcast_to(mult, (n,)), (0, m * c - n),
+                  constant_values=1.0).reshape(m, c)
+    b_c = jnp.pad(add, (0, m * c - n)).reshape(m, c)
+
+    s = 1
+    while s < c:
+        a_sh = jnp.pad(a_c, ((0, 0), (s, 0)), constant_values=1.0)[:, :c]
+        b_sh = jnp.pad(b_c, ((0, 0), (s, 0)))[:, :c]
+        b_c = jnp.maximum(a_c * b_sh, b_c)
+        a_c = a_c * a_sh
+        s *= 2
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a2 * a1, jnp.maximum(a2 * b1, b2)
+
+    sa, sb = lax.associative_scan(combine, (a_c[:, -1], b_c[:, -1]))
+    s_out = jnp.maximum(sa * init, sb)  # value leaving each row
+    s_in = jnp.concatenate([jnp.asarray(init, dt)[None], s_out[:-1]])
+    y = jnp.maximum(a_c * s_in[:, None], b_c)
+    return y.reshape(m * c)[:n]
+
+
 def const_affine_hillis(h, add, init):
     """Solve y[n] = h * y[n-1] + add[n] over the LAST axis for a
     constant (traced, broadcastable) coefficient ``h``, y[-1] = init.
@@ -246,29 +313,67 @@ def toeplitz_lower(h, c: int):
     return b[:, 1 : c + 1][:, ::-1]
 
 
+def _signed_pow(p, k):
+    """p**k for real (possibly negative or zero) p and integer k >= 0,
+    elementwise and branch-free: sign(p)**k * exp(k * log|p|)."""
+    mag = jnp.exp(k * jnp.log(jnp.maximum(jnp.abs(p), 1e-30)))
+    mag = jnp.where(k == 0, 1.0, mag)  # p**0 = 1 even at p = 0
+    odd = (k.astype(jnp.int32) % 2).astype(mag.dtype)
+    return mag * jnp.where(p < 0, 1.0 - 2.0 * odd, 1.0)
+
+
 def ar2_impulse(a1, a2, length: int):
     """h[0..length-1] of the AR(2) recurrence h[n] = -a1 h[n-1] - a2 h[n-2]
-    (h[0] = 1) via log-doubling — no sequential scan (small associative
-    scans lower to sequential loops on the TPU backend): given h[0..K-1]
-    and the companion power A^K = [[p, q], [r, s]],
-    h[K + j] = p*h[j] + q*h[j-1]."""
+    (h[0] = 1), in CLOSED FORM over the pole structure — fully parallel
+    (no sequential scan) and, unlike the log-doubling formulation this
+    replaces, numerically stable at near-unit pole radius.  The doubling
+    h[K+j] = p*h[j] + q*h[j-1] squares the companion-power entries
+    (p, q ~ +-40 at q_filter ~ 6 with near-cancelling contributions), so
+    float32 rounding compounded multiplicatively: measured |error| ~ 20
+    on |h| <= 50 at pole radius 0.9985 (a legal RBJ biquad, fc=136 Hz,
+    Q=6.1), which then fed an explosively wrong chunk-boundary transition
+    in ``linrec2_file`` (~1e27 output).  Closed form vs the float64
+    recurrence: |error| <= ~0.05 worst-case over the legal RBJ range —
+    the remaining gap is the problem's own float32 conditioning.
+
+    Poles p = -a1/2 +- sqrt(a1^2/4 - a2):
+      complex (disc < 0):  h[n] = r^n sin((n+1)t)/sin t,  r e^{+-it} poles
+      real    (disc > 0):  h[n] = (p1^{n+1} - p2^{n+1}) / (p1 - p2)
+      critical (disc ~ 0): h[n] = (n+1) p^n
+    selected branch-free with jnp.where (coefficients are traced).
+    """
     dt = jnp.result_type(a1, jnp.float32)
     a1 = jnp.asarray(a1, dt)
     a2 = jnp.asarray(a2, dt)
     if length == 1:
         return jnp.ones((1,), dt)
-    h = jnp.stack([jnp.ones((), dt), -a1])
-    # A^2 for A = [[-a1, -a2], [1, 0]]
-    p, q, r, s = a1 * a1 - a2, a1 * a2, -a1, -a2
-    k = 2
-    while k < length:
-        hm1 = jnp.concatenate([jnp.zeros((1,), dt), h[:-1]])
-        h = jnp.concatenate([h, p * h + q * hm1])
-        p, q, r, s = (
-            p * p + q * r, p * q + q * s, r * p + s * r, r * q + s * s,
-        )
-        k *= 2
-    return h[:length]
+    n = jnp.arange(length, dtype=dt)
+    m = -0.5 * a1  # mean pole
+    disc = m * m - a2
+    scale = m * m + jnp.abs(a2) + 1e-30
+    is_crit = jnp.abs(disc) <= 1e-6 * scale
+    is_cplx = disc < 0
+
+    # Complex pair r e^{+-it}: atan2 is well-conditioned at small angles.
+    q_ = jnp.sqrt(jnp.maximum(-disc, 1e-30))
+    r = jnp.sqrt(jnp.maximum(a2, 1e-30))
+    t = jnp.arctan2(q_, m)
+    r_n = jnp.exp(n * jnp.log(jnp.maximum(r, 1e-30)))
+    h_cplx = r_n * jnp.sin((n + 1.0) * t) / jnp.maximum(
+        jnp.sin(t), 1e-30
+    )
+
+    # Distinct real poles.
+    s = jnp.sqrt(jnp.maximum(disc, 1e-30))
+    h_real = (_signed_pow(m + s, n + 1.0) - _signed_pow(m - s, n + 1.0)) / (
+        2.0 * s
+    )
+
+    # Repeated pole.
+    h_crit = (n + 1.0) * _signed_pow(m, n)
+
+    h = jnp.where(is_crit, h_crit, jnp.where(is_cplx, h_cplx, h_real))
+    return h.at[0].set(1.0)
 
 
 def linrec2_file(v, a1, a2, y1, y2, chunk: int = 256):

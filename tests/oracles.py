@@ -255,6 +255,43 @@ class OracleGate:
         return y
 
 
+class OracleCompressor:
+    """Soft-knee feed-forward compressor, float64 per-sample (decoupled
+    peak detector + one-pole smoother + Giannoulis eq. 4 gain computer —
+    the definition models/compressor.py decomposes into block scans)."""
+
+    def __init__(self, fs, threshold_db=-24.0, ratio=4.0, attack_ms=10.0,
+                 release_ms=100.0, knee_db=6.0, makeup_db=0.0):
+        self.fs = fs
+        self.p = dict(threshold_db=threshold_db, ratio=ratio,
+                      attack_ms=attack_ms, release_ms=release_ms,
+                      knee_db=knee_db, makeup_db=makeup_db)
+        self.peak = 0.0
+        self.env = 0.0
+
+    def _coeff(self, ms):
+        t = max(1e-3, ms * 1e-3)
+        return 1.0 - np.exp(-2.2 / (t * self.fs))
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        att = self._coeff(p["attack_ms"])
+        rho = 1.0 - self._coeff(p["release_ms"])
+        w = max(p["knee_db"], 1e-6)
+        slope = 1.0 / max(p["ratio"], 1.0) - 1.0
+        y = np.zeros_like(x)
+        peak, env = self.peak, self.env
+        for i in range(x.shape[0]):
+            peak = max(np.max(np.abs(x[i])), rho * peak)
+            env = (1.0 - att) * env + att * peak
+            o = 20.0 * np.log10(max(env, 1e-10)) - p["threshold_db"]
+            t = min(max(o + 0.5 * w, 0.0), w)
+            g_db = slope * (t * t / (2.0 * w) + max(o - 0.5 * w, 0.0))
+            y[i] = x[i] * 10.0 ** ((g_db + p["makeup_db"]) / 20.0)
+        self.peak, self.env = peak, env
+        return y
+
+
 def _cubic(frac, y0, y1, y2, y3):
     c0 = y1
     c1 = 0.5 * (y2 - y0)

@@ -18,6 +18,7 @@ from oracles import (
     OracleStereoDelay,
     OracleReverb,
     OracleBiquad,
+    OracleCompressor,
     OracleGate,
     OracleOctaver,
     OracleSpectral,
@@ -108,6 +109,27 @@ def test_gate_parity(params):
     x = bursts(FRAMES, fs=FS)
     got = run_chain({"effect_id": "g", "type": "gate", "params": params}, x)
     oracle = OracleGate(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"threshold_db": -24, "ratio": 4, "attack_ms": 10,
+         "release_ms": 100, "knee_db": 6, "makeup_db": 0},
+        {"threshold_db": -40, "ratio": 20, "attack_ms": 0.1,
+         "release_ms": 10, "knee_db": 0, "makeup_db": 6},  # hard-knee limiter
+        {"threshold_db": -12, "ratio": 1.5, "attack_ms": 200,
+         "release_ms": 800, "knee_db": 24, "makeup_db": -6},  # glue
+    ],
+)
+def test_compressor_parity(params):
+    """New-in-this-build dynamics effect: (max, x)-semiring decay scan +
+    affine smoother vs the float64 per-sample decoupled detector."""
+    x = bursts(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "c", "type": "compressor", "params": params}, x)
+    oracle = OracleCompressor(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 

@@ -12,18 +12,22 @@ internal-consistency contracts on each:
   invariance: per-sample semantics never depend on the dispatch size).
 
 No oracle is needed: both sides consume identical configs, so ANY
-divergence is a real defect.  Tolerances: -80 dBFS for octaver-free
-chains (every other effect's solvers are exact to float32 rounding).
-Chains holding an octaver carry its generic float32 phase floor
-(~-70 dBFS between block decompositions — see
-test_effects_parity.test_octaver_generic_blocksize_invariance for the
-pinned single-effect bound), which downstream effects can legitimately
-amplify (a driven waveshaper is a ×drive Lipschitz map; a gate's
-binary threshold select can flip on eps-level diffs), so those chains
-assert a -40 dBFS sanity bound plus finiteness.  This fuzzer caught a
-real defect on its first run: a scrambled TwoSum in the octaver's
+divergence is a real defect.  Tolerances come from ``chain_tolerance``:
+-80 dBFS baseline, relaxed only for the two documented float32 floors —
+the octaver's generic phase path (-40; see test_effects_parity.
+test_octaver_generic_blocksize_invariance) and the biquad's recurrence
+conditioning ~eps/(1-pole_radius)^2 at high-Q draws — plus coherent
+parallel-branch gain amplification; chains whose combined allowance
+passes -25 dBFS assert finiteness only.  Downstream effects can
+legitimately amplify a floor (a driven waveshaper is a ×drive Lipschitz
+map; a gate's binary threshold select can flip on eps-level diffs).
+
+Defects this fuzzer has caught: (1) a scrambled TwoSum in the octaver's
 phasor carry (models/octaver.py:_two_sum) drifting eps/2 per block —
--37 dBFS blocking invariance at some semitones.
+-37 dBFS blocking invariance at some semitones; (2) catastrophic
+float32 instability in the log-doubling AR(2) impulse used by the
+biquad's file solve — NaN output at legal high-Q draws (now closed-form,
+ops/scan.py:ar2_impulse).
 """
 
 import numpy as np
@@ -44,6 +48,7 @@ FUZZ_TYPES = [
     ("delay", {}),
     ("reverb", {}),
     ("gate", {}),
+    ("compressor", {}),
     ("spectral", {}),
     ("octaver", {}),
     ("filter", {}),
@@ -91,8 +96,47 @@ def random_chain(rng, allow_parallel=False):
         flat.append(c)
         for b in c.get("branches", []):
             flat.extend(b)
-    has_octaver = any(c["type"] == "octaver" for c in flat)
-    return cfgs, has_octaver
+    return cfgs, chain_tolerance(flat)
+
+
+def chain_tolerance(flat):
+    """Consistency tolerance (dBFS) for a fuzzed chain, from the drawn
+    params — or None for finiteness-only.
+
+    Two effects have documented float32 floors that block decompositions
+    legitimately amplify:
+    - octaver: generic phase path floor, -40 (module docstring);
+    - biquad at near-unit pole radius: the recurrence's own conditioning
+      is ~eps/(1-r)^2 — at r = 0.9935 (fc 847 Hz, Q 8.4, a LEGAL RBJ
+      param draw) the streaming companion scan and the file Toeplitz
+      solve are each ~1e-4-relative vs float64, so their mutual gap can
+      never meet -80.  The bound below is the conditioning estimate
+      plus 26 dB of slack, validated against measured gaps (ops/scan.py
+      ar2_impulse docstring records the measurements).
+    Parallel containers can coherently amplify a branch floor by the sum
+    of their gains.  Chains whose combined allowance passes -25 dBFS
+    carry no usable signal-level contract — assert finiteness only.
+    """
+    tol = -80.0
+    amp_db = 0.0
+    for c in flat:
+        if c["type"] == "octaver":
+            tol = max(tol, -40.0)
+        elif c["type"] == "filter":
+            fc = c["params"]["cutoff_hz"]
+            q = max(c["params"]["q"], 1e-3)
+            w0 = 2.0 * np.pi * fc / FS
+            al = np.sin(w0) / (2.0 * q)
+            a1 = (-2.0 * np.cos(w0)) / (1.0 + al)
+            a2 = (1.0 - al) / (1.0 + al)
+            r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
+            est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
+            tol = max(tol, min(est, 0.0))
+        elif c["type"] == "parallel":
+            g = sum(v for k, v in c["params"].items() if k.startswith("gain"))
+            amp_db += 20.0 * np.log10(max(1.0, g))
+    tol += amp_db
+    return None if tol > -25.0 else tol
 
 
 def run(cfgs, x, fast, blocksize):
@@ -109,24 +153,26 @@ def test_random_topology_consistency(seed):
     # The last two seeds may wrap sub-effects in parallel containers
     # (branch params lifted as b<i>_<j>_<name> — models/parallel_chain.py).
     rng = np.random.default_rng(1000 + seed)
-    cfgs, has_octaver = random_chain(rng, allow_parallel=seed >= 6)
+    cfgs, tol = random_chain(rng, allow_parallel=seed >= 6)
     label = " -> ".join(
         f"{c['type']}({', '.join(f'{k}={v:.3g}' for k, v in c['params'].items())})"
         for c in cfgs
     )
     x = bursts(N, amp=0.3, seed=seed)
-    tol = -40 if has_octaver else -80  # see module docstring
 
     blockwise = run(cfgs, x, fast=False, blocksize=4096)
     assert np.all(np.isfinite(blockwise)), label
 
     fast = run(cfgs, x, fast=True, blocksize=4096)
     assert np.all(np.isfinite(fast)), label
-    gap = err_dbfs(blockwise, fast)
-    assert gap <= tol, f"fast-vs-blockwise {gap:.1f} dBFS: {label}"
 
     # Blocking invariance: the streaming blocksize must be semantically
     # invisible.
     streaming = run(cfgs, x, fast=False, blocksize=256)
-    gap = err_dbfs(blockwise, streaming)
-    assert gap <= tol, f"blocking invariance {gap:.1f} dBFS: {label}"
+    assert np.all(np.isfinite(streaming)), label
+
+    if tol is not None:  # see chain_tolerance
+        gap = err_dbfs(blockwise, fast)
+        assert gap <= tol, f"fast-vs-blockwise {gap:.1f} dBFS > {tol:.1f}: {label}"
+        gap = err_dbfs(blockwise, streaming)
+        assert gap <= tol, f"blocking invariance {gap:.1f} dBFS > {tol:.1f}: {label}"

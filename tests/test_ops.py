@@ -313,6 +313,47 @@ def test_affine_scan_long_matches_affine_scan():
     assert np.max(np.abs(a - b)) < 1e-5
 
 
+def test_maxtimes_hillis_matches_loop():
+    """(max, x)-semiring scan (compressor peak-detector decay stage):
+    y[n] = max(add[n], mult[n] * y[n-1]) vs a float64 loop."""
+    from aefs_tpu.ops.scan import maxtimes_hillis
+
+    n = 300
+    m = RNG.uniform(0.9, 0.9999, n).astype(np.float32)
+    b = np.abs(RNG.standard_normal(n)).astype(np.float32)
+    b[n // 3: 2 * n // 3] = 0.0  # long decay run exercises the products
+    init = np.float32(0.7)
+    y = np.asarray(maxtimes_hillis(jnp.asarray(m), jnp.asarray(b), init))
+    ref = np.zeros(n)
+    prev = float(init)
+    for i in range(n):
+        prev = max(float(b[i]), float(m[i]) * prev)
+        ref[i] = prev
+    assert np.max(np.abs(y - ref)) < 1e-5
+    # batched last-axis form
+    mb = RNG.uniform(0.5, 1.0, (4, 64)).astype(np.float32)
+    bb = np.abs(RNG.standard_normal((4, 64))).astype(np.float32)
+    yb = np.asarray(maxtimes_hillis(jnp.asarray(mb), jnp.asarray(bb),
+                                    jnp.zeros((4, 1), jnp.float32)))
+    for r in range(4):
+        prev = 0.0
+        for i in range(64):
+            prev = max(float(bb[r, i]), float(mb[r, i]) * prev)
+            assert abs(yb[r, i] - prev) < 1e-5
+
+
+def test_maxtimes_scan_long_matches_hillis():
+    from aefs_tpu.ops.scan import maxtimes_hillis, maxtimes_scan_long
+
+    n = 3 * 512 + 123
+    mult = RNG.uniform(0.99, 0.99999, n).astype(np.float32)
+    add = np.abs(RNG.standard_normal(n)).astype(np.float32)
+    add[512:2048] = 0.0  # decay spans several chunks -> cross-row carry
+    a = np.asarray(maxtimes_hillis(jnp.asarray(mult), jnp.asarray(add), 0.4))
+    b = np.asarray(maxtimes_scan_long(jnp.asarray(mult), jnp.asarray(add), 0.4))
+    assert np.max(np.abs(a - b)) < 1e-5
+
+
 def test_feedback_delay_rowring_matches_chronological():
     """Block-row-ring feedback delay == chronological-buffer version over a
     multi-block stream (including a wrap of the row ring)."""
@@ -356,17 +397,74 @@ def test_lane_dynamic_slice_and_chrono_window():
         assert np.array_equal(got, e[start : start + 256]), start
 
 
+def _h_ref(a1, a2, n):
+    ref = np.zeros(n)
+    ref[0] = 1.0
+    if n > 1:
+        ref[1] = -a1
+    for i in range(2, n):
+        ref[i] = -a1 * ref[i - 1] - a2 * ref[i - 2]
+    return ref
+
+
 def test_ar2_impulse_matches_recurrence():
     from aefs_tpu.ops.scan import ar2_impulse
 
     a1, a2 = -1.2, 0.8
     h = np.asarray(ar2_impulse(a1, a2, 300))
-    ref = np.zeros(300)
-    ref[0] = 1.0
-    ref[1] = -a1
-    for i in range(2, 300):
-        ref[i] = -a1 * ref[i - 1] - a2 * ref[i - 2]
-    assert np.max(np.abs(h - ref)) < 2e-4
+    assert np.max(np.abs(h - _h_ref(a1, a2, 300))) < 2e-4
+
+
+def test_ar2_impulse_all_pole_branches_stable():
+    """Closed-form AR(2) impulse across complex / real / near-critical
+    pole structures over the LEGAL RBJ biquad range, including the
+    near-unit-radius draws where the old log-doubling was catastrophically
+    unstable (|err| ~ 20 at fc=136 Hz, Q=6.1 — fuzz seed 25)."""
+    from aefs_tpu.ops.scan import ar2_impulse
+
+    fs = 48000
+    for fc in (20.0, 136.094, 847.07, 4567.15, 12000.0, 19000.0):
+        for q in (0.1, 0.3, 0.51, 0.707, 6.091, 10.0):
+            w0 = 2 * np.pi * fc / fs
+            al = np.sin(w0) / (2 * q)
+            a1 = (-2 * np.cos(w0)) / (1 + al)
+            a2 = (1 - al) / (1 + al)
+            h = np.asarray(ar2_impulse(np.float32(a1), np.float32(a2), 257))
+            ref = _h_ref(a1, a2, 257)
+            assert np.all(np.isfinite(h)), (fc, q)
+            rel = np.max(np.abs(h - ref)) / max(np.max(np.abs(ref)), 1e-9)
+            assert rel < 0.02, (fc, q, rel)
+
+
+def test_linrec2_file_stable_at_near_unit_poles():
+    """Fuzz seed 25 regression: the chunked Toeplitz file solve at pole
+    radius 0.9985 (HP fc=136 Hz, Q=6.09) used to return ~1e27; it must
+    stay within float32 conditioning of the float64 recurrence and of
+    the streaming companion scan."""
+    from aefs_tpu.ops.scan import linrec2, linrec2_file
+
+    fs, fc, q = 48000, 136.094, 6.091
+    w0 = 2 * np.pi * fc / fs
+    al = np.sin(w0) / (2 * q)
+    a1 = (-2 * np.cos(w0)) / (1 + al)
+    a2 = (1 - al) / (1 + al)
+    rng = np.random.default_rng(0)
+    n = 4096
+    v = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    ref = np.zeros(n)
+    y1 = y2 = 0.0
+    for i in range(n):
+        y = float(v[i]) - a1 * y1 - a2 * y2
+        ref[i] = y
+        y2, y1 = y1, y
+    args = (jnp.asarray(v), jnp.float32(a1), jnp.float32(a2),
+            jnp.float32(0), jnp.float32(0))
+    yf = np.asarray(linrec2_file(*args))
+    ys = np.asarray(linrec2(*args))
+    rm = np.max(np.abs(ref))
+    assert np.all(np.isfinite(yf))
+    assert np.max(np.abs(yf - ref)) / rm < 0.02
+    assert np.max(np.abs(yf - ys)) / rm < 0.03
 
 
 def test_comb_bank_block_static_matches_dynamic():
