@@ -49,9 +49,10 @@ EFFECT_DEFAULTS = {
         "mix": 0.5,
     },
     "filter": {
-        "filter_type": 0,  # 0=LP, 1=HP, 2=BP
+        "filter_type": 0,  # 0=LP, 1=HP, 2=BP, 3=Peak, 4=LowShelf, 5=HighShelf
         "cutoff_hz": 1000,
         "q": 0.707,
+        "gain_db": 0.0,  # types 3-5 only; 0 dB = exact unity
     },
     # New in this build:
     "compressor": {
@@ -169,9 +170,12 @@ UI_CONTROLS = {
         ("mix", "Mix (0=Dry, 1=Wet)", 0.0, 1.0, 0.05),
     ],
     "filter": [
-        ("filter_type", "Type (0=Low, 1=High, 2=Band)", 0, 2, 1),
+        ("filter_type",
+         "Type (0=Low, 1=High, 2=Band, 3=Peak, 4=LoShelf, 5=HiShelf)",
+         0, 5, 1),
         ("cutoff_hz", "Frequency (Hz)", 20, 10000, 10),
         ("q", "Resonance (Q)", 0.1, 5.0, 0.1),
+        ("gain_db", "Gain (dB, types 3-5)", -24, 24, 0.5),
     ],
     "compressor": [
         ("threshold_db", "Threshold (dB)", -60, 0, 1),

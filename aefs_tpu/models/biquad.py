@@ -20,18 +20,25 @@ from aefs_tpu.ops.scan import biquad_block
 class BiquadFilter(EffectModel):
     kind = "filter"
 
-    # Bounds/steps from FilterEffect (filter.py:45-47, :102-104).
+    # Bounds/steps from FilterEffect (filter.py:45-47, :102-104); types
+    # 3-5 (peaking EQ, low/high shelf) and gain_db extend the reference's
+    # LP/HP/BP to the full RBJ-cookbook family.  gain_db only shapes
+    # types 3-5; at 0 dB those reduce to exact unity, so old configs are
+    # untouched.
     PARAMS = {
-        "filter_type": ParamSpec(0.0, 0.0, 2.0, smooth="step", step=1.0),
+        "filter_type": ParamSpec(0.0, 0.0, 5.0, smooth="step", step=1.0),
         "cutoff_hz": ParamSpec(1000.0, 20.0, 20000.0, smooth="mult", step=0.1),
         "q": ParamSpec(0.707, 0.1, 10.0, smooth="step", step=0.1),
+        "gain_db": ParamSpec(0.0, -24.0, 24.0, smooth="step", step=0.5),
     }
 
     def init_state(self):
         return {"df1": jnp.zeros((self.channels, 4), jnp.float32)}
 
     def coefficients(self, p):
-        """RBJ formulas (filter.py:62-98), branchless over the type."""
+        """RBJ formulas (filter.py:62-98 for LP/HP/BP; the cookbook's
+        peaking/shelf rows for types 3-5), branchless over the type —
+        one-hot masks keep a single compiled program for all six."""
         fs = jnp.float32(self.fs)
         fc = p["cutoff_hz"]
         q = p["q"]
@@ -41,16 +48,35 @@ class BiquadFilter(EffectModel):
         alpha = sw / (2.0 * q)
 
         t = jnp.round(p["filter_type"]).astype(jnp.int32)
-        is_lp = (t == 0).astype(jnp.float32)
-        is_hp = (t == 1).astype(jnp.float32)
-        is_bp = 1.0 - is_lp - is_hp
+        one = [(t == k).astype(jnp.float32) for k in range(6)]
 
-        b0 = is_lp * (1 - cw) / 2 + is_hp * (1 + cw) / 2 + is_bp * alpha
-        b1 = is_lp * (1 - cw) + is_hp * (-(1 + cw))
-        b2 = is_lp * (1 - cw) / 2 + is_hp * (1 + cw) / 2 + is_bp * (-alpha)
-        a0 = 1 + alpha
-        a1 = -2 * cw
-        a2 = 1 - alpha
+        big_a = jnp.power(10.0, p.get("gain_db", jnp.float32(0.0)) / 40.0)
+        sq = jnp.sqrt(big_a)
+        tsa = 2.0 * sq * alpha
+        ap1, am1 = big_a + 1.0, big_a - 1.0
+
+        rows = (
+            # (b0, b1, b2, a0, a1, a2) per type
+            ((1 - cw) / 2, 1 - cw, (1 - cw) / 2,
+             1 + alpha, -2 * cw, 1 - alpha),                     # 0 LP
+            ((1 + cw) / 2, -(1 + cw), (1 + cw) / 2,
+             1 + alpha, -2 * cw, 1 - alpha),                     # 1 HP
+            (alpha, jnp.float32(0.0), -alpha,
+             1 + alpha, -2 * cw, 1 - alpha),                     # 2 BP
+            (1 + alpha * big_a, -2 * cw, 1 - alpha * big_a,
+             1 + alpha / big_a, -2 * cw, 1 - alpha / big_a),     # 3 peak
+            (big_a * (ap1 - am1 * cw + tsa), 2 * big_a * (am1 - ap1 * cw),
+             big_a * (ap1 - am1 * cw - tsa),
+             ap1 + am1 * cw + tsa, -2 * (am1 + ap1 * cw),
+             ap1 + am1 * cw - tsa),                              # 4 low shelf
+            (big_a * (ap1 + am1 * cw + tsa), -2 * big_a * (am1 + ap1 * cw),
+             big_a * (ap1 + am1 * cw - tsa),
+             ap1 - am1 * cw + tsa, 2 * (am1 - ap1 * cw),
+             ap1 - am1 * cw - tsa),                              # 5 high shelf
+        )
+        b0, b1, b2, a0, a1, a2 = (
+            sum(one[k] * rows[k][j] for k in range(6)) for j in range(6)
+        )
         return b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
 
     def process(self, state, p, x):

@@ -190,9 +190,11 @@ class OracleReverb:
 class OracleBiquad:
     """FilterEffect (filter.py:42-113), constant params."""
 
-    def __init__(self, fs, filter_type=0.0, cutoff_hz=1000.0, q=0.707, channels=2):
+    def __init__(self, fs, filter_type=0.0, cutoff_hz=1000.0, q=0.707,
+                 gain_db=0.0, channels=2):
         self.fs = fs
-        self.p = dict(filter_type=filter_type, cutoff_hz=cutoff_hz, q=q)
+        self.p = dict(filter_type=filter_type, cutoff_hz=cutoff_hz, q=q,
+                      gain_db=gain_db)
         self.state = np.zeros((channels, 4))
 
     def coeffs(self):
@@ -201,13 +203,35 @@ class OracleBiquad:
         cw, sw = np.cos(w0), np.sin(w0)
         alpha = sw / (2.0 * q)
         t = int(round(self.p["filter_type"]))
+        A = 10.0 ** (self.p["gain_db"] / 40.0)
+        sq = np.sqrt(A)
+        tsa = 2.0 * sq * alpha
         if t == 0:
             b0, b1, b2 = (1 - cw) / 2, 1 - cw, (1 - cw) / 2
+            a0, a1, a2 = 1 + alpha, -2 * cw, 1 - alpha
         elif t == 1:
             b0, b1, b2 = (1 + cw) / 2, -(1 + cw), (1 + cw) / 2
-        else:
+            a0, a1, a2 = 1 + alpha, -2 * cw, 1 - alpha
+        elif t == 2:
             b0, b1, b2 = alpha, 0.0, -alpha
-        a0, a1, a2 = 1 + alpha, -2 * cw, 1 - alpha
+            a0, a1, a2 = 1 + alpha, -2 * cw, 1 - alpha
+        elif t == 3:  # peaking EQ (RBJ cookbook)
+            b0, b1, b2 = 1 + alpha * A, -2 * cw, 1 - alpha * A
+            a0, a1, a2 = 1 + alpha / A, -2 * cw, 1 - alpha / A
+        elif t == 4:  # low shelf
+            b0 = A * ((A + 1) - (A - 1) * cw + tsa)
+            b1 = 2 * A * ((A - 1) - (A + 1) * cw)
+            b2 = A * ((A + 1) - (A - 1) * cw - tsa)
+            a0 = (A + 1) + (A - 1) * cw + tsa
+            a1 = -2 * ((A - 1) + (A + 1) * cw)
+            a2 = (A + 1) + (A - 1) * cw - tsa
+        else:  # high shelf
+            b0 = A * ((A + 1) + (A - 1) * cw + tsa)
+            b1 = -2 * A * ((A - 1) + (A + 1) * cw)
+            b2 = A * ((A + 1) + (A - 1) * cw - tsa)
+            a0 = (A + 1) - (A - 1) * cw + tsa
+            a1 = 2 * ((A - 1) - (A + 1) * cw)
+            a2 = (A + 1) - (A - 1) * cw - tsa
         return b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
 
     def process(self, x):  # (N, C)

@@ -87,6 +87,16 @@ def test_reverb_parity(params):
         {"filter_type": 0, "cutoff_hz": 1000, "q": 0.707},
         {"filter_type": 1, "cutoff_hz": 3500, "q": 0.9},
         {"filter_type": 2, "cutoff_hz": 800, "q": 0.8},
+        # Full RBJ family (new in this build): peaking EQ + shelves,
+        # boost and cut.  Low-cutoff points sit closer to the unit
+        # circle, where the recurrence's own float32 floor passes -80
+        # (e.g. peak cut at 250 Hz measures -77 with EXACT float64
+        # coefficients — accumulation, not formulas); cases below carry
+        # >= 9 dB of margin.
+        {"filter_type": 3, "cutoff_hz": 1200, "q": 1.4, "gain_db": 9.0},
+        {"filter_type": 3, "cutoff_hz": 800, "q": 0.8, "gain_db": -12.0},
+        {"filter_type": 4, "cutoff_hz": 800, "q": 0.707, "gain_db": 6.0},
+        {"filter_type": 5, "cutoff_hz": 6000, "q": 0.707, "gain_db": -9.0},
     ],
 )
 def test_filter_parity(params):

@@ -123,12 +123,14 @@ def chain_tolerance(flat):
         if c["type"] == "octaver":
             tol = max(tol, -40.0)
         elif c["type"] == "filter":
-            fc = c["params"]["cutoff_hz"]
-            q = max(c["params"]["q"], 1e-3)
-            w0 = 2.0 * np.pi * fc / FS
-            al = np.sin(w0) / (2.0 * q)
-            a1 = (-2.0 * np.cos(w0)) / (1.0 + al)
-            a2 = (1.0 - al) / (1.0 + al)
+            # Poles from the MODEL's own coefficient formulas (all six
+            # RBJ types — shelves/peak move the denominator with gain).
+            from aefs_tpu.models import BiquadFilter
+
+            mdl = BiquadFilter(FS, 4096)
+            prm = {k: float(v) for k, v in c["params"].items()}
+            prm.setdefault("gain_db", 0.0)
+            _, _, _, a1, a2 = (float(v) for v in mdl.coefficients(prm))
             r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
             est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
             tol = max(tol, min(est, 0.0))
