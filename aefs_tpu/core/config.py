@@ -132,6 +132,17 @@ DEFAULT_PRESETS = {
          "params": {"threshold_db": -18.0, "ratio": 3.0, "attack_ms": 30.0,
                     "release_ms": 200.0, "knee_db": 6.0, "makeup_db": 3.0}},
     ],
+    "Broadcast Voice": [
+        {"effect_id": "bv1", "type": "gate",
+         "params": {"threshold_db": -50.0, "attack_ms": 5.0,
+                    "release_ms": 150.0}},
+        {"effect_id": "bv2", "type": "compressor",
+         "params": {"threshold_db": -20.0, "ratio": 4.0, "attack_ms": 8.0,
+                    "release_ms": 120.0, "knee_db": 6.0, "makeup_db": 4.0}},
+        {"effect_id": "bv3", "type": "filter",  # presence shelf
+         "params": {"filter_type": 5, "cutoff_hz": 4500.0, "q": 0.707,
+                    "gain_db": 4.0}},
+    ],
 }
 
 # Params that are static topology (rebuild the chain on change) rather
