@@ -135,6 +135,45 @@ def test_pool_sharded_matches_unsharded():
     assert not np.allclose(oa[0], oa[3])
 
 
+def test_pool_dynamics_chain_sharded_matches_unsharded():
+    """Round-3 effects in the batched pool: the compressor's
+    (max, x)-semiring scan and the RBJ shelf must vmap over the slot
+    axis and shard over the mesh exactly like the original effects —
+    per-slot divergent thresholds/gains included."""
+    from aefs_tpu.server.pool import SessionPool
+
+    cfg = [
+        {"effect_id": "c", "type": "compressor",
+         "params": {"threshold_db": -24, "ratio": 6, "attack_ms": 5,
+                    "release_ms": 80, "knee_db": 4, "makeup_db": 2}},
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 5, "cutoff_hz": 5000, "q": 0.707,
+                    "gain_db": 6.0}},
+    ]
+    import jax
+    assert len(jax.devices()) >= 8
+
+    pa = SessionPool(cfg, n_slots=8)
+    pb = SessionPool(cfg, n_slots=8, shard=True)
+    for p in (pa, pb):
+        p.update_param(2, "c", "threshold_db", -40)
+        p.update_param(6, "f", "gain_db", -12.0)
+
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        blocks = {s: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.5
+                  for s in (0, 2, 6)}
+        oa = pa.step_blocks(dict(blocks))
+        ob = pb.step_blocks(dict(blocks))
+        for s in blocks:
+            assert np.all(np.isfinite(oa[s]))
+            err = np.max(np.abs(oa[s] - ob[s]))
+            assert err < 1e-5, (i, s, err)
+    # the divergent threshold (slot 2, 16 dB lower) compresses harder
+    assert not np.allclose(oa[0], oa[2])
+    assert not np.allclose(oa[0], oa[6])
+
+
 def test_pool_batcher_survives_step_failure():
     """A failing dispatch must neither kill the batcher task (every later
     submission would hang) nor the session: the waiter gets the error,
