@@ -358,6 +358,43 @@ def test_ws_set_ir_round_trip(tmp_path):
     asyncio.run(scenario())
 
 
+def test_ui_http_server_serves_spa_and_config():
+    """The stdlib UI server over real HTTP: / -> index.html, /config.json
+    carries the engine's own defaults/controls/presets (the single source
+    of truth that fixes the reference's UI != constructor drift), and the
+    SPA assets resolve."""
+    import urllib.request
+
+    from aefs_tpu.ui.app import serve
+
+    httpd = serve(port=0, blocking=False)
+    port = httpd.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=10
+            ) as r:
+                return r.status, r.read()
+
+        status, body = get("/")
+        assert status == 200 and b"<html" in body.lower()
+        status, body = get("/config.json")
+        cfg = json.loads(body)
+        assert status == 200
+        from aefs_tpu.core.config import EFFECT_DEFAULTS
+
+        assert cfg["effect_defaults"] == json.loads(json.dumps(EFFECT_DEFAULTS))
+        assert "compressor" in cfg["effect_defaults"]
+        assert "Broadcast Voice" in cfg["default_presets"]
+        assert cfg["static_params"] == {"convreverb": ["ir_seconds"]}
+        assert isinstance(cfg["ws_port"], int)
+        for asset in ("/app.js", "/plots.js", "/style.css"):
+            status, body = get(asset)
+            assert status == 200 and len(body) > 100, asset
+    finally:
+        httpd.shutdown()
+
+
 def test_spa_serves_session_and_interaction_surfaces():
     """The SPA ships the session save/resume buttons, the convreverb IR
     upload path, and the spectrum zoom/pan/hover interactions (VERDICT
