@@ -55,6 +55,13 @@ EFFECT_DEFAULTS = {
         "gain_db": 0.0,  # types 3-5 only; 0 dB = exact unity
     },
     # New in this build:
+    "chorus": {
+        "rate_hz": 0.8,
+        "depth_ms": 3.0,
+        "base_ms": 12.0,
+        "mix": 0.5,
+        "spread": 0.25,
+    },
     "compressor": {
         "threshold_db": -24.0,
         "ratio": 4.0,
@@ -187,6 +194,13 @@ UI_CONTROLS = {
         ("cutoff_hz", "Frequency (Hz)", 20, 10000, 10),
         ("q", "Resonance (Q)", 0.1, 5.0, 0.1),
         ("gain_db", "Gain (dB, types 3-5)", -24, 24, 0.5),
+    ],
+    "chorus": [
+        ("rate_hz", "Rate (Hz)", 0.05, 10.0, 0.05),
+        ("depth_ms", "Depth (ms)", 0.0, 10.0, 0.1),
+        ("base_ms", "Base delay (ms)", 1.0, 40.0, 0.5),
+        ("mix", "Mix", 0.0, 1.0, 0.01),
+        ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
     ],
     "compressor": [
         ("threshold_db", "Threshold (dB)", -60, 0, 1),

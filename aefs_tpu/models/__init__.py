@@ -7,6 +7,7 @@ configs 3-4).
 
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.models.biquad import BiquadFilter
+from aefs_tpu.models.chorus import Chorus
 from aefs_tpu.models.compressor import Compressor
 from aefs_tpu.models.delay import StereoDelay
 from aefs_tpu.models.gate import NoiseGate
@@ -22,6 +23,7 @@ EFFECT_REGISTRY = {
     "reverb": Reverb,
     "gate": NoiseGate,
     "compressor": Compressor,
+    "chorus": Chorus,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -33,6 +35,7 @@ EFFECT_REGISTRY = {
 __all__ = [
     "EffectModel",
     "BiquadFilter",
+    "Chorus",
     "Compressor",
     "StereoDelay",
     "NoiseGate",

@@ -368,6 +368,45 @@ class OracleOctaver:
         return out
 
 
+class OracleChorus:
+    """LFO-modulated fractional delay, float64 per-sample — the
+    definition models/chorus.py evaluates blockwise.  Tap convention
+    matches fractional_read_cubic: distance a into the past, taps at
+    ceil(a)+{1,0,-1,-2}, frac = ceil(a) - a."""
+
+    def __init__(self, fs, rate_hz=0.8, depth_ms=3.0, base_ms=12.0,
+                 mix=0.5, spread=0.25, channels=2):
+        self.fs = fs
+        self.p = dict(rate_hz=rate_hz, depth_ms=depth_ms, base_ms=base_ms,
+                      mix=mix, spread=spread)
+        self.hist_len = int((40.0 + 10.0) * fs / 1000.0) + 8
+        self.hist = np.zeros((channels, self.hist_len))
+        self.phase = 0.0
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        dph = np.float32(p["rate_hz"]) / np.float32(self.fs)
+        n, c = x.shape
+        y = np.zeros_like(x)
+        s = self.hist_len
+        ext = np.concatenate([self.hist, x.T], axis=1)  # (C, S+N)
+        for i in range(n):
+            ph = self.phase + i * float(dph)
+            for ch in range(c):
+                pc = ph + p["spread"] * ch
+                d_ms = p["base_ms"] + p["depth_ms"] * np.sin(2 * np.pi * pc)
+                a = min(max(d_ms * self.fs / 1000.0, 2.0), s - 2.0)
+                ca = int(np.ceil(a))
+                frac = ca - a
+                base = s + i
+                taps = [ext[ch, base - ca - 1 + k] for k in range(4)]
+                wet = _cubic(frac, *taps)
+                y[i, ch] = (1 - p["mix"]) * x[i, ch] + p["mix"] * wet
+        self.hist = ext[:, -s:]
+        self.phase = (self.phase + n * float(dph)) % 1.0
+        return y
+
+
 class OracleSpectral:
     """SpectralFilter (spectral.py:5-100), constant params, hop=blocksize."""
 

@@ -23,6 +23,7 @@ from oracles import (
     OracleOctaver,
     OracleSpectral,
     OracleWaveshaper,
+    OracleChorus,
     OracleConvReverb,
     run_oracle_blocks,
     err_dbfs,
@@ -193,6 +194,58 @@ def test_octaver_parity_grid_streaming(semitones):
     oracle = OracleOctaver(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"rate_hz": 0.8, "depth_ms": 3.0, "base_ms": 12.0,
+         "mix": 0.5, "spread": 0.25},
+        {"rate_hz": 5.0, "depth_ms": 5.0, "base_ms": 8.0,
+         "mix": 1.0, "spread": 0.0},  # full-wet vibrato
+        {"rate_hz": 0.2, "depth_ms": 8.0, "base_ms": 30.0,
+         "mix": 0.7, "spread": 0.5},  # slow, wide, quadrature stereo
+    ],
+)
+def test_chorus_parity(params):
+    """New-in-this-build modulation effect (LFO fractional delay on the
+    octaver's tap machinery + compensated split-f32 LFO phase): float64
+    oracle parity on tonal program (measured -98..-109)."""
+    x = tones(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "c", "type": "chorus", "params": params}, x)
+    oracle = OracleChorus(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+def test_chorus_blocksize_invariance_and_passthrough():
+    """256-sample streaming vs 4096-superblock on NOISE (worst case for
+    the f32 absolute-delay quantization floor, ~1e-4 samples at the 50 ms
+    reach): pinned at -55 (measured -65).  mix=0 is exact passthrough."""
+    from aefs_tpu.core.chain import build_chain as _bc
+
+    def run(cfg, x, blocksize, fast=False):
+        chain, state, tmap = _bc([cfg], FS, blocksize,
+                                 channels_in=x.shape[1])
+        _, out = chain.process_array(state, chain.targets(tmap), x, fast=fast)
+        chain.release()
+        return out
+
+    cfg = {"effect_id": "c", "type": "chorus",
+           "params": {"rate_hz": 4.0, "depth_ms": 9.0, "base_ms": 20.0,
+                      "mix": 1.0, "spread": 0.3}}
+    x = bursts(8 * 4096, amp=0.3, seed=3)
+    bw = run(cfg, x, 4096)
+    st = run(cfg, x, 256)
+    ft = run(cfg, x, 4096, fast=True)
+    assert err_dbfs(bw, st) <= -55, err_dbfs(bw, st)
+    assert err_dbfs(bw, ft) <= -55, err_dbfs(bw, ft)
+
+    cfg0 = {"effect_id": "c", "type": "chorus",
+            "params": {"rate_hz": 2.0, "depth_ms": 5.0, "base_ms": 10.0,
+                       "mix": 0.0, "spread": 0.25}}
+    y0 = run(cfg0, x[:2048], 256)
+    np.testing.assert_array_equal(y0, x[:2048])
 
 
 @pytest.mark.parametrize("semitones", [4.98, 7.0, -12.0, 3.5])

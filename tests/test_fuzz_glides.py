@@ -25,7 +25,7 @@ N = 256
 BLOCKS = 400  # covers the slowest legal glide (release_ms 10->1000 @ 10/blk)
 
 GLIDE_TYPES = ["delay", "reverb", "gate", "compressor", "spectral",
-               "octaver", "filter", "waveshaper", "convreverb"]
+               "octaver", "filter", "waveshaper", "convreverb", "chorus"]
 
 
 def draw_params(cls, rng, near=None):
@@ -49,7 +49,7 @@ def draw_params(cls, rng, near=None):
     return p
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(len(GLIDE_TYPES)))
 def test_random_glide_converges_and_stays_finite(seed):
     rng = np.random.default_rng(2000 + seed)
     etype = GLIDE_TYPES[seed % len(GLIDE_TYPES)]

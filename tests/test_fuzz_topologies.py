@@ -49,6 +49,7 @@ FUZZ_TYPES = [
     ("reverb", {}),
     ("gate", {}),
     ("compressor", {}),
+    ("chorus", {}),
     ("spectral", {}),
     ("octaver", {}),
     ("filter", {}),
@@ -122,6 +123,11 @@ def chain_tolerance(flat):
     for c in flat:
         if c["type"] == "octaver":
             tol = max(tol, -40.0)
+        elif c["type"] == "chorus":
+            # f32 absolute-delay quantization: ~1e-4 samples at the 50 ms
+            # reach, times full-band signal slope (measured -60..-65 on
+            # noise bursts across decompositions; tones parity is -98+).
+            tol = max(tol, -55.0)
         elif c["type"] == "filter":
             # Poles from the MODEL's own coefficient formulas (all six
             # RBJ types — shelves/peak move the denominator with gain).
