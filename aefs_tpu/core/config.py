@@ -139,6 +139,14 @@ DEFAULT_PRESETS = {
          "params": {"threshold_db": -18.0, "ratio": 3.0, "attack_ms": 30.0,
                     "release_ms": 200.0, "knee_db": 6.0, "makeup_db": 3.0}},
     ],
+    "Lush Chorus": [
+        {"effect_id": "lc1", "type": "chorus",
+         "params": {"rate_hz": 0.6, "depth_ms": 4.0, "base_ms": 14.0,
+                    "mix": 0.5, "spread": 0.25}},
+        {"effect_id": "lc2", "type": "reverb",
+         "params": {"rt60_s": 1.2, "damp": 0.25, "pre_delay_ms": 10,
+                    "mix_dry": 0.8, "mix_wet": 0.25}},
+    ],
     "Broadcast Voice": [
         {"effect_id": "bv1", "type": "gate",
          "params": {"threshold_db": -50.0, "attack_ms": 5.0,
