@@ -38,7 +38,6 @@ import numpy as np  # noqa: E402
 def main(argv):
     import test_fuzz_topologies as F
     from helpers import bursts
-    from oracles import err_dbfs
 
     lo, hi = int(argv[1]), int(argv[2])
     fails = []
@@ -54,7 +53,8 @@ def main(argv):
             finite = all(
                 np.all(np.isfinite(a)) for a in (bw, ft, st)
             )
-            g1, g2 = err_dbfs(bw, ft), err_dbfs(bw, st)
+            g1 = F.relative_gap(bw, ft)
+            g2 = F.relative_gap(bw, st)
             bad = (not finite) or (
                 tol is not None and (g1 > tol or g2 > tol)
             )

@@ -12,15 +12,18 @@ internal-consistency contracts on each:
   invariance: per-sample semantics never depend on the dispatch size).
 
 No oracle is needed: both sides consume identical configs, so ANY
-divergence is a real defect.  Tolerances come from ``chain_tolerance``:
--80 dBFS baseline, relaxed only for the two documented float32 floors —
-the octaver's generic phase path (-40; see test_effects_parity.
-test_octaver_generic_blocksize_invariance) and the biquad's recurrence
-conditioning ~eps/(1-pole_radius)^2 at high-Q draws — plus coherent
-parallel-branch gain amplification; chains whose combined allowance
-passes -25 dBFS assert finiteness only.  Downstream effects can
-legitimately amplify a floor (a driven waveshaper is a ×drive Lipschitz
-map; a gate's binary threshold select can flip on eps-level diffs).
+divergence is a real defect.  The bar is PEAK-RELATIVE (``relative_gap``:
+error normalized by the blockwise output's own peak, floored at the
+input amplitude) so chain amplitude amplification — a wet rt60-9s reverb
+adds +24 dB — neither eats nor loosens the contract.  Tolerances come
+from ``chain_tolerance``: -70 relative baseline (== the -80 dBFS
+absolute bar at input-level outputs), relaxed only for documented
+float32 floors — the octaver's generic phase path, the chorus's
+absolute-delay quantization, and the biquad's recurrence conditioning
+~eps/(1-pole_radius)^2 at high-Q draws; chains whose allowance passes
+-22 assert finiteness only.  Downstream effects can still legitimately
+amplify a floor (a driven waveshaper is a ×drive Lipschitz map; a
+gate's binary threshold select can flip on eps-level diffs).
 
 Defects this fuzzer has caught: (1) a scrambled TwoSum in the octaver's
 phasor carry (models/octaver.py:_two_sum) drifting eps/2 per block —
@@ -100,34 +103,40 @@ def random_chain(rng, allow_parallel=False):
     return cfgs, chain_tolerance(flat)
 
 
-def chain_tolerance(flat):
-    """Consistency tolerance (dBFS) for a fuzzed chain, from the drawn
-    params — or None for finiteness-only.
+def relative_gap(ref, other, floor_amp=0.3):
+    """Consistency gap in dB RELATIVE to the reference decomposition's own
+    peak (floored at the test-signal amplitude so near-silent outputs
+    keep an absolute contract): amplitude amplification along the chain
+    (a wet reverb at rt60 ~9 s can add +24 dB) must not eat the bar, and
+    must not loosen it either."""
+    pk = max(float(np.max(np.abs(np.asarray(ref)))), floor_amp)
+    return err_dbfs(ref, other) - 20.0 * np.log10(pk)
 
-    Two effects have documented float32 floors that block decompositions
-    legitimately amplify:
-    - octaver: generic phase path floor, -40 (module docstring);
+
+def chain_tolerance(flat):
+    """Consistency tolerance for a fuzzed chain, from the drawn params —
+    or None for finiteness-only.  The bar is on the PEAK-RELATIVE gap
+    (see relative_gap), so per-effect floors compose under amplitude
+    amplification without bookkeeping chain gain.
+
+    Relative floors (measured; typical chains peak near the 0.3 input):
+    - base -70 (== the -80 dBFS absolute bar at input-level outputs);
+    - octaver: generic phase path floor, -30 relative;
+    - chorus: f32 absolute-delay quantization ~1e-4 samples at the 50 ms
+      reach times full-band slope — isolated measurement -48 relative
+      on noise; floor -42;
     - biquad at near-unit pole radius: the recurrence's own conditioning
-      is ~eps/(1-r)^2 — at r = 0.9935 (fc 847 Hz, Q 8.4, a LEGAL RBJ
-      param draw) the streaming companion scan and the file Toeplitz
-      solve are each ~1e-4-relative vs float64, so their mutual gap can
-      never meet -80.  The bound below is the conditioning estimate
-      plus 26 dB of slack, validated against measured gaps (ops/scan.py
-      ar2_impulse docstring records the measurements).
-    Parallel containers can coherently amplify a branch floor by the sum
-    of their gains.  Chains whose combined allowance passes -25 dBFS
-    carry no usable signal-level contract — assert finiteness only.
+      ~eps/(1-r)^2 (a relative quantity) plus 26 dB slack, validated
+      against measured gaps (ops/scan.py ar2_impulse docstring).
+    Chains whose allowance passes -22 carry no usable signal-level
+    contract — assert finiteness only.
     """
-    tol = -80.0
-    amp_db = 0.0
+    tol = -70.0
     for c in flat:
         if c["type"] == "octaver":
-            tol = max(tol, -40.0)
+            tol = max(tol, -30.0)
         elif c["type"] == "chorus":
-            # f32 absolute-delay quantization: ~1e-4 samples at the 50 ms
-            # reach, times full-band signal slope (measured -60..-65 on
-            # noise bursts across decompositions; tones parity is -98+).
-            tol = max(tol, -55.0)
+            tol = max(tol, -42.0)
         elif c["type"] == "filter":
             # Poles from the MODEL's own coefficient formulas (all six
             # RBJ types — shelves/peak move the denominator with gain).
@@ -140,11 +149,7 @@ def chain_tolerance(flat):
             r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
             est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
             tol = max(tol, min(est, 0.0))
-        elif c["type"] == "parallel":
-            g = sum(v for k, v in c["params"].items() if k.startswith("gain"))
-            amp_db += 20.0 * np.log10(max(1.0, g))
-    tol += amp_db
-    return None if tol > -25.0 else tol
+    return None if tol > -22.0 else tol
 
 
 def run(cfgs, x, fast, blocksize):
@@ -179,8 +184,8 @@ def test_random_topology_consistency(seed):
     streaming = run(cfgs, x, fast=False, blocksize=256)
     assert np.all(np.isfinite(streaming)), label
 
-    if tol is not None:  # see chain_tolerance
-        gap = err_dbfs(blockwise, fast)
-        assert gap <= tol, f"fast-vs-blockwise {gap:.1f} dBFS > {tol:.1f}: {label}"
-        gap = err_dbfs(blockwise, streaming)
-        assert gap <= tol, f"blocking invariance {gap:.1f} dBFS > {tol:.1f}: {label}"
+    if tol is not None:  # see chain_tolerance (peak-relative bar)
+        gap = relative_gap(blockwise, fast)
+        assert gap <= tol, f"fast-vs-blockwise {gap:.1f} dB > {tol:.1f}: {label}"
+        gap = relative_gap(blockwise, streaming)
+        assert gap <= tol, f"blocking invariance {gap:.1f} dB > {tol:.1f}: {label}"
