@@ -149,6 +149,17 @@ def chain_tolerance(flat):
             r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
             est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
             tol = max(tol, min(est, 0.0))
+        elif c["type"] == "waveshaper" and tol > -70.0:
+            # A driven shaper is a x(drive*mix*out_gain) Lipschitz map
+            # that COMPRESSES peaks — it amplifies an upstream floor
+            # while shrinking the normalizer, so the allowance must carry
+            # its gain explicitly (only when a floor is already in play).
+            lip = max(
+                1.0,
+                c["params"]["drive"] * c["params"]["mix"]
+                * c["params"]["out_gain"],
+            )
+            tol += 20.0 * np.log10(lip)
     return None if tol > -22.0 else tol
 
 
