@@ -62,6 +62,11 @@ EFFECT_DEFAULTS = {
         "mix": 0.5,
         "spread": 0.25,
     },
+    "tremolo": {
+        "rate_hz": 5.0,
+        "depth": 0.5,
+        "spread": 0.0,
+    },
     "compressor": {
         "threshold_db": -24.0,
         "ratio": 4.0,
@@ -209,6 +214,11 @@ UI_CONTROLS = {
         ("base_ms", "Base delay (ms)", 1.0, 40.0, 0.5),
         ("mix", "Mix", 0.0, 1.0, 0.01),
         ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
+    ],
+    "tremolo": [
+        ("rate_hz", "Rate (Hz)", 0.05, 20.0, 0.05),
+        ("depth", "Depth", 0.0, 1.0, 0.02),
+        ("spread", "Stereo spread (0.5=auto-pan)", 0.0, 0.5, 0.01),
     ],
     "compressor": [
         ("threshold_db", "Threshold (dB)", -60, 0, 1),

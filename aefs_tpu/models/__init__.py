@@ -14,6 +14,7 @@ from aefs_tpu.models.gate import NoiseGate
 from aefs_tpu.models.octaver import Octaver
 from aefs_tpu.models.reverb import Reverb
 from aefs_tpu.models.spectral import SpectralFilter
+from aefs_tpu.models.tremolo import Tremolo
 from aefs_tpu.models.waveshaper import Waveshaper
 from aefs_tpu.models.convreverb import ConvReverb, synthetic_ir
 from aefs_tpu.models.parallel_chain import ParallelChains
@@ -24,6 +25,7 @@ EFFECT_REGISTRY = {
     "gate": NoiseGate,
     "compressor": Compressor,
     "chorus": Chorus,
+    "tremolo": Tremolo,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -42,6 +44,7 @@ __all__ = [
     "Octaver",
     "Reverb",
     "SpectralFilter",
+    "Tremolo",
     "Waveshaper",
     "ConvReverb",
     "synthetic_ir",

@@ -407,6 +407,30 @@ class OracleChorus:
         return y
 
 
+class OracleTremolo:
+    """Amplitude LFO, float64 per-sample (models/tremolo.py definition);
+    the f32 model quantizes dph = rate/fs once, mirrored here."""
+
+    def __init__(self, fs, rate_hz=5.0, depth=0.5, spread=0.0):
+        self.fs = fs
+        self.p = dict(rate_hz=rate_hz, depth=depth, spread=spread)
+        self.phase = 0.0
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        dph = float(np.float32(p["rate_hz"]) / np.float32(self.fs))
+        y = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            ph = self.phase + i * dph
+            for c in range(x.shape[1]):
+                g = 1.0 - 0.5 * p["depth"] * (
+                    1.0 + np.sin(2 * np.pi * (ph + p["spread"] * c))
+                )
+                y[i, c] = x[i, c] * g
+        self.phase = (self.phase + x.shape[0] * dph) % 1.0
+        return y
+
+
 class OracleSpectral:
     """SpectralFilter (spectral.py:5-100), constant params, hop=blocksize."""
 

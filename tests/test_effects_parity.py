@@ -25,6 +25,7 @@ from oracles import (
     OracleWaveshaper,
     OracleChorus,
     OracleConvReverb,
+    OracleTremolo,
     run_oracle_blocks,
     err_dbfs,
 )
@@ -216,6 +217,31 @@ def test_chorus_parity(params):
     oracle = OracleChorus(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"rate_hz": 5.0, "depth": 0.5, "spread": 0.0},
+        {"rate_hz": 0.3, "depth": 1.0, "spread": 0.5},  # auto-pan
+        {"rate_hz": 17.0, "depth": 0.8, "spread": 0.25},
+    ],
+)
+def test_tremolo_parity(params):
+    """Amplitude LFO (new in this build): elementwise gain, compensated
+    split-f32 phase carry — float64-oracle parity at the full -80 bar."""
+    x = bursts(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "t", "type": "tremolo", "params": params}, x)
+    oracle = OracleTremolo(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+def test_tremolo_depth_zero_exact_passthrough():
+    x = bursts(4 * N, fs=FS)
+    got = run_chain({"effect_id": "t", "type": "tremolo",
+                     "params": {"rate_hz": 8.0, "depth": 0.0, "spread": 0.3}}, x)
+    np.testing.assert_array_equal(got[:, 0], x[:, 0])
 
 
 def test_chorus_blocksize_invariance_and_passthrough():

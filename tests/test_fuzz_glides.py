@@ -25,7 +25,8 @@ N = 256
 BLOCKS = 400  # covers the slowest legal glide (release_ms 10->1000 @ 10/blk)
 
 GLIDE_TYPES = ["delay", "reverb", "gate", "compressor", "spectral",
-               "octaver", "filter", "waveshaper", "convreverb", "chorus"]
+               "octaver", "filter", "waveshaper", "convreverb", "chorus",
+               "tremolo"]
 
 
 def draw_params(cls, rng, near=None):

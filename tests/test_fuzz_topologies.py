@@ -53,6 +53,7 @@ FUZZ_TYPES = [
     ("gate", {}),
     ("compressor", {}),
     ("chorus", {}),
+    ("tremolo", {}),
     ("spectral", {}),
     ("octaver", {}),
     ("filter", {}),
