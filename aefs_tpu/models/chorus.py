@@ -18,6 +18,14 @@ cycles, 0 = mono chorus, 0.25 = quadrature).
 
 Parity: float64 per-sample oracle (tests/oracles.py:OracleChorus)
 <= -80 dBFS on tonal program; mix=0 is exact passthrough.
+
+Perf note: the tap is the per-descriptor gather path, so whole-file
+mode runs ~hundreds-x realtime (vs thousands for the closed-form
+effects) and pooled serving rides the generic per-slot-taps cost, like
+the octaver's live-semitones mode.  The banded Pallas resampler
+(ops/pallas/resample.py) is the known lever if the chorus ever lands
+on a hot path — its per-tile position window fits the LFO's bounded
+slew the same way it fits the grain phasor.
 """
 
 from __future__ import annotations
