@@ -62,6 +62,13 @@ EFFECT_DEFAULTS = {
         "mix": 0.5,
         "spread": 0.25,
     },
+    "phaser": {
+        "rate_hz": 0.5,
+        "min_hz": 200.0,
+        "max_hz": 1600.0,
+        "mix": 0.5,
+        "spread": 0.25,
+    },
     "tremolo": {
         "rate_hz": 5.0,
         "depth": 0.5,
@@ -213,6 +220,13 @@ UI_CONTROLS = {
         ("depth_ms", "Depth (ms)", 0.0, 10.0, 0.1),
         ("base_ms", "Base delay (ms)", 1.0, 40.0, 0.5),
         ("mix", "Mix", 0.0, 1.0, 0.01),
+        ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
+    ],
+    "phaser": [
+        ("rate_hz", "Rate (Hz)", 0.05, 10.0, 0.05),
+        ("min_hz", "Sweep floor (Hz)", 50, 2000, 10),
+        ("max_hz", "Sweep ceiling (Hz)", 100, 8000, 10),
+        ("mix", "Mix (0.5=classic notches)", 0.0, 1.0, 0.01),
         ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
     ],
     "tremolo": [

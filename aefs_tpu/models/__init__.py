@@ -12,6 +12,7 @@ from aefs_tpu.models.compressor import Compressor
 from aefs_tpu.models.delay import StereoDelay
 from aefs_tpu.models.gate import NoiseGate
 from aefs_tpu.models.octaver import Octaver
+from aefs_tpu.models.phaser import Phaser
 from aefs_tpu.models.reverb import Reverb
 from aefs_tpu.models.spectral import SpectralFilter
 from aefs_tpu.models.tremolo import Tremolo
@@ -26,6 +27,7 @@ EFFECT_REGISTRY = {
     "compressor": Compressor,
     "chorus": Chorus,
     "tremolo": Tremolo,
+    "phaser": Phaser,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -42,6 +44,7 @@ __all__ = [
     "StereoDelay",
     "NoiseGate",
     "Octaver",
+    "Phaser",
     "Reverb",
     "SpectralFilter",
     "Tremolo",

@@ -407,6 +407,44 @@ class OracleChorus:
         return y
 
 
+class OraclePhaser:
+    """4-stage LFO-swept first-order allpass cascade, float64 per-sample
+    (models/phaser.py definition; dph quantized to f32 like the model)."""
+
+    N_STAGES = 4
+
+    def __init__(self, fs, rate_hz=0.5, min_hz=200.0, max_hz=1600.0,
+                 mix=0.5, spread=0.25, channels=2):
+        self.fs = fs
+        self.p = dict(rate_hz=rate_hz, min_hz=min_hz, max_hz=max_hz,
+                      mix=mix, spread=spread)
+        self.phase = 0.0
+        self.xprev = np.zeros((channels, self.N_STAGES))
+        self.yprev = np.zeros((channels, self.N_STAGES))
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        dph = float(np.float32(p["rate_hz"]) / np.float32(self.fs))
+        lo, hi = min(p["min_hz"], p["max_hz"]), max(p["min_hz"], p["max_hz"])
+        y = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            ph = self.phase + i * dph
+            for c in range(x.shape[1]):
+                sweep = 0.5 * (1.0 + np.sin(2 * np.pi * (ph + p["spread"] * c)))
+                f = lo * (hi / lo) ** sweep
+                t = np.tan(np.pi * f / self.fs)
+                a = (t - 1.0) / (t + 1.0)
+                v = x[i, c]
+                for s in range(self.N_STAGES):
+                    out = a * v + self.xprev[c, s] - a * self.yprev[c, s]
+                    self.xprev[c, s] = v
+                    self.yprev[c, s] = out
+                    v = out
+                y[i, c] = (1 - p["mix"]) * x[i, c] + p["mix"] * v
+        self.phase = (self.phase + x.shape[0] * dph) % 1.0
+        return y
+
+
 class OracleTremolo:
     """Amplitude LFO, float64 per-sample (models/tremolo.py definition);
     the f32 model quantizes dph = rate/fs once, mirrored here."""

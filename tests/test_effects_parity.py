@@ -25,6 +25,7 @@ from oracles import (
     OracleWaveshaper,
     OracleChorus,
     OracleConvReverb,
+    OraclePhaser,
     OracleTremolo,
     run_oracle_blocks,
     err_dbfs,
@@ -233,6 +234,29 @@ def test_tremolo_parity(params):
     x = bursts(FRAMES, fs=FS)
     got = run_chain({"effect_id": "t", "type": "tremolo", "params": params}, x)
     oracle = OracleTremolo(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"rate_hz": 0.5, "min_hz": 200, "max_hz": 1600,
+         "mix": 0.5, "spread": 0.25},
+        {"rate_hz": 4.0, "min_hz": 80, "max_hz": 6000,
+         "mix": 1.0, "spread": 0.0},
+        {"rate_hz": 0.1, "min_hz": 500, "max_hz": 500,
+         "mix": 0.7, "spread": 0.5},  # degenerate sweep (lo == hi)
+    ],
+)
+def test_phaser_parity(params):
+    """New-in-this-build swept-allpass cascade: four affine Hillis scans
+    with per-sample multipliers vs the float64 per-sample oracle.
+    Allpasses are norm-preserving so f32 rounding passes through the
+    cascade unamplified — the full -80 bar holds."""
+    x = tones(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "p", "type": "phaser", "params": params}, x)
+    oracle = OraclePhaser(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 

@@ -54,6 +54,7 @@ FUZZ_TYPES = [
     ("compressor", {}),
     ("chorus", {}),
     ("tremolo", {}),
+    ("phaser", {}),
     ("spectral", {}),
     ("octaver", {}),
     ("filter", {}),
