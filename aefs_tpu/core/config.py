@@ -151,6 +151,14 @@ DEFAULT_PRESETS = {
          "params": {"threshold_db": -18.0, "ratio": 3.0, "attack_ms": 30.0,
                     "release_ms": 200.0, "knee_db": 6.0, "makeup_db": 3.0}},
     ],
+    "Psychedelic Sweep": [
+        {"effect_id": "ps1", "type": "phaser",
+         "params": {"rate_hz": 0.3, "min_hz": 150.0, "max_hz": 3000.0,
+                    "mix": 0.5, "spread": 0.3}},
+        {"effect_id": "ps2", "type": "delay",
+         "params": {"delay_ms": 400, "feedback": 0.35, "mix_dry": 1.0,
+                    "mix_wet": 0.35, "offset_ms": 20}},
+    ],
     "Lush Chorus": [
         {"effect_id": "lc1", "type": "chorus",
          "params": {"rate_hz": 0.6, "depth_ms": 4.0, "base_ms": 14.0,
