@@ -174,6 +174,43 @@ def test_pool_dynamics_chain_sharded_matches_unsharded():
     assert not np.allclose(oa[0], oa[6])
 
 
+def test_pool_modulation_chain_sharded_matches_unsharded():
+    """Modulation trio in the batched pool: per-slot compensated LFO
+    phasors (tremolo/phaser state scalars) and the chorus's per-slot
+    fractional taps must vmap and shard exactly."""
+    from aefs_tpu.server.pool import SessionPool
+
+    cfg = [
+        {"effect_id": "ch", "type": "chorus",
+         "params": {"rate_hz": 1.2, "depth_ms": 4.0, "base_ms": 15.0,
+                    "mix": 0.6, "spread": 0.25}},
+        {"effect_id": "ph", "type": "phaser",
+         "params": {"rate_hz": 0.8, "min_hz": 300, "max_hz": 2000,
+                    "mix": 0.5, "spread": 0.0}},
+        {"effect_id": "tr", "type": "tremolo",
+         "params": {"rate_hz": 5.0, "depth": 0.4, "spread": 0.5}},
+    ]
+    import jax
+    assert len(jax.devices()) >= 8
+
+    pa = SessionPool(cfg, n_slots=8)
+    pb = SessionPool(cfg, n_slots=8, shard=True)
+    for p in (pa, pb):
+        p.update_param(1, "tr", "depth", 1.0)
+        p.update_param(4, "ph", "rate_hz", 4.0)
+
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        blocks = {s: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.3
+                  for s in (0, 1, 4)}
+        oa = pa.step_blocks(dict(blocks))
+        ob = pb.step_blocks(dict(blocks))
+        for s in blocks:
+            assert np.all(np.isfinite(oa[s]))
+            assert np.max(np.abs(oa[s] - ob[s])) < 1e-5, (i, s)
+    assert not np.allclose(oa[0], oa[1])  # divergent depth bites
+
+
 def test_pool_batcher_survives_step_failure():
     """A failing dispatch must neither kill the batcher task (every later
     submission would hang) nor the session: the waiter gets the error,
