@@ -151,6 +151,13 @@ DEFAULT_PRESETS = {
          "params": {"threshold_db": -18.0, "ratio": 3.0, "attack_ms": 30.0,
                     "release_ms": 200.0, "knee_db": 6.0, "makeup_db": 3.0}},
     ],
+    "Jet Flanger": [
+        # A flanger IS a short-base chorus: the 1-5 ms modulated comb
+        # sweeps the whole spectrum (no new effect type needed).
+        {"effect_id": "jf1", "type": "chorus",
+         "params": {"rate_hz": 0.25, "depth_ms": 2.0, "base_ms": 3.0,
+                    "mix": 0.5, "spread": 0.0}},
+    ],
     "Psychedelic Sweep": [
         {"effect_id": "ps1", "type": "phaser",
          "params": {"rate_hz": 0.3, "min_hz": 150.0, "max_hz": 3000.0,
