@@ -74,6 +74,16 @@ EFFECT_DEFAULTS = {
         "depth": 0.5,
         "spread": 0.0,
     },
+    "ringmod": {
+        "carrier_hz": 440.0,
+        "mix": 1.0,
+        "spread": 0.0,
+    },
+    "bitcrusher": {
+        "bits": 8.0,
+        "rate_hz": 8000.0,
+        "mix": 1.0,
+    },
     "compressor": {
         "threshold_db": -24.0,
         "ratio": 4.0,
@@ -157,6 +167,12 @@ DEFAULT_PRESETS = {
         {"effect_id": "jf1", "type": "chorus",
          "params": {"rate_hz": 0.25, "depth_ms": 2.0, "base_ms": 3.0,
                     "mix": 0.5, "spread": 0.0}},
+    ],
+    "8-Bit Arcade": [
+        {"effect_id": "ba1", "type": "bitcrusher",
+         "params": {"bits": 6.0, "rate_hz": 11025.0, "mix": 1.0}},
+        {"effect_id": "ba2", "type": "ringmod",
+         "params": {"carrier_hz": 55.0, "mix": 0.35, "spread": 0.25}},
     ],
     "Psychedelic Sweep": [
         {"effect_id": "ps1", "type": "phaser",
@@ -248,6 +264,16 @@ UI_CONTROLS = {
         ("rate_hz", "Rate (Hz)", 0.05, 20.0, 0.05),
         ("depth", "Depth", 0.0, 1.0, 0.02),
         ("spread", "Stereo spread (0.5=auto-pan)", 0.0, 0.5, 0.01),
+    ],
+    "ringmod": [
+        ("carrier_hz", "Carrier (Hz)", 0.5, 5000, 0.5),
+        ("mix", "Mix", 0.0, 1.0, 0.01),
+        ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
+    ],
+    "bitcrusher": [
+        ("bits", "Bit depth", 1, 16, 1),
+        ("rate_hz", "Sample rate (Hz)", 300, 48000, 100),
+        ("mix", "Mix", 0.0, 1.0, 0.01),
     ],
     "compressor": [
         ("threshold_db", "Threshold (dB)", -60, 0, 1),

@@ -7,6 +7,7 @@ configs 3-4).
 
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.models.biquad import BiquadFilter
+from aefs_tpu.models.bitcrusher import Bitcrusher
 from aefs_tpu.models.chorus import Chorus
 from aefs_tpu.models.compressor import Compressor
 from aefs_tpu.models.delay import StereoDelay
@@ -14,6 +15,7 @@ from aefs_tpu.models.gate import NoiseGate
 from aefs_tpu.models.octaver import Octaver
 from aefs_tpu.models.phaser import Phaser
 from aefs_tpu.models.reverb import Reverb
+from aefs_tpu.models.ringmod import RingMod
 from aefs_tpu.models.spectral import SpectralFilter
 from aefs_tpu.models.tremolo import Tremolo
 from aefs_tpu.models.waveshaper import Waveshaper
@@ -28,6 +30,8 @@ EFFECT_REGISTRY = {
     "chorus": Chorus,
     "tremolo": Tremolo,
     "phaser": Phaser,
+    "ringmod": RingMod,
+    "bitcrusher": Bitcrusher,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -39,6 +43,7 @@ EFFECT_REGISTRY = {
 __all__ = [
     "EffectModel",
     "BiquadFilter",
+    "Bitcrusher",
     "Chorus",
     "Compressor",
     "StereoDelay",
@@ -46,6 +51,7 @@ __all__ = [
     "Octaver",
     "Phaser",
     "Reverb",
+    "RingMod",
     "SpectralFilter",
     "Tremolo",
     "Waveshaper",

@@ -520,6 +520,60 @@ class OracleWaveshaper:
         return np.clip(y, -1, 1)
 
 
+def _phase_step_u32(freq_hz, fs):
+    """Mirror models/ringmod.py:phase_step_u32 exactly (f32 quantization,
+    top-of-range clamp) so the integer phase math is bitwise shared."""
+    prod = np.float32(
+        (np.float32(freq_hz) / np.float32(fs)) * np.float32(2.0**32)
+    )
+    return int(min(float(np.round(prod)), 2.0**32 - 256.0))
+
+
+class OracleRingMod:
+    """Carrier multiplication, float64 per-sample on the model's exact
+    uint32 modular phase (models/ringmod.py definition)."""
+
+    def __init__(self, fs, carrier_hz=440.0, mix=1.0, spread=0.0):
+        self.fs = fs
+        self.p = dict(carrier_hz=carrier_hz, mix=mix, spread=spread)
+        self.acc = 0
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        num = _phase_step_u32(p["carrier_hz"], self.fs)
+        y = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            ph = ((self.acc + i * num) % 2**32) / 2.0**32
+            for c in range(x.shape[1]):
+                carrier = np.sin(2 * np.pi * (ph + p["spread"] * c))
+                y[i, c] = (1 - p["mix"]) * x[i, c] + p["mix"] * x[i, c] * carrier
+        self.acc = (self.acc + x.shape[0] * num) % 2**32
+        return y
+
+
+class OracleBitcrusher:
+    """Sample-and-hold + bit quantization, float64 per-sample on the
+    model's exact uint32 decimation clock (models/bitcrusher.py)."""
+
+    def __init__(self, fs, bits=8.0, rate_hz=8000.0, mix=1.0, channels=2):
+        self.fs = fs
+        self.p = dict(bits=bits, rate_hz=rate_hz, mix=mix)
+        self.acc = 0
+        self.held = np.zeros(channels)
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        num = _phase_step_u32(p["rate_hz"], self.fs)
+        levels = float(np.exp2(np.float32(p["bits"]) - 1.0))
+        y = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            if (self.acc + i * num) % 2**32 < num:
+                self.held = np.round(x[i] * levels) / levels
+            y[i] = (1 - p["mix"]) * x[i] + p["mix"] * self.held
+        self.acc = (self.acc + x.shape[0] * num) % 2**32
+        return y
+
+
 class OracleConvReverb:
     """Exact streaming FIR convolution with the same IR."""
 

@@ -23,7 +23,9 @@ from oracles import (
     OracleOctaver,
     OracleSpectral,
     OracleWaveshaper,
+    OracleBitcrusher,
     OracleChorus,
+    OracleRingMod,
     OracleConvReverb,
     OraclePhaser,
     OracleTremolo,
@@ -259,6 +261,67 @@ def test_phaser_parity(params):
     oracle = OraclePhaser(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"carrier_hz": 440.0, "mix": 1.0, "spread": 0.0},
+        {"carrier_hz": 5000.0, "mix": 0.7, "spread": 0.25},  # top of range
+        {"carrier_hz": 0.5, "mix": 0.5, "spread": 0.5},  # sub-audio wobble
+    ],
+)
+def test_ringmod_parity(params):
+    """Carrier multiplication (new in this build): exact uint32 modular
+    phase — the f32 ramp a 5 kHz carrier would need loses ~2e-4 cycles
+    per superblock, the integer ramp loses nothing (models/ringmod.py)."""
+    x = bursts(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "r", "type": "ringmod", "params": params}, x)
+    oracle = OracleRingMod(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"bits": 8.0, "rate_hz": 8000.0, "mix": 1.0},
+        {"bits": 3.0, "rate_hz": 48000.0, "mix": 1.0},  # no decimation
+        {"bits": 16.0, "rate_hz": 300.0, "mix": 0.6},  # deepest hold
+        {"bits": 1.0, "rate_hz": 11025.0, "mix": 1.0},  # 1-bit + odd rate
+    ],
+)
+def test_bitcrusher_parity(params):
+    """Sample-and-hold on the exact uint32 decimation clock + power-of-2
+    quantizer (models/bitcrusher.py): at integer bits both the trigger
+    pattern and the rounding are bitwise shared with the f64 oracle."""
+    x = bursts(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "b", "type": "bitcrusher", "params": params}, x)
+    oracle = OracleBitcrusher(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+def test_ringmod_bitcrusher_bitwise_blocking_invariance():
+    """The integer-phase effects are BITWISE invariant to the dispatch
+    split (stronger than the -80 bar): uint32 carries cannot round."""
+    from aefs_tpu.core.chain import build_chain as _bc
+
+    def run(cfg, x, blocksize):
+        chain, state, tmap = _bc([cfg], FS, blocksize, channels_in=x.shape[1])
+        _, out = chain.process_array(state, chain.targets(tmap), x)
+        return np.asarray(out)
+
+    x = bursts(8 * 4096, fs=FS)
+    for cfg in (
+        {"effect_id": "r", "type": "ringmod",
+         "params": {"carrier_hz": 4321.0, "mix": 0.8, "spread": 0.25}},
+        {"effect_id": "b", "type": "bitcrusher",
+         "params": {"bits": 5.0, "rate_hz": 7351.0, "mix": 1.0}},
+    ):
+        a = run(cfg, x, 256)
+        b = run(cfg, x, 4096)
+        np.testing.assert_array_equal(a, b, err_msg=cfg["type"])
 
 
 def test_tremolo_depth_zero_exact_passthrough():

@@ -59,6 +59,8 @@ FUZZ_TYPES = [
     ("octaver", {}),
     ("filter", {}),
     ("waveshaper", {}),
+    ("ringmod", {}),
+    ("bitcrusher", {}),
     ("convreverb", {"ir_seconds": 0.4}),
 ]
 
@@ -151,6 +153,18 @@ def chain_tolerance(flat):
             r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
             est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
             tol = max(tol, min(est, 0.0))
+        elif c["type"] == "bitcrusher" and c is not flat[0]:
+            # round() is discontinuous: an eps-level upstream difference
+            # (even plain f32 reassociation) landing on a tie boundary
+            # flips one full quantization level — 2^(1-bits).  32k noise
+            # samples hit a 1e-7-wide boundary often enough to matter at
+            # low bit depths; a FIRST-position crusher sees bitwise
+            # identical input in every decomposition, so no allowance.
+            # +12 dB: the gap is normalized by the output peak (>= the
+            # 0.3 floor), which sits below full scale where the flip
+            # magnitude is defined.
+            flip = 20.0 * np.log10(2.0 ** (1.0 - c["params"]["bits"]))
+            tol = max(tol, flip + 12.0)
         elif c["type"] == "waveshaper" and tol > -70.0:
             # A driven shaper is a x(drive*mix*out_gain) Lipschitz map
             # that COMPRESSES peaks — it amplifies an upstream floor

@@ -211,6 +211,45 @@ def test_pool_modulation_chain_sharded_matches_unsharded():
     assert not np.allclose(oa[0], oa[1])  # divergent depth bites
 
 
+def test_pool_lofi_chain_sharded_matches_unsharded():
+    """Integer-phase effects in the batched pool: per-slot uint32 phase
+    accumulators (ringmod carrier, bitcrusher decimation clock) and the
+    bitcrusher's per-slot held sample must vmap and shard exactly —
+    and, being integer state, slots with identical params stay BITWISE
+    in phase forever."""
+    from aefs_tpu.server.pool import SessionPool
+
+    cfg = [
+        {"effect_id": "bc", "type": "bitcrusher",
+         "params": {"bits": 6.0, "rate_hz": 9001.0, "mix": 1.0}},
+        {"effect_id": "rm", "type": "ringmod",
+         "params": {"carrier_hz": 880.0, "mix": 0.5, "spread": 0.25}},
+    ]
+    import jax
+    assert len(jax.devices()) >= 8
+
+    pa = SessionPool(cfg, n_slots=8)
+    pb = SessionPool(cfg, n_slots=8, shard=True)
+    for p in (pa, pb):
+        p.update_param(1, "rm", "carrier_hz", 55.0)
+        p.update_param(4, "bc", "bits", 2.0)
+
+    rng = np.random.default_rng(12)
+    for i in range(3):
+        blocks = {s: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.3
+                  for s in (0, 1, 4)}
+        blocks[3] = blocks[0]  # slot 3 mirrors slot 0 bit-for-bit
+        oa = pa.step_blocks(dict(blocks))
+        ob = pb.step_blocks(dict(blocks))
+        for s in blocks:
+            assert np.all(np.isfinite(oa[s]))
+            assert np.max(np.abs(oa[s] - ob[s])) < 1e-5, (i, s)
+    # same input + same params -> bitwise identical integer-phase output
+    np.testing.assert_array_equal(oa[0], oa[3])
+    assert not np.allclose(oa[0], oa[1])  # divergent carrier bites
+    assert not np.allclose(oa[0], oa[4])  # divergent bit depth bites
+
+
 def test_pool_batcher_survives_step_failure():
     """A failing dispatch must neither kill the batcher task (every later
     submission would hang) nor the session: the waiter gets the error,
