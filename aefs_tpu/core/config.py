@@ -74,6 +74,14 @@ EFFECT_DEFAULTS = {
         "depth": 0.5,
         "spread": 0.0,
     },
+    "flanger": {
+        "rate_hz": 0.3,
+        "depth_ms": 2.0,
+        "base_ms": 2.5,
+        "feedback": 0.6,
+        "mix": 0.5,
+        "spread": 0.0,
+    },
     "ringmod": {
         "carrier_hz": 440.0,
         "mix": 1.0,
@@ -162,11 +170,12 @@ DEFAULT_PRESETS = {
                     "release_ms": 200.0, "knee_db": 6.0, "makeup_db": 3.0}},
     ],
     "Jet Flanger": [
-        # A flanger IS a short-base chorus: the 1-5 ms modulated comb
-        # sweeps the whole spectrum (no new effect type needed).
-        {"effect_id": "jf1", "type": "chorus",
+        # Regenerative flanger: the feedback path is what makes the
+        # resonant jet (models/flanger.py; the feed-forward comb alone
+        # is the chorus at a short base).
+        {"effect_id": "jf1", "type": "flanger",
          "params": {"rate_hz": 0.25, "depth_ms": 2.0, "base_ms": 3.0,
-                    "mix": 0.5, "spread": 0.0}},
+                    "feedback": 0.7, "mix": 0.5, "spread": 0.0}},
     ],
     "8-Bit Arcade": [
         {"effect_id": "ba1", "type": "bitcrusher",
@@ -264,6 +273,14 @@ UI_CONTROLS = {
         ("rate_hz", "Rate (Hz)", 0.05, 20.0, 0.05),
         ("depth", "Depth", 0.0, 1.0, 0.02),
         ("spread", "Stereo spread (0.5=auto-pan)", 0.0, 0.5, 0.01),
+    ],
+    "flanger": [
+        ("rate_hz", "Rate (Hz)", 0.05, 5.0, 0.05),
+        ("depth_ms", "Depth (ms)", 0.0, 5.0, 0.1),
+        ("base_ms", "Base delay (ms)", 0.5, 10.0, 0.25),
+        ("feedback", "Regeneration", -0.9, 0.9, 0.02),
+        ("mix", "Mix", 0.0, 1.0, 0.01),
+        ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
     ],
     "ringmod": [
         ("carrier_hz", "Carrier (Hz)", 0.5, 5000, 0.5),

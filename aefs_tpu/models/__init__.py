@@ -11,6 +11,7 @@ from aefs_tpu.models.bitcrusher import Bitcrusher
 from aefs_tpu.models.chorus import Chorus
 from aefs_tpu.models.compressor import Compressor
 from aefs_tpu.models.delay import StereoDelay
+from aefs_tpu.models.flanger import Flanger
 from aefs_tpu.models.gate import NoiseGate
 from aefs_tpu.models.octaver import Octaver
 from aefs_tpu.models.phaser import Phaser
@@ -28,6 +29,7 @@ EFFECT_REGISTRY = {
     "gate": NoiseGate,
     "compressor": Compressor,
     "chorus": Chorus,
+    "flanger": Flanger,
     "tremolo": Tremolo,
     "phaser": Phaser,
     "ringmod": RingMod,
@@ -47,6 +49,7 @@ __all__ = [
     "Chorus",
     "Compressor",
     "StereoDelay",
+    "Flanger",
     "NoiseGate",
     "Octaver",
     "Phaser",

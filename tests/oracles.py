@@ -520,6 +520,50 @@ class OracleWaveshaper:
         return np.clip(y, -1, 1)
 
 
+class OracleFlanger:
+    """Feedback flanger, float64 per-sample (models/flanger.py
+    definition): v[n] = x[n] + fb * s[n] with s[n] the cubic tap of v at
+    the LFO-swept distance, y = (1-mix)x + mix*s.  Tap convention
+    matches fractional_read_cubic (taps at ceil(a)+{1,0,-1,-2}, frac =
+    ceil(a) - a); the d >= 24-sample clamp and the f32 dph quantization
+    mirror the model."""
+
+    D_MIN = 24.0
+
+    def __init__(self, fs, rate_hz=0.3, depth_ms=2.0, base_ms=2.5,
+                 feedback=0.6, mix=0.5, spread=0.0, channels=2):
+        self.fs = fs
+        self.p = dict(rate_hz=rate_hz, depth_ms=depth_ms, base_ms=base_ms,
+                      feedback=feedback, mix=mix, spread=spread)
+        self.hist_len = int((10.0 + 5.0) * fs / 1000.0) + 8
+        self.hist = np.zeros((channels, self.hist_len))
+        self.phase = 0.0
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        dph = float(np.float32(p["rate_hz"]) / np.float32(self.fs))
+        n, c = x.shape
+        y = np.zeros_like(x)
+        s = self.hist_len
+        ext = np.concatenate([self.hist, np.zeros((c, n))], axis=1)
+        for i in range(n):
+            ph = self.phase + i * dph
+            for ch in range(c):
+                pc = ph + p["spread"] * ch
+                d_ms = p["base_ms"] + p["depth_ms"] * np.sin(2 * np.pi * pc)
+                a = min(max(d_ms * self.fs / 1000.0, self.D_MIN), s - 2.0)
+                ca = int(np.ceil(a))
+                frac = ca - a
+                base = s + i
+                taps = [ext[ch, base - ca - 1 + k] for k in range(4)]
+                tap = _cubic(frac, *taps)
+                ext[ch, base] = x[i, ch] + p["feedback"] * tap
+                y[i, ch] = (1 - p["mix"]) * x[i, ch] + p["mix"] * tap
+        self.hist = ext[:, -s:]
+        self.phase = (self.phase + n * dph) % 1.0
+        return y
+
+
 def _phase_step_u32(freq_hz, fs):
     """Mirror models/ringmod.py:phase_step_u32 exactly (f32 quantization,
     top-of-range clamp) so the integer phase math is bitwise shared."""

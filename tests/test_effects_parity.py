@@ -25,6 +25,7 @@ from oracles import (
     OracleWaveshaper,
     OracleBitcrusher,
     OracleChorus,
+    OracleFlanger,
     OracleRingMod,
     OracleConvReverb,
     OraclePhaser,
@@ -261,6 +262,49 @@ def test_phaser_parity(params):
     oracle = OraclePhaser(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"rate_hz": 0.3, "depth_ms": 2.0, "base_ms": 2.5,
+         "feedback": 0.6, "mix": 0.5, "spread": 0.0},
+        {"rate_hz": 2.0, "depth_ms": 4.0, "base_ms": 1.0,
+         "feedback": -0.7, "mix": 1.0, "spread": 0.25},  # negative regen,
+        # depth > base: the negative LFO half-cycle rides the 24-sample clamp
+        {"rate_hz": 0.1, "depth_ms": 0.0, "base_ms": 8.0,
+         "feedback": 0.7, "mix": 0.5, "spread": 0.5},  # static comb
+    ],
+)
+def test_flanger_parity(params):
+    """Feedback flanger (new in this build): the time-varying fractional
+    -delay comb solved by exact nilpotent fixed-point sweeps vs the
+    float64 per-sample recursion (models/flanger.py)."""
+    x = tones(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "f", "type": "flanger", "params": params}, x)
+    oracle = OracleFlanger(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+def test_flanger_bitwise_blocking_invariance():
+    """Any block size is processed as the same 256-sample chunk sequence
+    (models/flanger.py lax.scan), so 256-streaming and 4096-superblock
+    dispatch execute identical op sequences — bitwise equal."""
+    from aefs_tpu.core.chain import build_chain as _bc
+
+    def run(cfg, x, blocksize):
+        chain, state, tmap = _bc([cfg], FS, blocksize, channels_in=x.shape[1])
+        _, out = chain.process_array(state, chain.targets(tmap), x)
+        return np.asarray(out)
+
+    x = noise(8 * 4096)  # noise: worst case for tap quantization
+    cfg = {"effect_id": "f", "type": "flanger",
+           "params": {"rate_hz": 1.3, "depth_ms": 3.0, "base_ms": 2.0,
+                      "feedback": 0.8, "mix": 0.7, "spread": 0.25}}
+    a = run(cfg, x, 256)
+    b = run(cfg, x, 4096)
+    np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize(

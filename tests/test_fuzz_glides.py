@@ -26,7 +26,7 @@ BLOCKS = 400  # covers the slowest legal glide (release_ms 10->1000 @ 10/blk)
 
 GLIDE_TYPES = ["delay", "reverb", "gate", "compressor", "spectral",
                "octaver", "filter", "waveshaper", "convreverb", "chorus",
-               "tremolo", "phaser", "ringmod", "bitcrusher"]
+               "tremolo", "phaser", "ringmod", "bitcrusher", "flanger"]
 
 
 def draw_params(cls, rng, near=None):

@@ -61,6 +61,7 @@ FUZZ_TYPES = [
     ("waveshaper", {}),
     ("ringmod", {}),
     ("bitcrusher", {}),
+    ("flanger", {}),
     ("convreverb", {"ir_seconds": 0.4}),
 ]
 
@@ -141,6 +142,11 @@ def chain_tolerance(flat):
             tol = max(tol, -30.0)
         elif c["type"] == "chorus":
             tol = max(tol, -42.0)
+        elif c["type"] == "flanger":
+            # The chorus's f32 absolute-delay tap floor, recirculated
+            # with the comb's resonant gain 1/(1-|fb|).
+            res = 1.0 / max(1.0 - abs(c["params"]["feedback"]), 1e-3)
+            tol = max(tol, -42.0 + 20.0 * np.log10(res))
         elif c["type"] == "filter":
             # Poles from the MODEL's own coefficient formulas (all six
             # RBJ types — shelves/peak move the denominator with gain).

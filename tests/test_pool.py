@@ -224,6 +224,11 @@ def test_pool_lofi_chain_sharded_matches_unsharded():
          "params": {"bits": 6.0, "rate_hz": 9001.0, "mix": 1.0}},
         {"effect_id": "rm", "type": "ringmod",
          "params": {"carrier_hz": 880.0, "mix": 0.5, "spread": 0.25}},
+        # feedback-state effect: per-slot delay-line history + nilpotent
+        # in-chunk solve must vmap/shard exactly too
+        {"effect_id": "fl", "type": "flanger",
+         "params": {"rate_hz": 0.8, "depth_ms": 1.5, "base_ms": 2.0,
+                    "feedback": 0.5, "mix": 0.4, "spread": 0.0}},
     ]
     import jax
     assert len(jax.devices()) >= 8
