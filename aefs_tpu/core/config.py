@@ -82,6 +82,16 @@ EFFECT_DEFAULTS = {
         "mix": 0.5,
         "spread": 0.0,
     },
+    "wah": {
+        "rate_hz": 1.5,
+        "min_hz": 350.0,
+        "max_hz": 2200.0,
+        "res": 3.0,
+        "mix": 1.0,
+        "mode": 0.0,  # 0=LFO sweep, 1=envelope (auto-wah), blendable
+        "sens": 4.0,
+        "env_ms": 30.0,
+    },
     "ringmod": {
         "carrier_hz": 440.0,
         "mix": 1.0,
@@ -176,6 +186,16 @@ DEFAULT_PRESETS = {
         {"effect_id": "jf1", "type": "flanger",
          "params": {"rate_hz": 0.25, "depth_ms": 2.0, "base_ms": 3.0,
                     "feedback": 0.7, "mix": 0.5, "spread": 0.0}},
+    ],
+    "Funky Talk": [
+        # Envelope auto-wah into a touch of slap delay.
+        {"effect_id": "fw1", "type": "wah",
+         "params": {"mode": 1.0, "sens": 8.0, "env_ms": 25.0, "res": 4.0,
+                    "min_hz": 300.0, "max_hz": 2500.0, "mix": 1.0,
+                    "rate_hz": 1.5}},
+        {"effect_id": "fw2", "type": "delay",
+         "params": {"delay_ms": 110, "feedback": 0.15, "mix_wet": 0.25,
+                    "mix_dry": 1.0, "offset_ms": 0}},
     ],
     "8-Bit Arcade": [
         {"effect_id": "ba1", "type": "bitcrusher",
@@ -281,6 +301,16 @@ UI_CONTROLS = {
         ("feedback", "Regeneration", -0.9, 0.9, 0.02),
         ("mix", "Mix", 0.0, 1.0, 0.01),
         ("spread", "Stereo spread (cycles)", 0.0, 0.5, 0.01),
+    ],
+    "wah": [
+        ("rate_hz", "LFO rate (Hz)", 0.05, 8.0, 0.05),
+        ("min_hz", "Sweep floor (Hz)", 100, 1000, 10),
+        ("max_hz", "Sweep ceiling (Hz)", 300, 4000, 10),
+        ("res", "Resonance (Q)", 0.5, 8.0, 0.1),
+        ("mix", "Mix", 0.0, 1.0, 0.01),
+        ("mode", "Mode (0=LFO, 1=Envelope)", 0.0, 1.0, 0.05),
+        ("sens", "Envelope sensitivity", 0.5, 20.0, 0.25),
+        ("env_ms", "Envelope speed (ms)", 5, 200, 1),
     ],
     "ringmod": [
         ("carrier_hz", "Carrier (Hz)", 0.5, 5000, 0.5),

@@ -19,6 +19,7 @@ from aefs_tpu.models.reverb import Reverb
 from aefs_tpu.models.ringmod import RingMod
 from aefs_tpu.models.spectral import SpectralFilter
 from aefs_tpu.models.tremolo import Tremolo
+from aefs_tpu.models.wah import Wah
 from aefs_tpu.models.waveshaper import Waveshaper
 from aefs_tpu.models.convreverb import ConvReverb, synthetic_ir
 from aefs_tpu.models.parallel_chain import ParallelChains
@@ -34,6 +35,7 @@ EFFECT_REGISTRY = {
     "phaser": Phaser,
     "ringmod": RingMod,
     "bitcrusher": Bitcrusher,
+    "wah": Wah,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -57,6 +59,7 @@ __all__ = [
     "RingMod",
     "SpectralFilter",
     "Tremolo",
+    "Wah",
     "Waveshaper",
     "ConvReverb",
     "synthetic_ir",

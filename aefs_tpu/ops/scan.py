@@ -476,6 +476,61 @@ def linrec2(v, a1, a2, y1, y2):
     return cp * y1 + cq * y2 + cu
 
 
+def mat2_affine_hillis(mp, mq, mr, ms, bu, bv, init1, init2):
+    """Solve the order-2 VECTOR recurrence s[n] = M[n] @ s[n-1] + b[n]
+    over the LAST axis, with PER-SAMPLE matrices — the time-varying
+    generalization of ``linrec2`` (whose companion matrix is constant
+    across the block; a MODULATED filter's is not).
+
+    M[n] = [[mp, mq], [mr, ms]][n],  b[n] = [bu, bv][n],
+    s[-1] = [init1, init2].
+
+    All six coefficient arrays are (..., N) with matching shapes;
+    init1/init2 broadcast to one last-axis slice.  Returns (s1, s2),
+    each (..., N) — the state components at every n.
+
+    Same hand-rolled Hillis-Steele as ``affine_hillis`` (contiguous
+    pad + static slice per level, no strided lane slices); each of the
+    log2(N) levels composes the affine maps: M <- M @ M1 (eight FMAs),
+    b <- M @ b1 + b, with identity fill past the left edge.
+    """
+    bu = jnp.asarray(bu)
+    dt = bu.dtype
+    n = bu.shape[-1]
+    shp = bu.shape
+    cp = jnp.broadcast_to(jnp.asarray(mp, dt), shp)
+    cq = jnp.broadcast_to(jnp.asarray(mq, dt), shp)
+    cr = jnp.broadcast_to(jnp.asarray(mr, dt), shp)
+    cs = jnp.broadcast_to(jnp.asarray(ms, dt), shp)
+    cu = bu
+    cv = jnp.broadcast_to(jnp.asarray(bv, dt), shp)
+    pad = [(0, 0)] * (bu.ndim - 1)
+
+    def shift(x, k, fill):
+        return jnp.pad(x, pad + [(k, 0)], constant_values=fill)[..., :n]
+
+    k = 1
+    while k < n:
+        p1 = shift(cp, k, 1.0)
+        q1 = shift(cq, k, 0.0)
+        r1 = shift(cr, k, 0.0)
+        s1 = shift(cs, k, 1.0)
+        u1 = shift(cu, k, 0.0)
+        v1 = shift(cv, k, 0.0)
+        cp, cq, cr, cs, cu, cv = (
+            cp * p1 + cq * r1,
+            cp * q1 + cq * s1,
+            cr * p1 + cs * r1,
+            cr * q1 + cs * s1,
+            cp * u1 + cq * v1 + cu,
+            cr * u1 + cs * v1 + cv,
+        )
+        k *= 2
+    i1 = jnp.asarray(init1, dt)
+    i2 = jnp.asarray(init2, dt)
+    return cp * i1 + cq * i2 + cu, cr * i1 + cs * i2 + cv
+
+
 def biquad_block(x, b0, b1, b2, a1, a2, state):
     """Direct-Form-I biquad over a block, per channel.
 

