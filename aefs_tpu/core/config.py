@@ -110,6 +110,12 @@ EFFECT_DEFAULTS = {
         "knee_db": 6.0,
         "makeup_db": 0.0,
     },
+    "limiter": {
+        "ceiling_db": -1.0,
+        "release_ms": 80.0,
+        "drive_db": 0.0,
+        "lookahead_ms": 5.0,  # static: sets the delay-line topology
+    },
     "waveshaper": {
         "drive": 4.0,
         "shape": 1,  # 0=hard clip, 1=tanh, 2=cubic soft
@@ -187,6 +193,15 @@ DEFAULT_PRESETS = {
          "params": {"rate_hz": 0.25, "depth_ms": 2.0, "base_ms": 3.0,
                     "feedback": 0.7, "mix": 0.5, "spread": 0.0}},
     ],
+    "Master Bus": [
+        # Glue compression into a -1 dB brickwall ceiling.
+        {"effect_id": "mb1", "type": "compressor",
+         "params": {"threshold_db": -18.0, "ratio": 2.5, "attack_ms": 25.0,
+                    "release_ms": 180.0, "knee_db": 6.0, "makeup_db": 3.0}},
+        {"effect_id": "mb2", "type": "limiter",
+         "params": {"ceiling_db": -1.0, "release_ms": 80.0, "drive_db": 3.0,
+                    "lookahead_ms": 5.0}},
+    ],
     "Funky Talk": [
         # Envelope auto-wah into a touch of slap delay.
         {"effect_id": "fw1", "type": "wah",
@@ -235,7 +250,8 @@ DEFAULT_PRESETS = {
 # Params that are static topology (rebuild the chain on change) rather
 # than live smoothed targets — the UI sends build_chain instead of
 # update_param for these.
-STATIC_UI_PARAMS = {"convreverb": ["ir_seconds"]}
+STATIC_UI_PARAMS = {"convreverb": ["ir_seconds"],
+                    "limiter": ["lookahead_ms"]}
 
 # UI slider specs: (param, label, min, max, step) per effect type
 # (app.py:84-122 plus the two new effects).
@@ -329,6 +345,12 @@ UI_CONTROLS = {
         ("release_ms", "Release (ms)", 10, 1000, 10),
         ("knee_db", "Knee width (dB)", 0, 24, 1),
         ("makeup_db", "Makeup gain (dB)", -12, 24, 0.5),
+    ],
+    "limiter": [
+        ("ceiling_db", "Ceiling (dB)", -24, 0, 0.25),
+        ("release_ms", "Release (ms)", 10, 1000, 10),
+        ("drive_db", "Input drive (dB)", -12, 24, 0.25),
+        ("lookahead_ms", "Look-ahead (ms)", 1, 10, 0.5),
     ],
     "waveshaper": [
         ("drive", "Drive", 1.0, 50.0, 0.5),

@@ -13,6 +13,7 @@ from aefs_tpu.models.compressor import Compressor
 from aefs_tpu.models.delay import StereoDelay
 from aefs_tpu.models.flanger import Flanger
 from aefs_tpu.models.gate import NoiseGate
+from aefs_tpu.models.limiter import Limiter
 from aefs_tpu.models.octaver import Octaver
 from aefs_tpu.models.phaser import Phaser
 from aefs_tpu.models.reverb import Reverb
@@ -29,6 +30,7 @@ EFFECT_REGISTRY = {
     "reverb": Reverb,
     "gate": NoiseGate,
     "compressor": Compressor,
+    "limiter": Limiter,
     "chorus": Chorus,
     "flanger": Flanger,
     "tremolo": Tremolo,
@@ -52,6 +54,7 @@ __all__ = [
     "Compressor",
     "StereoDelay",
     "Flanger",
+    "Limiter",
     "NoiseGate",
     "Octaver",
     "Phaser",

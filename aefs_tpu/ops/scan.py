@@ -476,6 +476,89 @@ def linrec2(v, a1, a2, y1, y2):
     return cp * y1 + cq * y2 + cu
 
 
+def minaffine_hillis(mult, add, cap, init):
+    """Solve y[n] = min(cap[n], mult[n]*y[n-1] + add[n]) over the LAST
+    axis, y[-1] = init — the capped-affine recurrence of a limiter's
+    release smoother (rise exponentially, but never above the window
+    floor).
+
+    The map y -> min(c, a*y + b) with a >= 0 composes closed:
+      f2 o f1 = (a2*a1,  a2*b1 + b2,  min(c2, a2*c1 + b2)),
+    identity (1, 0, +inf) — so it Hillis-scans like ``affine_hillis``
+    with one extra min lane.
+
+    mult, add, cap: (..., N) with a >= 0 (broadcast ``mult`` first);
+    init broadcastable to one last-axis slice.  Returns y = (..., N).
+    """
+    add = jnp.asarray(add)
+    n = add.shape[-1]
+    dt = add.dtype
+    inf = jnp.asarray(jnp.inf, dt)
+    a = jnp.broadcast_to(jnp.asarray(mult, dt), add.shape)
+    b = add
+    c = jnp.broadcast_to(jnp.asarray(cap, dt), add.shape)
+    pad = [(0, 0)] * (add.ndim - 1)
+    s = 1
+    while s < n:
+        a1 = jnp.pad(a, pad + [(s, 0)], constant_values=1.0)[..., :n]
+        b1 = jnp.pad(b, pad + [(s, 0)])[..., :n]
+        c1 = jnp.pad(c, pad + [(s, 0)], constant_values=jnp.inf)[..., :n]
+        a, b, c = (
+            a * a1,
+            a * b1 + b,
+            jnp.minimum(c, a * c1 + b),
+        )
+        s *= 2
+    return jnp.minimum(c, a * jnp.asarray(init, dt) + b)
+
+
+def window_min_trailing(ext, w: int, n: int):
+    """min over the trailing ``w``-sample window, for the last ``n``
+    positions of ``ext`` (..., H + n) with H >= w - 1 history.
+
+    Log-doubling dilation: power-of-2 window mins by pairwise min with
+    a static shift, then one overlapping combine for arbitrary w (valid
+    for idempotent min, unlike sums).  All slices static.
+    """
+    m = ext
+    k = 1
+    while 2 * k <= w:
+        m = jnp.minimum(m[..., k:], m[..., :-k])  # window 2k mins
+        k *= 2
+    # m[i] = min over [i, i+k) of ext; combine two k-windows covering w.
+    if w > k:
+        m = jnp.minimum(m[..., w - k:], m[..., : m.shape[-1] - (w - k)])
+    return m[..., -n:]
+
+
+def window_sum_trailing(ext, w: int, n: int):
+    """Sum over the trailing ``w``-sample window for the last ``n``
+    positions of ``ext`` — w decomposed in binary into DISJOINT
+    power-of-2 chunk sums (sums cannot use the min's overlapping
+    combine).  No long cumsum: every partial is a local sum of <= w
+    terms, so float32 stays exact-ish at any signal length (a plain
+    cumsum's running total loses ~ulp(N) per sample, catastrophic for
+    gain signals at file lengths).
+    """
+    sums = {1: ext}
+    k = 1
+    while 2 * k <= w:
+        s = sums[k]
+        sums[2 * k] = s[..., k:] + s[..., :-k]
+        k *= 2
+    total = None
+    off = 0  # distance already consumed at the window's trailing end
+    k = 1
+    while k <= w:
+        if w & k:
+            s = sums[k]
+            sl = s[..., s.shape[-1] - n - off: s.shape[-1] - off]
+            total = sl if total is None else total + sl
+            off += k
+        k *= 2
+    return total
+
+
 def mat2_affine_hillis(mp, mq, mr, ms, bu, bv, init1, init2):
     """Solve the order-2 VECTOR recurrence s[n] = M[n] @ s[n-1] + b[n]
     over the LAST axis, with PER-SAMPLE matrices — the time-varying

@@ -520,6 +520,57 @@ class OracleWaveshaper:
         return np.clip(y, -1, 1)
 
 
+class OracleLimiter:
+    """Look-ahead brickwall limiter, float64 per-sample
+    (models/limiter.py definition: window-min gain floor, capped-affine
+    release, W-point moving-average attack ramp, D = W-1 delay).
+    The f32 release coefficient is mirrored exactly — it drives a
+    forgetting recursion whose gap would otherwise amplify by
+    1/(1-a_r)."""
+
+    def __init__(self, fs, ceiling_db=-1.0, release_ms=80.0, drive_db=0.0,
+                 lookahead_ms=5.0, channels=2):
+        self.fs = fs
+        self.p = dict(ceiling_db=ceiling_db, release_ms=release_ms,
+                      drive_db=drive_db)
+        self.w = max(int(round(lookahead_ms * fs / 1000.0)), 1) + 1
+        d = self.w - 1
+        self.xh = np.zeros((channels, d))
+        self.gth = np.ones(d)
+        self.vh = np.ones(d)
+        self.g = 1.0
+
+    def process(self, x):  # (N, C)
+        p = self.p
+        w = self.w
+        d = w - 1
+        gain_in = float(np.exp2(np.float32(p["drive_db"])
+                                * np.float32(1.0 / 6.0206)))
+        ceiling = float(np.exp2(np.float32(p["ceiling_db"])
+                                * np.float32(1.0 / 6.0206)))
+        a_r = float(np.exp(np.float32(-1000.0)
+                           / (np.float32(p["release_ms"])
+                              * np.float32(self.fs))))
+        n, c = x.shape
+        y = np.zeros_like(x)
+        xext = np.concatenate([self.xh, gain_in * x.T], axis=1)  # (C, D+N)
+        gtext = np.concatenate([self.gth, np.zeros(n)])
+        vext = np.concatenate([self.vh, np.zeros(n)])
+        for i in range(n):
+            j = d + i
+            peak = np.max(np.abs(xext[:, j]))
+            gtext[j] = min(1.0, ceiling / max(peak, 1e-30))
+            u = np.min(gtext[j - d: j + 1])
+            self.g = min(u, a_r * self.g + (1.0 - a_r) * u)
+            vext[j] = self.g
+            g = np.mean(vext[j - d: j + 1])
+            y[i] = g * xext[:, j - d]
+        self.xh = xext[:, -d:]
+        self.gth = gtext[-d:]
+        self.vh = vext[-d:]
+        return y
+
+
 class OracleWah:
     """LFO/envelope-swept Chamberlin SVF, float64 per-sample
     (models/wah.py definition; f32 dph/a_e quantization mirrored)."""

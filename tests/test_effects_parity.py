@@ -26,6 +26,7 @@ from oracles import (
     OracleBitcrusher,
     OracleChorus,
     OracleFlanger,
+    OracleLimiter,
     OracleRingMod,
     OracleWah,
     OracleConvReverb,
@@ -286,6 +287,43 @@ def test_flanger_parity(params):
     oracle = OracleFlanger(FS, **params)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"ceiling_db": -6.0, "release_ms": 80.0, "drive_db": 6.0,
+         "lookahead_ms": 5.0},
+        {"ceiling_db": -1.0, "release_ms": 10.0, "drive_db": 24.0,
+         "lookahead_ms": 1.0},  # slammed into the ceiling
+        {"ceiling_db": -12.0, "release_ms": 1000.0, "drive_db": 0.0,
+         "lookahead_ms": 10.0},  # slow release, long look-ahead
+    ],
+)
+def test_limiter_parity(params):
+    """Look-ahead brickwall (new in this build): window-min floor +
+    (min, affine) release scan + moving-average attack ramp vs the
+    float64 per-sample recursion (measured -102..-119)."""
+    x = bursts(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "l", "type": "limiter", "params": params}, x)
+    oracle = OracleLimiter(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+    # the brickwall holds to f32 rounding
+    ceil_lin = 10.0 ** (params["ceiling_db"] / 20.0)
+    assert float(np.max(np.abs(np.asarray(got)))) <= ceil_lin + 1e-6
+
+
+def test_limiter_under_ceiling_is_transparent():
+    """A signal fully under the ceiling passes at unity gain (to f32
+    rounding of the W-point gain average)."""
+    x = bursts(FRAMES, fs=FS) * 0.1
+    got = run_chain({"effect_id": "l", "type": "limiter",
+                     "params": {"ceiling_db": 0.0, "release_ms": 80.0,
+                                "drive_db": 0.0, "lookahead_ms": 5.0}}, x)
+    d = 1 + int(round(5.0 * FS / 1000.0))  # the look-ahead delay... window-1
+    np.testing.assert_allclose(np.asarray(got)[d - 1:], x[: len(x) - d + 1],
+                               atol=2e-7)
 
 
 @pytest.mark.parametrize(

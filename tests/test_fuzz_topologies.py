@@ -63,6 +63,7 @@ FUZZ_TYPES = [
     ("bitcrusher", {}),
     ("flanger", {}),
     ("wah", {}),
+    ("limiter", {"lookahead_ms": 3.0}),
     ("convreverb", {"ir_seconds": 0.4}),
 ]
 
