@@ -147,3 +147,40 @@ def test_unknown_effect_type_skipped():
     x = noise(2 * N, channels=1)
     _, y = chain.process_array(state, chain.targets(tmap), x)
     assert np.allclose(y[:, 0], x[:, 0])  # passthrough fan-out
+
+
+def test_registry_config_ui_consistency():
+    """Every registered effect type is reachable from the product: it has
+    EFFECT_DEFAULTS and UI_CONTROLS entries, every UI control maps to a
+    live ParamSpec or a declared static, defaults are in-spec, and every
+    factory preset builds against the registry."""
+    from aefs_tpu.core.config import (
+        DEFAULT_PRESETS, EFFECT_DEFAULTS, STATIC_UI_PARAMS, UI_CONTROLS,
+    )
+    from aefs_tpu.models import EFFECT_REGISTRY
+
+    for etype, cls in EFFECT_REGISTRY.items():
+        if etype == "parallel":  # container: configured per-branch
+            continue
+        assert etype in EFFECT_DEFAULTS, etype
+        assert etype in UI_CONTROLS, etype
+        statics = set(STATIC_UI_PARAMS.get(etype, []))
+        for name, _label, lo, hi, _step in UI_CONTROLS[etype]:
+            if name in statics:
+                continue
+            spec = cls.PARAMS.get(name)
+            assert spec is not None, (etype, name)
+            assert spec.lo <= lo <= hi <= spec.hi, (etype, name)
+        for name, dflt in EFFECT_DEFAULTS[etype].items():
+            if name in statics:
+                continue
+            spec = cls.PARAMS.get(name)
+            assert spec is not None, (etype, name)
+            assert spec.lo <= dflt <= spec.hi, (etype, name)
+
+    for pname, cfgs in DEFAULT_PRESETS.items():
+        for cfg in cfgs:
+            assert cfg["type"] in EFFECT_REGISTRY, (pname, cfg["type"])
+            chain, state, tmap = build_chain(
+                [cfg], FS, N, channels_in=1)
+            assert len(chain.effects) == 1, (pname, cfg["effect_id"])

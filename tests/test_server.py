@@ -386,7 +386,8 @@ def test_ui_http_server_serves_spa_and_config():
         assert cfg["effect_defaults"] == json.loads(json.dumps(EFFECT_DEFAULTS))
         assert "compressor" in cfg["effect_defaults"]
         assert "Broadcast Voice" in cfg["default_presets"]
-        assert cfg["static_params"] == {"convreverb": ["ir_seconds"]}
+        assert cfg["static_params"] == {"convreverb": ["ir_seconds"],
+                                        "limiter": ["lookahead_ms"]}
         assert isinstance(cfg["ws_port"], int)
         for asset in ("/app.js", "/plots.js", "/style.css"):
             status, body = get(asset)
