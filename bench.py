@@ -71,6 +71,25 @@ CONFIGS = {
         {"effect_id": "c", "type": "convreverb",
          "params": {"ir_seconds": 2.5, "mix_dry": 0.7, "mix_wet": 0.4}},
     ],
+    # Opt-in (AEFS_BENCH_EXTENDED=1): the round-3 new-effect families —
+    # modulated resonator, regenerative comb, lo-fi pair, brickwall —
+    # as one chain; not part of the official BASELINE headline.
+    "x_new_effects": [
+        {"effect_id": "w", "type": "wah",
+         "params": {"rate_hz": 1.5, "min_hz": 350, "max_hz": 2200,
+                    "res": 3.0, "mix": 0.7, "mode": 0.3, "sens": 6.0,
+                    "env_ms": 30.0}},
+        {"effect_id": "fl", "type": "flanger",
+         "params": {"rate_hz": 0.3, "depth_ms": 2.0, "base_ms": 2.5,
+                    "feedback": 0.6, "mix": 0.5, "spread": 0.25}},
+        {"effect_id": "bc", "type": "bitcrusher",
+         "params": {"bits": 8.0, "rate_hz": 12000.0, "mix": 0.6}},
+        {"effect_id": "rm", "type": "ringmod",
+         "params": {"carrier_hz": 330.0, "mix": 0.3, "spread": 0.25}},
+        {"effect_id": "li", "type": "limiter",
+         "params": {"ceiling_db": -1.0, "release_ms": 80.0,
+                    "drive_db": 3.0, "lookahead_ms": 5.0}},
+    ],
     "5_five_effect": [
         {"effect_id": "g", "type": "gate",
          "params": {"threshold_db": -45, "attack_ms": 5, "release_ms": 100}},
@@ -713,7 +732,11 @@ def main():
     superblock = 4096
     # HEADLINE FIRST: the flagship 5-effect chain is the official metric —
     # measure it before anything else so a mid-run wedge still yields it.
-    order = ["5_five_effect"] + [k for k in CONFIGS if k != "5_five_effect"]
+    extended = os.environ.get("AEFS_BENCH_EXTENDED", "0") == "1"
+    order = ["5_five_effect"] + [
+        k for k in CONFIGS
+        if k != "5_five_effect" and (extended or not k.startswith("x_"))
+    ]
     for name in order:
         try:
             results[name] = bench_file_mode(name, CONFIGS[name], x, superblock)

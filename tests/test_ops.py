@@ -534,3 +534,82 @@ def test_split12_veltkamp_property():
         # j * hi exact for j up to 4095
         j = np.float32(4095.0)
         assert float(j * hi) == 4095.0 * float(hi)
+
+
+def test_window_min_and_sum_trailing_match_numpy():
+    """Log-doubling trailing-window min and binary-disjoint window sums
+    (ops/scan.py) vs brute force, across window sizes incl. powers of
+    two, w=1, and the full-history edge."""
+    from aefs_tpu.ops.scan import window_min_trailing, window_sum_trailing
+
+    rng = np.random.default_rng(5)
+    for w in (1, 2, 3, 7, 8, 13, 64, 100, 241):
+        n = 300
+        h = w - 1
+        ext = rng.standard_normal((2, h + n)).astype(np.float32)
+        got_min = np.asarray(window_min_trailing(jnp.asarray(ext), w, n))
+        got_sum = np.asarray(window_sum_trailing(jnp.asarray(ext), w, n))
+        ref_min = np.stack([
+            [ext[c, j - w + 1: j + 1].min() for j in range(h, h + n)]
+            for c in range(2)
+        ])
+        ref_sum = np.stack([
+            [ext[c, j - w + 1: j + 1].astype(np.float64).sum()
+             for j in range(h, h + n)]
+            for c in range(2)
+        ])
+        np.testing.assert_array_equal(got_min, ref_min.astype(np.float32),
+                                      err_msg=f"w={w}")
+        np.testing.assert_allclose(got_sum, ref_sum, rtol=0, atol=1e-4,
+                                   err_msg=f"w={w}")
+
+
+def test_minaffine_hillis_matches_sequential():
+    """y[n] = min(cap, a*y[n-1] + b) — the limiter's release recurrence —
+    vs a float64 sequential loop."""
+    from aefs_tpu.ops.scan import minaffine_hillis
+
+    rng = np.random.default_rng(6)
+    n = 777
+    a = rng.uniform(0.9, 0.9999, n).astype(np.float32)
+    b = rng.uniform(0.0, 0.1, n).astype(np.float32)
+    cap = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    init = 0.7
+    got = np.asarray(minaffine_hillis(
+        jnp.asarray(a)[None], jnp.asarray(b)[None], jnp.asarray(cap)[None],
+        jnp.float32(init)))[0]
+    y = init
+    ref = np.zeros(n)
+    for i in range(n):
+        y = min(float(cap[i]), float(a[i]) * y + float(b[i]))
+        ref[i] = y
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_mat2_affine_hillis_matches_sequential():
+    """Per-sample 2x2 matrix recurrence (the wah's swept SVF) vs a
+    float64 sequential loop, incl. a rotation-heavy draw."""
+    from aefs_tpu.ops.scan import mat2_affine_hillis
+
+    rng = np.random.default_rng(7)
+    n = 512
+    th = rng.uniform(0.0, 0.3, n)
+    r = rng.uniform(0.95, 0.999, n)
+    mp = (r * np.cos(th)).astype(np.float32)
+    mq = (r * np.sin(th)).astype(np.float32)
+    mr = (-r * np.sin(th)).astype(np.float32)
+    ms = (r * np.cos(th)).astype(np.float32)
+    bu = rng.standard_normal(n).astype(np.float32) * 0.1
+    bv = rng.standard_normal(n).astype(np.float32) * 0.1
+    i1, i2 = 0.3, -0.2
+    g1, g2 = mat2_affine_hillis(
+        *(jnp.asarray(v)[None] for v in (mp, mq, mr, ms, bu, bv)),
+        jnp.float32(i1), jnp.float32(i2))
+    s = np.array([i1, i2])
+    ref = np.zeros((n, 2))
+    for i in range(n):
+        m = np.array([[mp[i], mq[i]], [mr[i], ms[i]]], np.float64)
+        s = m @ s + np.array([bu[i], bv[i]], np.float64)
+        ref[i] = s
+    np.testing.assert_allclose(np.asarray(g1)[0], ref[:, 0], rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g2)[0], ref[:, 1], rtol=0, atol=5e-5)
