@@ -222,3 +222,43 @@ def test_cli_resume_ignores_uncommitted_generation(tmp_path):
     a, fsa = read_wav_file(str(out_ref))
     b, fsb = read_wav_file(str(out2))
     assert fsa == fsb and np.array_equal(a, b)
+
+
+def test_save_resume_integer_state_effects_bit_exact(tmp_path):
+    """uint32 phase accumulators (ringmod/bitcrusher), the flanger's
+    delay-line history, and the limiter's gain state must round-trip a
+    checkpoint BITWISE — integer phase drift would be audible as a
+    carrier discontinuity."""
+    cfgs = [
+        {"effect_id": "b", "type": "bitcrusher",
+         "params": {"bits": 6.0, "rate_hz": 11025.0, "mix": 1.0}},
+        {"effect_id": "r", "type": "ringmod",
+         "params": {"carrier_hz": 4321.0, "mix": 0.7, "spread": 0.25}},
+        {"effect_id": "fl", "type": "flanger",
+         "params": {"rate_hz": 0.4, "depth_ms": 1.5, "base_ms": 2.0,
+                    "feedback": 0.55, "mix": 0.5, "spread": 0.0}},
+        {"effect_id": "li", "type": "limiter",
+         "params": {"ceiling_db": -3.0, "release_ms": 50.0,
+                    "drive_db": 6.0, "lookahead_ms": 2.0}},
+    ]
+    chain, state, tmap = build_chain(cfgs, FS, 256, channels_in=2)
+    targets = chain.targets(tmap)
+    step = chain.step()
+    x = noise(20 * 256, amp=0.4)
+    for i in range(10):
+        state, _ = step(state, targets, jnp.asarray(x[i * 256:(i + 1) * 256].T))
+    save_session(str(tmp_path / "ck"), cfgs, tmap, state)
+    ref = []
+    for i in range(10, 20):
+        state, y = step(state, targets, jnp.asarray(x[i * 256:(i + 1) * 256].T))
+        ref.append(np.asarray(y))
+
+    cfgs2, tmap2, rebuild = load_session(str(tmp_path / "ck"))
+    chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
+    state2 = rebuild(template)
+    step2 = chain2.step()
+    targets2 = chain2.targets(tmap2)
+    for i in range(10, 20):
+        state2, y = step2(state2, targets2,
+                          jnp.asarray(x[i * 256:(i + 1) * 256].T))
+        np.testing.assert_array_equal(np.asarray(y), ref[i - 10])
