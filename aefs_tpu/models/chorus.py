@@ -19,24 +19,29 @@ cycles, 0 = mono chorus, 0.25 = quadrature).
 Parity: float64 per-sample oracle (tests/oracles.py:OracleChorus)
 <= -80 dBFS on tonal program; mix=0 is exact passthrough.
 
-Perf note: the tap is the per-descriptor gather path, so whole-file
-mode runs ~hundreds-x realtime (vs thousands for the closed-form
-effects) and pooled serving rides the generic per-slot-taps cost, like
-the octaver's live-semitones mode.  The banded Pallas resampler
-(ops/pallas/resample.py) is the known lever if the chorus ever lands
-on a hot path — its per-tile position window fits the LFO's bounded
-slew the same way it fits the grain phasor.
+Perf note: streaming keeps the per-descriptor gather tap (a 256-sample
+block is far under the 5.33 ms deadline either way), but whole-file
+mode overrides ``process_file`` with the flanger's dense one-hot tap
+operator (models/flanger.py rationale): the vmapped-dynamic_slice
+gather over ~900k per-sample descriptors measured 76.6 ms on the TPU
+(243x realtime — the documented per-batch-starts cliff, CLAUDE.md);
+chunked dense contractions batched 8 chunks per scan step replace it
+with VPU comparisons + MXU matvecs.  Tap positions and weights are
+bitwise the ones the gather path computes; only the 4-term summation
+order differs (~eps, far under the chorus's documented -42 dB relative
+quantization floor).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.models.octaver import _two_sum
-from aefs_tpu.ops.ringbuf import fractional_read_cubic
+from aefs_tpu.ops.ringbuf import cubic_onehot_matrix, fractional_read_cubic
 
 MAX_BASE_MS = 40.0
 MAX_DEPTH_MS = 10.0
@@ -99,3 +104,67 @@ class Chorus(EffectModel):
             {"hist": new_hist, "ph_hi": hi - wrap, "ph_lo": lo},
             y,
         )
+
+    # 256-sample chunks, 8 chunks contracted per scan step (chunks are
+    # independent — the chorus is feed-forward — so the batch width only
+    # trades scan-step count against per-step working set, ~44 MB at 8).
+    _F_CHUNK = 256
+    _F_BATCH = 8
+
+    def process_file(self, state, p, x):
+        """Whole-file pass with the dense one-hot tap operator (see the
+        module docstring perf note): identical tap positions/weights to
+        ``process``'s gather — phase ramp, delay law, and clips are the
+        same expressions on the same global sample index — only the
+        4-term summation order differs (~eps)."""
+        c, n = x.shape
+        ch, b = self._F_CHUNK, self._F_BATCH
+        hl = self.hist_len
+        fs = jnp.float32(self.fs)
+        dph = p["rate_hz"] / fs
+
+        step_len = ch * b
+        mb = -(-n // step_len)  # scan steps
+        total = mb * step_len
+        xp = jnp.pad(x, ((0, 0), (0, total - n))) if total != n else x
+
+        idx = jnp.arange(total, dtype=jnp.float32)
+        ph = state["ph_hi"] + (state["ph_lo"] + idx * dph)
+        ph_c = ph[None, :] + p["spread"] * jnp.arange(c, dtype=jnp.float32)[:, None]
+        delay_ms = p["base_ms"] + p["depth_ms"] * jnp.sin(2.0 * jnp.pi * ph_c)
+        ago = jnp.clip(delay_ms * (fs / 1000.0), 2.0, jnp.float32(hl - 2))
+        ca = jnp.ceil(ago).astype(jnp.int32)
+        fr = (jnp.ceil(ago) - ago).astype(x.dtype)
+
+        full = jnp.concatenate([state["hist"], xp], axis=1)  # (C, hl+total)
+        starts = jnp.arange(mb) * step_len
+        regions = jax.vmap(
+            lambda s: lax.dynamic_slice(full, (0, s), (c, hl + step_len))
+        )(starts)  # (mb, C, hl+step_len) — mb descriptors, not N
+
+        def stack_steps(a):  # (C, total) -> (mb, C, B, CH)
+            return a.reshape(c, mb, b, ch).transpose(1, 0, 2, 3)
+
+        base = hl + jnp.arange(ch, dtype=jnp.int32)  # chunk-local row base
+
+        def step(_, xs):
+            region, ca_s, fr_s = xs  # (C, hl+step), (C,B,CH), (C,B,CH)
+            ext = jnp.stack(
+                [region[:, i * ch: i * ch + hl + ch] for i in range(b)],
+                axis=1,
+            )  # (C, B, hl+CH)
+            w = cubic_onehot_matrix(
+                base[None, None, :] - ca_s - 1, fr_s, hl + ch)
+            tap = jnp.einsum("cbns,cbs->cbn", w, ext)
+            return None, tap
+
+        _, taps = lax.scan(
+            step, None, (regions, stack_steps(ca), stack_steps(fr)))
+        tap = taps.transpose(1, 0, 2, 3).reshape(c, total)[:, :n]
+
+        y = (1.0 - p["mix"]) * x + p["mix"] * tap
+        new_hist = jnp.concatenate([state["hist"], x], axis=1)[:, -hl:]
+        hi, lo = _two_sum(state["ph_hi"],
+                          state["ph_lo"] + jnp.float32(n) * dph)
+        wrap = jnp.floor(hi)
+        return {"hist": new_hist, "ph_hi": hi - wrap, "ph_lo": lo}, y

@@ -52,6 +52,7 @@ from jax import lax
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.models.octaver import _two_sum
+from aefs_tpu.ops.ringbuf import cubic_onehot_matrix
 
 MAX_BASE_MS = 10.0
 MAX_DEPTH_MS = 5.0
@@ -97,7 +98,6 @@ class Flanger(EffectModel):
         xs = xp.reshape(c, m, _CHUNK).transpose(1, 0, 2)  # (m, C, CHUNK)
 
         ext_len = self.hist_len + _CHUNK
-        col = jnp.arange(ext_len, dtype=jnp.int32)[None, None, :]
 
         def step(carry, xc):
             hist, hi, lo = carry
@@ -122,18 +122,9 @@ class Flanger(EffectModel):
             # taps strictly inside ext.
             ca = jnp.ceil(d).astype(jnp.int32)  # (C, CHUNK)
             fr = (jnp.ceil(d) - d).astype(jnp.float32)
-            w0 = fr * (-0.5 + fr * (1.0 - 0.5 * fr))
-            w1 = 1.0 + fr * fr * (-2.5 + 1.5 * fr)
-            w2 = fr * (0.5 + fr * (2.0 - 1.5 * fr))
-            w3 = fr * fr * (0.5 * fr - 0.5)
             base = self.hist_len + jnp.arange(_CHUNK, dtype=jnp.int32)
-            t0 = (base[None, :] - ca - 1)[:, :, None]  # (C, CHUNK, 1)
-            weights = (
-                w0[:, :, None] * (col == t0)
-                + w1[:, :, None] * (col == t0 + 1)
-                + w2[:, :, None] * (col == t0 + 2)
-                + w3[:, :, None] * (col == t0 + 3)
-            )
+            weights = cubic_onehot_matrix(
+                base[None, :] - ca - 1, fr, ext_len)
             # Split the operator at the history boundary: the history
             # half contracts ONCE (it never changes across sweeps); the
             # sweeps iterate only the strictly-lower in-chunk quarter.

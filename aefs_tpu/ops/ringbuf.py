@@ -603,6 +603,37 @@ def cubic_hermite(frac, y0, y1, y2, y3):
     return ((c3 * frac + c2) * frac + c1) * frac + c0
 
 
+def cubic_onehot_matrix(t0, fr, length: int):
+    """Dense one-hot form of the 4-tap cubic-Hermite read operator.
+
+    Materializes the read ``fractional_read_cubic`` performs as a
+    weight matrix W with W[..., i, t0[i] + k] = w_k(fr[i]) — four int
+    comparisons carrying the Hermite basis polynomials — so a tap
+    becomes one MXU contraction instead of a vmapped dynamic_slice
+    with per-batch starts (the documented ~12x TPU gather cliff,
+    CLAUDE.md).  Worth it whenever the operator is reused (the
+    flanger's sweep loop) or lives inside a scan at step cadence (the
+    chorus's chunked file pass); positions must already be in-range
+    (no wrap patch).
+
+    t0: (..., N) int32 — ext column of the FIRST tap (y0) per row;
+    fr: (..., N) float32 interpolation fraction; length: ext width L.
+    Returns (..., N, L) float32.
+    """
+    col = jnp.arange(length, dtype=jnp.int32)
+    w0 = fr * (-0.5 + fr * (1.0 - 0.5 * fr))
+    w1 = 1.0 + fr * fr * (-2.5 + 1.5 * fr)
+    w2 = fr * (0.5 + fr * (2.0 - 1.5 * fr))
+    w3 = fr * fr * (0.5 * fr - 0.5)
+    t = t0[..., None]
+    return (
+        w0[..., None] * (col == t)
+        + w1[..., None] * (col == t + 1)
+        + w2[..., None] * (col == t + 2)
+        + w3[..., None] * (col == t + 3)
+    )
+
+
 def fractional_read_cubic(hist, x, ago):
     """Cubic-interpolated tap at a fractional distance into the past.
 
