@@ -116,6 +116,10 @@ EFFECT_DEFAULTS = {
         "drive_db": 0.0,
         "lookahead_ms": 5.0,  # static: sets the delay-line topology
     },
+    "stereowidth": {
+        "width": 1.0,
+        "pan": 0.0,
+    },
     "waveshaper": {
         "drive": 4.0,
         "shape": 1,  # 0=hard clip, 1=tanh, 2=cubic soft
@@ -198,7 +202,9 @@ DEFAULT_PRESETS = {
         {"effect_id": "mb1", "type": "compressor",
          "params": {"threshold_db": -18.0, "ratio": 2.5, "attack_ms": 25.0,
                     "release_ms": 180.0, "knee_db": 6.0, "makeup_db": 3.0}},
-        {"effect_id": "mb2", "type": "limiter",
+        {"effect_id": "mb2", "type": "stereowidth",
+         "params": {"width": 1.25, "pan": 0.0}},
+        {"effect_id": "mb3", "type": "limiter",
          "params": {"ceiling_db": -1.0, "release_ms": 80.0, "drive_db": 3.0,
                     "lookahead_ms": 5.0}},
     ],
@@ -351,6 +357,10 @@ UI_CONTROLS = {
         ("release_ms", "Release (ms)", 10, 1000, 10),
         ("drive_db", "Input drive (dB)", -12, 24, 0.25),
         ("lookahead_ms", "Look-ahead (ms)", 1, 10, 0.5),
+    ],
+    "stereowidth": [
+        ("width", "Width (0=mono, 1=unity, 2=wide)", 0.0, 2.0, 0.02),
+        ("pan", "Balance (L -1 .. +1 R)", -1.0, 1.0, 0.02),
     ],
     "waveshaper": [
         ("drive", "Drive", 1.0, 50.0, 0.5),

@@ -19,6 +19,7 @@ from aefs_tpu.models.phaser import Phaser
 from aefs_tpu.models.reverb import Reverb
 from aefs_tpu.models.ringmod import RingMod
 from aefs_tpu.models.spectral import SpectralFilter
+from aefs_tpu.models.stereowidth import StereoWidth
 from aefs_tpu.models.tremolo import Tremolo
 from aefs_tpu.models.wah import Wah
 from aefs_tpu.models.waveshaper import Waveshaper
@@ -38,6 +39,7 @@ EFFECT_REGISTRY = {
     "ringmod": RingMod,
     "bitcrusher": Bitcrusher,
     "wah": Wah,
+    "stereowidth": StereoWidth,
     "spectral": SpectralFilter,
     "octaver": Octaver,
     "filter": BiquadFilter,
@@ -61,6 +63,7 @@ __all__ = [
     "Reverb",
     "RingMod",
     "SpectralFilter",
+    "StereoWidth",
     "Tremolo",
     "Wah",
     "Waveshaper",

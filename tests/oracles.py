@@ -520,6 +520,22 @@ class OracleWaveshaper:
         return np.clip(y, -1, 1)
 
 
+class OracleStereoWidth:
+    """Mid-side width + balance, float64 per-sample
+    (models/stereowidth.py definition)."""
+
+    def __init__(self, fs, width=1.0, pan=0.0):
+        self.p = dict(width=width, pan=pan)
+
+    def process(self, x):  # (N, 2)
+        p = self.p
+        m = 0.5 * (x[:, 0] + x[:, 1])
+        s = 0.5 * (x[:, 0] - x[:, 1]) * p["width"]
+        bl = min(1.0, 1.0 - p["pan"])
+        br = min(1.0, 1.0 + p["pan"])
+        return np.stack([(m + s) * bl, (m - s) * br], axis=1)
+
+
 class OracleLimiter:
     """Look-ahead brickwall limiter, float64 per-sample
     (models/limiter.py definition: window-min gain floor, capped-affine

@@ -28,6 +28,7 @@ from oracles import (
     OracleFlanger,
     OracleLimiter,
     OracleRingMod,
+    OracleStereoWidth,
     OracleWah,
     OracleConvReverb,
     OraclePhaser,
@@ -312,6 +313,32 @@ def test_limiter_parity(params):
     # the brickwall holds to f32 rounding
     ceil_lin = 10.0 ** (params["ceiling_db"] / 20.0)
     assert float(np.max(np.abs(np.asarray(got)))) <= ceil_lin + 1e-6
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"width": 1.5, "pan": 0.0},
+        {"width": 0.0, "pan": -0.6},  # mono, left balance
+        {"width": 2.0, "pan": 1.0},  # max wide, hard right
+    ],
+)
+def test_stereowidth_parity(params):
+    """Mid-side width/balance (new in this build): stateless elementwise
+    math, float64-oracle parity at the full bar."""
+    x = bursts(FRAMES, fs=FS)
+    got = run_chain({"effect_id": "s", "type": "stereowidth",
+                     "params": params}, x)
+    oracle = OracleStereoWidth(FS, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+def test_stereowidth_unity_is_near_passthrough():
+    x = bursts(2 * N, fs=FS)
+    got = run_chain({"effect_id": "s", "type": "stereowidth",
+                     "params": {"width": 1.0, "pan": 0.0}}, x)
+    np.testing.assert_allclose(np.asarray(got), x, atol=1e-7)
 
 
 def test_limiter_under_ceiling_is_transparent():

@@ -27,7 +27,7 @@ BLOCKS = 400  # covers the slowest legal glide (release_ms 10->1000 @ 10/blk)
 GLIDE_TYPES = ["delay", "reverb", "gate", "compressor", "spectral",
                "octaver", "filter", "waveshaper", "convreverb", "chorus",
                "tremolo", "phaser", "ringmod", "bitcrusher", "flanger",
-               "wah", "limiter"]
+               "wah", "limiter", "stereowidth"]
 
 
 def draw_params(cls, rng, near=None):

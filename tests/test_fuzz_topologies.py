@@ -64,6 +64,7 @@ FUZZ_TYPES = [
     ("flanger", {}),
     ("wah", {}),
     ("limiter", {"lookahead_ms": 3.0}),
+    ("stereowidth", {}),
     ("convreverb", {"ir_seconds": 0.4}),
 ]
 
