@@ -86,6 +86,8 @@ CONFIGS = {
          "params": {"bits": 8.0, "rate_hz": 12000.0, "mix": 0.6}},
         {"effect_id": "rm", "type": "ringmod",
          "params": {"carrier_hz": 330.0, "mix": 0.3, "spread": 0.25}},
+        {"effect_id": "sw", "type": "stereowidth",
+         "params": {"width": 1.4, "pan": 0.1}},
         {"effect_id": "li", "type": "limiter",
          "params": {"ceiling_db": -1.0, "release_ms": 80.0,
                     "drive_db": 3.0, "lookahead_ms": 5.0}},
