@@ -247,6 +247,18 @@ async def handler(websocket):
                     audio_engine.update_param(
                         cmd.get("effect_id"), cmd.get("param", "delay_ms"), ms
                     )
+                elif command == "sync_lfo_bpm":
+                    # The modulation-family analogue: one LFO cycle per
+                    # `division` beats (tremolo/chorus/flanger/phaser/wah
+                    # rate_hz; unknown params warn via update_param).
+                    from aefs_tpu.utils.tempo import lfo_rate_hz_for
+
+                    hz = lfo_rate_hz_for(
+                        cmd.get("bpm", 120), cmd.get("division", 1.0)
+                    )
+                    audio_engine.update_param(
+                        cmd.get("effect_id"), cmd.get("param", "rate_hz"), hz
+                    )
                 elif command == "process_file":
                     asyncio.create_task(
                         audio_engine.process_wav_file(cmd.get("contents"), websocket)

@@ -25,6 +25,13 @@ NOTE_DIVISIONS = {
 }
 
 
+def lfo_rate_hz_for(bpm: float, division=1.0) -> float:
+    """LFO rate in Hz for one cycle per ``division`` beats at ``bpm`` —
+    the modulation-family analogue of ``delay_ms_for`` (tremolo, chorus,
+    flanger, phaser, wah ``rate_hz``)."""
+    return 1000.0 / delay_ms_for(bpm, division)
+
+
 def delay_ms_for(bpm: float, division=1.0) -> float:
     """Delay time in ms for one ``division`` beats at ``bpm``."""
     if isinstance(division, str):

@@ -116,11 +116,18 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                          "params": {"delay_ms": 200, "feedback": 0.3,
                                     "mix_dry": 1.0, "mix_wet": 0.8,
                                     "offset_ms": 0}},
+                        {"effect_id": "t1", "type": "tremolo",
+                         "params": {"rate_hz": 5.0, "depth": 0.5,
+                                    "spread": 0.0}},
                     ],
                 }))
                 # BPM sync: 120 bpm quarter note -> 500 ms delay target
                 await client.send(json.dumps({
                     "command": "sync_delay_bpm", "effect_id": "d1",
+                    "bpm": 120, "division": 1.0}))
+                # LFO sync: one tremolo cycle per quarter at 120 -> 2 Hz
+                await client.send(json.dumps({
+                    "command": "sync_lfo_bpm", "effect_id": "t1",
                     "bpm": 120, "division": 1.0}))
                 await client.send(json.dumps({
                     "command": "save_session", "path": sess}))
@@ -147,6 +154,7 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                 with open(sess + "/session.json") as f:
                     saved = _json.load(f)
                 assert saved["targets"]["d1"]["delay_ms"] == 500.0
+                assert saved["targets"]["t1"]["rate_hz"] == 2.0
 
                 # resume from a missing path must not kill the server, and
                 # the client must be TOLD it failed (the UI status line

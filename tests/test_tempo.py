@@ -19,3 +19,11 @@ def test_divisions():
 def test_invalid_bpm():
     with pytest.raises(ValueError):
         delay_ms_for(0)
+
+
+def test_lfo_rate():
+    from aefs_tpu.utils.tempo import lfo_rate_hz_for
+
+    assert lfo_rate_hz_for(120) == 2.0          # one cycle per quarter
+    assert lfo_rate_hz_for(120, "1/2") == 1.0   # per half note
+    assert abs(lfo_rate_hz_for(90, "1/8") - 3.0) < 1e-12
