@@ -292,6 +292,15 @@ def build_chain(effects_config, fs, blocksize, channels_in=1, channels_out=2,
     effects, configs = [], {}
     for i, cfg in enumerate(effects_config):
         etype = cfg.get("type")
+        if etype == "multiband":
+            # Syntactic sugar: a Linkwitz-Riley band split over the
+            # parallel container (core/multiband.py) — expansion keeps
+            # every downstream mechanism (fast path, lifted params,
+            # pool, checkpoints) on the one parallel code path.
+            from aefs_tpu.core.multiband import expand_multiband
+
+            cfg = expand_multiband(cfg)
+            etype = cfg["type"]
         cls = registry.get(etype)
         if cls is None:
             continue  # unknown types are skipped (engine.py:56)

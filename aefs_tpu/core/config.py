@@ -49,7 +49,7 @@ EFFECT_DEFAULTS = {
         "mix": 0.5,
     },
     "filter": {
-        "filter_type": 0,  # 0=LP, 1=HP, 2=BP, 3=Peak, 4=LowShelf, 5=HighShelf
+        "filter_type": 0,  # 0=LP 1=HP 2=BP 3=Peak 4=LoShelf 5=HiShelf 6=AllPass
         "cutoff_hz": 1000,
         "q": 0.707,
         "gain_db": 0.0,  # types 3-5 only; 0 dB = exact unity
@@ -253,6 +253,41 @@ DEFAULT_PRESETS = {
     ],
 }
 
+def _mb_comp(eid, thr, ratio, attack, release):
+    return {"effect_id": eid, "type": "compressor",
+            "params": {"threshold_db": thr, "ratio": ratio,
+                       "attack_ms": attack, "release_ms": release,
+                       "knee_db": 6.0, "makeup_db": 0.0}}
+
+
+def _multiband_master():
+    # Shipped EXPANDED (a plain parallel config) so the SPA's existing
+    # parallel-branch cards render it; the compact authoring form is the
+    # `multiband` type (core/multiband.py), which build_chain expands to
+    # exactly this.
+    from aefs_tpu.core.multiband import expand_multiband
+
+    mb = expand_multiband({
+        "effect_id": "mm", "type": "multiband",
+        "crossover_hz": [150.0, 2000.0],
+        "branches": [
+            [_mb_comp("mmc0", -20.0, 5.0, 20.0, 250.0)],   # tame lows
+            [_mb_comp("mmc1", -22.0, 2.5, 10.0, 150.0)],   # glue mids
+            [_mb_comp("mmc2", -26.0, 3.0, 2.0, 80.0)],     # de-harsh highs
+        ],
+    })
+    return [
+        mb,
+        {"effect_id": "mmw", "type": "stereowidth",
+         "params": {"width": 1.2, "pan": 0.0}},
+        {"effect_id": "mml", "type": "limiter",
+         "params": {"ceiling_db": -1.0, "release_ms": 100.0,
+                    "drive_db": 2.0, "lookahead_ms": 5.0}},
+    ]
+
+
+DEFAULT_PRESETS["Multiband Master"] = _multiband_master()
+
 # Params that are static topology (rebuild the chain on change) rather
 # than live smoothed targets — the UI sends build_chain instead of
 # update_param for these.
@@ -291,8 +326,8 @@ UI_CONTROLS = {
     ],
     "filter": [
         ("filter_type",
-         "Type (0=Low, 1=High, 2=Band, 3=Peak, 4=LoShelf, 5=HiShelf)",
-         0, 5, 1),
+         "Type (0=Low, 1=High, 2=Band, 3=Peak, 4=LoShelf, 5=HiShelf, 6=AllPass)",
+         0, 6, 1),
         ("cutoff_hz", "Frequency (Hz)", 20, 10000, 10),
         ("q", "Resonance (Q)", 0.1, 5.0, 0.1),
         ("gain_db", "Gain (dB, types 3-5)", -24, 24, 0.5),

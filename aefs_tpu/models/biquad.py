@@ -21,12 +21,13 @@ class BiquadFilter(EffectModel):
     kind = "filter"
 
     # Bounds/steps from FilterEffect (filter.py:45-47, :102-104); types
-    # 3-5 (peaking EQ, low/high shelf) and gain_db extend the reference's
-    # LP/HP/BP to the full RBJ-cookbook family.  gain_db only shapes
-    # types 3-5; at 0 dB those reduce to exact unity, so old configs are
-    # untouched.
+    # 3-5 (peaking EQ, low/high shelf) with gain_db, and type 6 (2nd-order
+    # allpass — the phase-correction element a Linkwitz-Riley multiband
+    # split needs, core/multiband.py) extend the reference's LP/HP/BP to
+    # the full RBJ-cookbook family.  gain_db only shapes types 3-5; at
+    # 0 dB those reduce to exact unity, so old configs are untouched.
     PARAMS = {
-        "filter_type": ParamSpec(0.0, 0.0, 5.0, smooth="step", step=1.0),
+        "filter_type": ParamSpec(0.0, 0.0, 6.0, smooth="step", step=1.0),
         "cutoff_hz": ParamSpec(1000.0, 20.0, 20000.0, smooth="mult", step=0.1),
         "q": ParamSpec(0.707, 0.1, 10.0, smooth="step", step=0.1),
         "gain_db": ParamSpec(0.0, -24.0, 24.0, smooth="step", step=0.5),
@@ -48,7 +49,7 @@ class BiquadFilter(EffectModel):
         alpha = sw / (2.0 * q)
 
         t = jnp.round(p["filter_type"]).astype(jnp.int32)
-        one = [(t == k).astype(jnp.float32) for k in range(6)]
+        one = [(t == k).astype(jnp.float32) for k in range(7)]
 
         big_a = jnp.power(10.0, p.get("gain_db", jnp.float32(0.0)) / 40.0)
         sq = jnp.sqrt(big_a)
@@ -73,9 +74,11 @@ class BiquadFilter(EffectModel):
              big_a * (ap1 + am1 * cw - tsa),
              ap1 - am1 * cw + tsa, 2 * (am1 - ap1 * cw),
              ap1 - am1 * cw - tsa),                              # 5 high shelf
+            (1 - alpha, -2 * cw, 1 + alpha,
+             1 + alpha, -2 * cw, 1 - alpha),                     # 6 allpass
         )
         b0, b1, b2, a0, a1, a2 = (
-            sum(one[k] * rows[k][j] for k in range(6)) for j in range(6)
+            sum(one[k] * rows[k][j] for k in range(7)) for j in range(6)
         )
         return b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
 

@@ -225,13 +225,16 @@ class OracleBiquad:
             a0 = (A + 1) + (A - 1) * cw + tsa
             a1 = -2 * ((A - 1) + (A + 1) * cw)
             a2 = (A + 1) + (A - 1) * cw - tsa
-        else:  # high shelf
+        elif t == 5:  # high shelf
             b0 = A * ((A + 1) + (A - 1) * cw + tsa)
             b1 = -2 * A * ((A - 1) + (A + 1) * cw)
             b2 = A * ((A + 1) + (A - 1) * cw - tsa)
             a0 = (A + 1) - (A - 1) * cw + tsa
             a1 = 2 * ((A - 1) - (A + 1) * cw)
             a2 = (A + 1) - (A - 1) * cw - tsa
+        else:  # 6 allpass
+            b0, b1, b2 = 1 - alpha, -2 * cw, 1 + alpha
+            a0, a1, a2 = 1 + alpha, -2 * cw, 1 - alpha
         return b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
 
     def process(self, x):  # (N, C)

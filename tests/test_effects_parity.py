@@ -106,6 +106,8 @@ def test_reverb_parity(params):
         {"filter_type": 3, "cutoff_hz": 800, "q": 0.8, "gain_db": -12.0},
         {"filter_type": 4, "cutoff_hz": 800, "q": 0.707, "gain_db": 6.0},
         {"filter_type": 5, "cutoff_hz": 6000, "q": 0.707, "gain_db": -9.0},
+        # type 6: 2nd-order allpass (the LR4 multiband phase element)
+        {"filter_type": 6, "cutoff_hz": 2500, "q": 0.707},
     ],
 )
 def test_filter_parity(params):
