@@ -40,6 +40,8 @@ def file_static_overrides(effects_config):
             # time (actionable error) instead of dying at trace time deep
             # inside ops/ringbuf.comb_bank_file_chunks.
             overrides[eid] = {"file_mode": True}
-        elif etype == "parallel":
+        elif etype in ("parallel", "multiband"):
+            # multiband expands to a parallel container with the SAME
+            # effect_id (core/multiband.py), so the flag lands on it.
             overrides[eid] = {"file_mode": True}
     return overrides

@@ -85,11 +85,32 @@ def random_effect(rng, eid):
     return {"effect_id": eid, "type": etype, "params": params}
 
 
+def random_multiband(rng, eid):
+    """A multiband container with random crossover(s) and 0-2 random
+    effects per band (core/multiband.py expands it at build)."""
+    f1 = float(np.exp(rng.uniform(np.log(100.0), np.log(4000.0))))
+    xover = [f1]
+    if rng.random() < 0.5:
+        xover.append(f1 * float(rng.uniform(2.0, 6.0)))
+    branches = [
+        [random_effect(rng, f"{eid}b{bi}e{j}")
+         for j in range(int(rng.integers(0, 3)))]
+        for bi in range(len(xover) + 1)
+    ]
+    return {"effect_id": eid, "type": "multiband",
+            "crossover_hz": xover, "branches": branches,
+            "params": {f"gain_{bi}": float(rng.uniform(0.0, 2.0))
+                       for bi in range(len(xover) + 1)}}
+
+
 def random_chain(rng, allow_parallel=False):
     n_fx = int(rng.integers(1, 5))
     cfgs = []
     for i in range(n_fx):
         if allow_parallel and rng.random() < 0.5:
+            if rng.random() < 0.4:
+                cfgs.append(random_multiband(rng, f"fx{i}"))
+                continue
             branches = [
                 [random_effect(rng, f"fx{i}b{bi}e{j}")
                  for j in range(int(rng.integers(1, 3)))]
@@ -109,6 +130,21 @@ def random_chain(rng, allow_parallel=False):
         for b in c.get("branches", []):
             flat.extend(b)
     return cfgs, chain_tolerance(flat)
+
+
+def _biquad_conditioning_tol(params):
+    """Conditioning envelope of a biquad recurrence from the MODEL's own
+    coefficient formulas: ~eps/(1-r)^2 + 26 dB slack (all seven RBJ
+    types — shelves/peak move the denominator with gain)."""
+    from aefs_tpu.models import BiquadFilter
+
+    mdl = BiquadFilter(FS, 4096)
+    prm = {k: float(v) for k, v in params.items()}
+    prm.setdefault("gain_db", 0.0)
+    _, _, _, a1, a2 = (float(v) for v in mdl.coefficients(prm))
+    r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
+    est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
+    return min(est, 0.0)
 
 
 def relative_gap(ref, other, floor_amp=0.3):
@@ -152,17 +188,14 @@ def chain_tolerance(flat):
             res = 1.0 / max(1.0 - abs(c["params"]["feedback"]), 1e-3)
             tol = max(tol, -42.0 + 20.0 * np.log10(res))
         elif c["type"] == "filter":
-            # Poles from the MODEL's own coefficient formulas (all six
-            # RBJ types — shelves/peak move the denominator with gain).
-            from aefs_tpu.models import BiquadFilter
-
-            mdl = BiquadFilter(FS, 4096)
-            prm = {k: float(v) for k, v in c["params"].items()}
-            prm.setdefault("gain_db", 0.0)
-            _, _, _, a1, a2 = (float(v) for v in mdl.coefficients(prm))
-            r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
-            est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
-            tol = max(tol, min(est, 0.0))
+            tol = max(tol, _biquad_conditioning_tol(c["params"]))
+        elif c["type"] == "multiband":
+            # The expansion prepends LR4 splitter biquads (Q=1/sqrt 2)
+            # at each crossover — same conditioning envelope as a drawn
+            # filter at that frequency (worst at the lowest crossover).
+            for f in c["crossover_hz"]:
+                tol = max(tol, _biquad_conditioning_tol(
+                    {"filter_type": 0.0, "cutoff_hz": f, "q": 0.7071}))
         elif c["type"] == "bitcrusher" and c is not flat[0]:
             # round() is discontinuous: an eps-level upstream difference
             # (even plain f32 reassociation) landing on a tie boundary
