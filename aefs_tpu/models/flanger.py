@@ -117,7 +117,8 @@ class Flanger(EffectModel):
             # with per-batch starts, fractional_read_cubic) measured
             # ~23 us per sweep on the TPU — the documented 12x
             # per-batch-starts cliff (CLAUDE.md) — which put the file
-            # pass at 19x realtime; the dense build amortizes to ~1200x.
+            # pass at 19x realtime; dense + the h/c split below measured
+            # 452x (PERF.md late round 3).
             # No wrap patch needed: d in [24, hist-2] keeps all four
             # taps strictly inside ext.
             ca = jnp.ceil(d).astype(jnp.int32)  # (C, CHUNK)

@@ -75,6 +75,11 @@ class Limiter(EffectModel):
         xd = gain_in * x
         ext = jnp.concatenate([state["xh"], xd], axis=1)  # (C, D + N)
         peak = jnp.max(jnp.abs(ext), axis=0)  # stereo-linked, (D + N,)
+        # gt over the history window is recomputed with the CURRENT
+        # ceiling/drive each block (cheaper than carrying a gt ring, and
+        # mid-glide it lets the gain react to the new ceiling across the
+        # whole look-ahead); under constant params this is bit-identical
+        # to a stored-gt design, which is what the oracle implements.
         gt = jnp.minimum(1.0, ceiling / jnp.maximum(peak, 1e-30))
 
         u = window_min_trailing(gt[None, :], w, n)[0]  # needs D = w-1 history
