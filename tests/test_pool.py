@@ -255,6 +255,39 @@ def test_pool_lofi_chain_sharded_matches_unsharded():
     assert not np.allclose(oa[0], oa[4])  # divergent bit depth bites
 
 
+def test_pool_multiband_sharded_matches_unsharded():
+    """The multiband expansion (LR4 splitters over the parallel
+    container) must batch and shard like any chain — per-slot lifted
+    branch params included (a crossover move on one slot only)."""
+    from aefs_tpu.server.pool import SessionPool
+
+    cfg = [{"effect_id": "mb", "type": "multiband",
+            "crossover_hz": [800.0],
+            "branches": [[{"effect_id": "c", "type": "compressor",
+                           "params": {"threshold_db": -20.0, "ratio": 4.0,
+                                      "attack_ms": 5.0, "release_ms": 120.0,
+                                      "knee_db": 6.0, "makeup_db": 0.0}}],
+                         []]}]
+    import jax
+    assert len(jax.devices()) >= 8
+
+    pa = SessionPool(cfg, n_slots=8)
+    pb = SessionPool(cfg, n_slots=8, shard=True)
+    for pool in (pa, pb):
+        pool.update_param(2, "mb", "b0_0_cutoff_hz", 300.0)  # move crossover
+
+    rng = np.random.default_rng(13)
+    for i in range(3):
+        blocks = {0: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.4}
+        blocks[2] = blocks[0]  # same input; only the crossover diverges
+        oa = pa.step_blocks(dict(blocks))
+        ob = pb.step_blocks(dict(blocks))
+        for s in blocks:
+            assert np.all(np.isfinite(oa[s]))
+            assert np.max(np.abs(oa[s] - ob[s])) < 1e-5, (i, s)
+    assert not np.allclose(oa[0], oa[2])  # divergent crossover bites
+
+
 def test_pool_batcher_survives_step_failure():
     """A failing dispatch must neither kill the batcher task (every later
     submission would hang) nor the session: the waiter gets the error,
