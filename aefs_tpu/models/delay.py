@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
@@ -55,12 +56,26 @@ class StereoDelay(EffectModel):
         # engine bakes the configured delay/offset in).
         self.file_lags = None
         if file_delay_ms is not None:
-            d_l = min(float(file_delay_ms), self.max_delay_ms - 1.0)
-            d_r = min(max(d_l + float(file_offset_ms or 0.0),
-                          self.min_delay_ms), self.max_delay_ms - 1.0)
-            self.file_lags = tuple(
-                min(max(int(fs * d / 1000.0), 1), self.size - 1) for d in (d_l, d_r)
-            )
+            # Mirror the BLOCKWISE path's float32 quantization EXACTLY
+            # (process:to_samples): the smoothed runtime params are f32,
+            # so the ms -> samples product must round through f32 here
+            # too.  A float64 derivation disagrees by one sample when
+            # the product sits on a truncation boundary (fuzz seed 363:
+            # delay+offset = 494.3749872 ms -> f32 rounds to exactly
+            # 494.375 -> lag 23730, f64 gives 23729.999 -> 23729; a
+            # one-sample lag split between the file and blockwise paths
+            # is a broadband +6 dB gap).
+            f32 = np.float32
+            d_l = f32(file_delay_ms)
+            d_r = min(max(f32(d_l + f32(file_offset_ms or 0.0)),
+                          f32(self.min_delay_ms)),
+                      f32(self.max_delay_ms - 1.0))
+
+            def lag(ms):
+                d = int(f32(f32(f32(fs) * ms) / f32(1000.0)))
+                return min(max(d, 1), self.size - 1)
+
+            self.file_lags = (lag(d_l), lag(d_r))
 
     def init_state(self):
         # Block-row ring: one row per block, written in place — O(N) ring

