@@ -52,13 +52,41 @@ from jax import lax
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.models.octaver import _two_sum
-from aefs_tpu.ops.ringbuf import cubic_onehot_matrix
+from aefs_tpu.ops.ringbuf import (
+    cubic_onehot_matrix,
+    cubic_tap_weights,
+    onehot_matrix,
+)
 
 MAX_BASE_MS = 10.0
 MAX_DEPTH_MS = 5.0
 D_MIN = 24.0     # samples; bounds the nilpotency degree
 _CHUNK = 256
 _SWEEPS = 12     # ceil(_CHUNK / (D_MIN - 2))
+_FILE_BATCH = 8  # chunks whose operators build/square per file scan step
+
+
+def _ds_phase(i, dph, hi0, lo0):
+    """Double-single LFO phase ramp hi+lo ~= hi0+lo0 + i*dph, hi in [0,1).
+
+    The file path's parallel replacement for the streaming TwoSum CARRY:
+    i (< 2^24, so exact in f32) and dph are Veltkamp-split so all four
+    partial products are exact f32, then TwoSum-accumulated — the pair is
+    accurate to ~2^-45 cycles at any file position, below the streaming
+    carry's own ~ulp/chunk rounding drift, so fast-vs-blockwise phase
+    divergence is bounded by the BLOCKWISE path's documented floor."""
+    s = dph * 4097.0                      # Veltkamp split: 12+12 bits
+    d_hi = s - (s - dph)
+    d_lo = dph - d_hi
+    i_hi = jnp.floor(i * (1.0 / 4096.0)) * 4096.0  # exact pow-2 scalings
+    i_lo = i - i_hi
+    hi, e1 = _two_sum(i_hi * d_hi, i_hi * d_lo)    # each product exact
+    hi, e2 = _two_sum(hi, i_lo * d_hi)
+    lo = e1 + e2 + i_lo * d_lo
+    hi, e3 = _two_sum(hi, hi0)
+    lo = lo + (e3 + lo0)
+    wrap = jnp.floor(hi)                  # exact; phase only feeds sin(2*pi*.)
+    return hi - wrap, lo
 
 
 class Flanger(EffectModel):
@@ -147,12 +175,19 @@ class Flanger(EffectModel):
 
         carry0 = (state["hist"], state["ph_hi"], state["ph_lo"])
         (hist_f, hi_f, lo_f), (ys, vs) = lax.scan(step, carry0, xs)
-        y = ys.transpose(1, 0, 2).reshape(c, m * _CHUNK)[:, :n]
+        return self._finish(state, dph, pad, n, c, m * _CHUNK, ys, vs,
+                            hist_f, hi_f, lo_f)
+
+    def _finish(self, state, dph, pad, n, c, total, ys, vs,
+                hist_f, hi_f, lo_f):
+        """Unpad the scan outputs and (when padded) rebuild the true carry
+        from the unpadded delay-line signal and sample count."""
+        y = ys.transpose(1, 0, 2).reshape(c, total)[:, :n]
 
         if pad:
             # The scan's carry saw `pad` trailing zeros: rebuild the true
             # state from the unpadded delay-line signal and sample count.
-            v = vs.transpose(1, 0, 2).reshape(c, m * _CHUNK)[:, :n]
+            v = vs.transpose(1, 0, 2).reshape(c, total)[:, :n]
             hist_f = jnp.concatenate(
                 [state["hist"], v], axis=1
             )[:, -self.hist_len:]
@@ -162,3 +197,117 @@ class Flanger(EffectModel):
             wrap = jnp.floor(hi_f)
             hi_f = hi_f - wrap
         return {"hist": hist_f, "ph_hi": hi_f, "ph_lo": lo_f}, y
+
+    def process_file(self, state, p, x):
+        """Whole-file fast path: batched operator build + log-squared
+        nilpotent solve (the "different tap algorithm" lever PERF.md
+        names for the flanger).
+
+        ``process`` runs 12 dependent sweeps per 256-chunk at scan-step
+        cadence and rebuilds the dense 4-tap operator every step — at
+        file scale that is ~42k sequential matvecs plus ~3.5k sequential
+        VPU builds.  Here each scan step handles ``_FILE_BATCH`` chunks:
+
+        - the LFO phase for EVERY chunk start comes from the parallel
+          double-single ramp (``_ds_phase``) instead of the sequential
+          TwoSum carry, so delay curves for all chunks exist up front;
+        - ONE ``onehot_matrix`` compare builds all tap positions for the
+          whole batch; the 4-tap cubic structure is recovered with static
+          shifted slices (columns t0+k are column t0 shifted k), cutting
+          the VPU build ~4x vs four compare+FMA passes;
+        - the strictly-lower in-chunk quarter C is squared (C2 = C@C,
+          C4 = C2@C2) as batch matmuls, so the exact Neumann solve
+          (I-fb*C)^-1 = (I+fbC)(I+fb^2 C2)(I+fb^4 C4+fb^8 C4^2) —
+          valid because C^12 = 0 (each tap reaches >= D_MIN-2 = 22 back,
+          12*22 >= 256) — needs 4 dependent matvecs per chunk, not 12.
+
+        Parity: tap positions/weights are the same expressions as
+        ``process``; divergence is the blockwise TwoSum carry's own
+        rounding (~ulp/chunk) times the comb's resonant gain, plus f32
+        reassociation in the squared products — bounded well under the
+        fuzzer's flanger tolerance (tests/test_fastpath.py A/B)."""
+        c, n = x.shape
+        fs = jnp.float32(self.fs)
+        dph = p["rate_hz"] / fs
+        fb = p["feedback"]
+        H = self.hist_len
+        hmax = jnp.float32(H - 2)
+        K, SB = _CHUNK, _FILE_BATCH
+
+        step_len = K * SB
+        steps = -(-n // step_len)
+        total = steps * step_len
+        pad = total - n
+        xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        m = total // K
+
+        # Per-chunk start phase from the parallel ramp; in-chunk phase is
+        # the same hi + (lo + idx*dph) expression the blockwise step uses.
+        gi = jnp.arange(m, dtype=jnp.float32) * jnp.float32(K)
+        chi, clo = _ds_phase(gi, dph, state["ph_hi"], state["ph_lo"])
+        idx = jnp.arange(K, dtype=jnp.float32)
+        ph = chi[:, None] + (clo[:, None] + idx[None, :] * dph)  # (m, K)
+        chan = jnp.arange(c, dtype=jnp.float32)
+        ph_c = ph[:, None, :] + p["spread"] * chan[None, :, None]
+        delay_ms = p["base_ms"] + p["depth_ms"] * jnp.sin(2.0 * jnp.pi * ph_c)
+        d = jnp.clip(delay_ms * (fs / 1000.0), D_MIN, hmax)  # (m, C, K)
+        ca = jnp.ceil(d).astype(jnp.int32)
+        fr = (jnp.ceil(d) - d).astype(jnp.float32)
+        base = H + jnp.arange(K, dtype=jnp.int32)
+        t0 = base[None, None, :] - ca - 1  # (m, C, K) first-tap ext column
+
+        def by_step(a):  # (m, C, K) -> (steps, SB, C, K)
+            return a.reshape(steps, SB, c, K)
+
+        xs = xp.reshape(c, steps, SB, K).transpose(1, 2, 0, 3)
+        fb2 = fb * fb
+        fb4 = fb2 * fb2
+
+        def step_fn(hist, inp):
+            xc, t0s, frs = inp  # (SB, C, K) each
+            O = onehot_matrix(t0s, H + K)  # (SB, C, K, H+K) — ONE compare
+            w = cubic_tap_weights(frs)     # 4 x (SB, C, K)
+            # In-chunk quarter (strictly lower: taps reach >= 22 back):
+            # tap k at ext column t0+k == H+m  <=>  O column H+m-k.
+            cm = sum(
+                w[k][..., None] * lax.slice_in_dim(O, H - k, H - k + K, axis=3)
+                for k in range(4)
+            )
+            c2 = jnp.einsum("bcnm,bcmk->bcnk", cm, cm)
+            c4 = jnp.einsum("bcnm,bcmk->bcnk", c2, c2)
+            oh = O[..., :H]
+
+            def mv(mat, z):
+                return jnp.einsum("cnm,cm->cn", mat, z)
+
+            ys, vs = [], []
+            for s in range(SB):
+                # History tap: 4 shifted hist reads against the SAME
+                # one-hot (taps crossing into the chunk read the pad's
+                # zeros here and are picked up by cm above).
+                hist_pad = jnp.pad(hist, ((0, 0), (0, 3)))
+                hstack = jnp.stack(
+                    [hist_pad[:, k:k + H] for k in range(4)], axis=1)
+                th4 = jnp.einsum("cnh,cjh->cnj", oh[s], hstack)
+                th = sum(w[k][s] * th4[..., k] for k in range(4))
+                b = xc[s] + fb * th
+                # v = (I - fb*C)^-1 b, exact in 4 dependent matvecs.
+                u = b + fb4 * mv(c4[s], b + fb4 * mv(c4[s], b))
+                u = u + fb2 * mv(c2[s], u)
+                v = u + fb * mv(cm[s], u)
+                tap = th + mv(cm[s], v)
+                ys.append((1.0 - p["mix"]) * xc[s] + p["mix"] * tap)
+                vs.append(v)
+                hist = jnp.concatenate([hist, v], axis=1)[:, -H:]
+            return hist, (jnp.stack(ys), jnp.stack(vs))
+
+        hist_f, (ys, vs) = lax.scan(
+            step_fn, state["hist"], (xs, by_step(t0), by_step(fr)))
+        hi_f, lo_f = _two_sum(state["ph_hi"],
+                              state["ph_lo"] + jnp.float32(total) * dph)
+        wrap = jnp.floor(hi_f)
+        return self._finish(
+            state, dph, pad, n, c, total,
+            ys.reshape(m, c, K), vs.reshape(m, c, K),
+            hist_f, hi_f - wrap, lo_f,
+        )

@@ -603,6 +603,32 @@ def cubic_hermite(frac, y0, y1, y2, y3):
     return ((c3 * frac + c2) * frac + c1) * frac + c0
 
 
+def cubic_tap_weights(fr):
+    """4-point cubic-Hermite (Catmull-Rom) tap weights at fraction fr —
+    the basis polynomials ``fractional_read_cubic`` evaluates (reference
+    octaver.py:9-15), factored out so callers that need the weights and
+    the one-hot positions SEPARATELY (the flanger's split tap operator)
+    share one definition with the fused ``cubic_onehot_matrix``."""
+    w0 = fr * (-0.5 + fr * (1.0 - 0.5 * fr))
+    w1 = 1.0 + fr * fr * (-2.5 + 1.5 * fr)
+    w2 = fr * (0.5 + fr * (2.0 - 1.5 * fr))
+    w3 = fr * fr * (0.5 * fr - 0.5)
+    return w0, w1, w2, w3
+
+
+def onehot_matrix(t0, length: int):
+    """(…, N, length) float32 one-hot rows: row i is e_{t0[i]}.
+
+    The single-comparison building block of the dense tap operators: one
+    VPU compare per (row, col) instead of ``cubic_onehot_matrix``'s four
+    compare+FMA passes — callers reconstruct the 4-tap structure with
+    static SHIFTED SLICES of this matrix (tap k at column t0+k is this
+    matrix's column t0 read k entries earlier), which is 4x less build
+    work when the operator feeds many contractions (flanger file path)."""
+    col = jnp.arange(length, dtype=jnp.int32)
+    return (col == t0[..., None]).astype(jnp.float32)
+
+
 def cubic_onehot_matrix(t0, fr, length: int):
     """Dense one-hot form of the 4-tap cubic-Hermite read operator.
 
@@ -621,10 +647,7 @@ def cubic_onehot_matrix(t0, fr, length: int):
     Returns (..., N, L) float32.
     """
     col = jnp.arange(length, dtype=jnp.int32)
-    w0 = fr * (-0.5 + fr * (1.0 - 0.5 * fr))
-    w1 = 1.0 + fr * fr * (-2.5 + 1.5 * fr)
-    w2 = fr * (0.5 + fr * (2.0 - 1.5 * fr))
-    w3 = fr * fr * (0.5 * fr - 0.5)
+    w0, w1, w2, w3 = cubic_tap_weights(fr)
     t = t0[..., None]
     return (
         w0[..., None] * (col == t)

@@ -62,6 +62,15 @@ def run(cfgs, x, fast, blocksize=4096):
     ("gate", {"threshold_db": -40, "attack_ms": 5, "release_ms": 100}, -80),
     ("spectral", {"threshold_db": -45, "reduction": 0.2}, -80),
     ("convreverb", {"ir_seconds": 0.5, "mix_dry": 0.7, "mix_wet": 0.4}, -80),
+    # Flanger file path (batched build + log-squared nilpotent solve,
+    # models/flanger.py:process_file): tap positions/weights are the
+    # same expressions; divergence is the blockwise TwoSum carry's
+    # rounding x resonant gain + squared-product reassociation
+    # (measured -132..-136 even at |fb| = 0.9 over 8 s).
+    ("flanger", {"rate_hz": 1.3, "depth_ms": 3.0, "base_ms": 2.0,
+                 "feedback": 0.8, "mix": 1.0, "spread": 0.25}, -80),
+    ("flanger", {"rate_hz": 4.8, "depth_ms": 5.0, "base_ms": 1.0,
+                 "feedback": -0.9, "mix": 0.7, "spread": 0.5}, -80),
 ])
 def test_fast_matches_blockwise_per_effect(etype, params, tol):
     x = noise(12 * 4096, amp=0.25, seed=11)
