@@ -57,9 +57,7 @@ class Chain:
         together, and keeping them uniform keeps ring-row index ops off
         the batched-index DUS trap (ops/ringbuf.py:rowring_write)."""
         fx = tuple(
-            {k: (None if k in model.LOCKSTEP_STATE else batch_axis)
-             for k in model.init_state()}
-            for eid, model in self.effects
+            model.state_axes_tree(batch_axis) for eid, model in self.effects
         )
         return {"fx": fx, "params": batch_axis}
 
@@ -75,8 +73,7 @@ class Chain:
         # consume the template's buffer.
         copy = lambda leaf: jnp.array(leaf, copy=True)
         fx = tuple(
-            {k: jax.tree.map(copy if k in model.LOCKSTEP_STATE else bcast, v)
-             for k, v in st.items()}
+            model.map_state(bcast, copy, st)
             for (eid, model), st in zip(self.effects, one["fx"])
         )
         return {"fx": fx, "params": jax.tree.map(bcast, one["params"])}
@@ -88,9 +85,8 @@ class Chain:
         ANY row alignment, and resetting the shared row would desync the
         other slots."""
         fx = tuple(
-            {k: (bst[k] if k in model.LOCKSTEP_STATE else jax.tree.map(
-                lambda b, s: b.at[slot].set(s), bst[k], sst[k]))
-             for k in bst}
+            model.map_state(
+                lambda b, s: b.at[slot].set(s), lambda b, s: b, bst, sst)
             for (eid, model), bst, sst in zip(
                 self.effects, batched["fx"], single["fx"])
         )

@@ -20,8 +20,18 @@ def file_static_overrides(effects_config):
         eid = cfg.get("effect_id") or f"fx{i}"
         etype = cfg.get("type")
         if etype == "delay":
-            d = float(params.get("delay_ms", 375.0))
-            off = float(params.get("offset_ms", 30.0))
+            # Clamp through the model's OWN ParamSpec bounds first: the
+            # blockwise path's runtime params are the CLAMPED targets, so
+            # a config value outside the box (delay_ms=1500 vs hi=1499)
+            # would otherwise bake a file lag the streaming path never
+            # uses — a 48-sample broadband lag split (the same failure
+            # class as fuzz finding #4's truncation-boundary split).
+            from aefs_tpu.models.delay import StereoDelay
+
+            d = StereoDelay.PARAMS["delay_ms"].clamp(
+                float(params.get("delay_ms", 375.0)))
+            off = StereoDelay.PARAMS["offset_ms"].clamp(
+                float(params.get("offset_ms", 30.0)))
             # A negative offset puts the RIGHT lag below delay_ms; the
             # blockwise solver's exactness bound must use the smaller lag.
             d_r = max(1.0, min(d + off, 1499.0))

@@ -26,7 +26,30 @@ import jax
 FORMAT_VERSION = 1
 
 
-def save_session(path: str, chain_config, targets_map: dict, state) -> None:
+def ir_static_overrides(custom_irs: dict, chain_config, fs: int) -> dict:
+    """Static-override map carrying uploaded/saved convreverb IRs into a
+    chain build, resampled when the IR WAV's rate differs from the build
+    rate.  Shared by the live engine (set_ir / build_chain / resume) and
+    the CLI's resumable jobs — a chain rebuilt WITHOUT the session's
+    custom IR has differently-shaped spec_hist leaves and every resume
+    would fail at the leaf-shape check."""
+    ids = {c.get("effect_id") for c in chain_config}
+    out = {}
+    for eid, (ir, ir_fs) in custom_irs.items():
+        if eid not in ids:
+            continue
+        if ir_fs != fs:
+            n_out = max(8, int(round(ir.shape[1] * fs / ir_fs)))
+            t = np.linspace(0.0, ir.shape[1] - 1, n_out)
+            ir = np.stack(
+                [np.interp(t, np.arange(ir.shape[1]), ch) for ch in ir]
+            ).astype(np.float32)
+        out[eid] = {"ir": ir}
+    return out
+
+
+def save_session(path: str, chain_config, targets_map: dict, state,
+                 custom_irs: dict | None = None) -> None:
     """Write a session checkpoint directory — CRASH-SAFE.
 
     The state lands in a fresh generation-named file and ``session.json``
@@ -47,10 +70,19 @@ def save_session(path: str, chain_config, targets_map: dict, state) -> None:
     leaves, treedef = jax.tree.flatten(state)
     state_file = f"state-{gen}.npz"
     tmp = os.path.join(path, state_file + ".tmp")
+    # Uploaded IRs ride in the same npz (extra keys are invisible to the
+    # leaf_{i} reader) so a checkpoint saved after set_ir resumes in a
+    # FRESH process — without them the rebuilt chain's synthetic IR has
+    # differently-shaped state leaves and the resume always fails.
+    ir_meta, ir_arrays = [], {}
+    for j, (eid, (ir, ir_fs)) in enumerate(sorted((custom_irs or {}).items())):
+        ir_meta.append({"effect_id": eid, "fs": int(ir_fs), "key": f"ir_{j}"})
+        ir_arrays[f"ir_{j}"] = np.asarray(ir, np.float32)
     with open(tmp, "wb") as f:
         np.savez(
             f,
             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+            **ir_arrays,
         )
         f.flush()
         os.fsync(f.fileno())
@@ -65,6 +97,7 @@ def save_session(path: str, chain_config, targets_map: dict, state) -> None:
                 "n_leaves": len(leaves),
                 "gen": gen,
                 "state_file": state_file,
+                "custom_irs": ir_meta,
             },
             f,
             indent=2,
@@ -87,12 +120,16 @@ def save_session(path: str, chain_config, targets_map: dict, state) -> None:
 
 
 def load_session(path: str):
-    """Read a checkpoint -> (chain_config, targets_map, rebuild_state_fn).
+    """Read a checkpoint -> (chain_config, targets_map, rebuild_state_fn,
+    custom_irs).
 
     ``rebuild_state_fn(template_state)`` grafts the saved leaves onto a
     freshly built chain's state pytree (the treedef comes from the rebuilt
     chain, so checkpoints survive process restarts and code that changed
-    leaf *values* but not the state structure)."""
+    leaf *values* but not the state structure).  ``custom_irs`` maps
+    effect_id -> (ir, fs) for any uploaded convreverb IRs the session
+    carried — the caller must rebuild with ``ir_static_overrides`` or the
+    state leaves will not fit."""
     with open(os.path.join(path, "session.json")) as f:
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
@@ -101,6 +138,10 @@ def load_session(path: str):
     # (pre-atomic layout) used the fixed name.
     data = np.load(os.path.join(path, meta.get("state_file", "state.npz")))
     leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+    custom_irs = {
+        m["effect_id"]: (data[m["key"]], int(m["fs"]))
+        for m in meta.get("custom_irs", [])
+    }
 
     def rebuild_state(template_state):
         t_leaves, treedef = jax.tree.flatten(template_state)
@@ -121,4 +162,4 @@ def load_session(path: str):
             cast.append(jnp.asarray(saved, t.dtype))
         return jax.tree.unflatten(treedef, cast)
 
-    return meta["chain_config"], meta["targets"], rebuild_state
+    return meta["chain_config"], meta["targets"], rebuild_state, custom_irs

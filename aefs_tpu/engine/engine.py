@@ -216,19 +216,13 @@ class AudioEngine:
 
     def _ir_overrides(self, effects_config, fs):
         """Static-override map carrying uploaded IRs into a chain build
-        (resampled to the build rate if the WAV's rate differs)."""
+        (resampled to the build rate if the WAV's rate differs); prunes
+        IRs whose effect left the chain."""
+        from aefs_tpu.engine.checkpoint import ir_static_overrides
+
         ids = {c.get("effect_id") for c in effects_config}
         self.custom_irs = {k: v for k, v in self.custom_irs.items() if k in ids}
-        out = {}
-        for eid, (ir, ir_fs) in self.custom_irs.items():
-            if ir_fs != fs:
-                n_out = max(8, int(round(ir.shape[1] * fs / ir_fs)))
-                t = np.linspace(0.0, ir.shape[1] - 1, n_out)
-                ir = np.stack(
-                    [np.interp(t, np.arange(ir.shape[1]), ch) for ch in ir]
-                ).astype(np.float32)
-            out[eid] = {"ir": ir}
-        return out
+        return ir_static_overrides(self.custom_irs, effects_config, fs)
 
     def set_ir(self, effect_id: str, contents: str) -> float:
         """Install a user-uploaded IR WAV (base64 data URL, the same
@@ -327,13 +321,16 @@ class AudioEngine:
                     self.chain, self._runner, self.chain_state,
                     self._targets_map,
                 )
+                irs = dict(self.custom_irs)
             state = runner.unpack_state(sgroups)
         # Config from the SNAPSHOTTED chain, not last_chain_config: a
         # concurrent build_chain updates the latter before its (seconds-
         # long) compile finishes, and a checkpoint pairing the new config
         # with this chain's state would be unloadable (leaf mismatch —
-        # caught by the randomized concurrency hammer).
-        save_session(path, chain.source_config, tmap, state)
+        # caught by the randomized concurrency hammer).  Uploaded IRs
+        # ride along: the state's spec_hist leaves are shaped by them,
+        # so a resume (even in-process) must rebuild with the same IR.
+        save_session(path, chain.source_config, tmap, state, custom_irs=irs)
         return path
 
     def resume_session(self, path: str):
@@ -342,13 +339,20 @@ class AudioEngine:
         bit-exact.  Returns the restored chain config (for UI sync)."""
         from aefs_tpu.engine.checkpoint import load_session
 
-        chain_config, targets_map, rebuild_state = load_session(path)
+        chain_config, targets_map, rebuild_state, irs = load_session(path)
+        # Restore the session's uploaded IRs BEFORE rebuilding: the saved
+        # state's spec_hist leaves are shaped by the custom IR's length,
+        # so a rebuild on the synthetic IR could never accept them.
+        self.custom_irs.update(irs)
         chain, state, _ = build_chain(
             chain_config,
             self.current_sample_rate,
             BLOCKSIZE,
             channels_in=CHANNELS_IN,
             channels_out=CHANNELS_OUT,
+            static_overrides=self._ir_overrides(
+                chain_config, self.current_sample_rate
+            ),
         )
         targets = chain.targets(targets_map)
         state = rebuild_state(chain.init_state())
@@ -579,7 +583,12 @@ class AudioEngine:
                 print(f"Error in file stream: {e}")
             finally:
                 pq.put(None)
-                self.is_running = False
+                # Natural end only: when stop_stream initiated the stop,
+                # IT owns the flag — a stale thread unblocking minutes
+                # after a timed-out join (wedged dispatch) must not
+                # clobber a mic/file stream the user started since.
+                if not stop.is_set():
+                    self.is_running = False
 
         self._file_thread = threading.Thread(target=run, daemon=True)
         self.is_running = True
@@ -588,12 +597,15 @@ class AudioEngine:
 
     def set_devices(self, in_index, out_index):
         """Select the (input, output) device pair for the NEXT stream
-        start; a running stream is restarted so the change applies."""
+        start; a running MIC stream is restarted so the change applies.
+        A live FILE stream is left alone — device indices only bind at
+        mic-stream open, and restarting here would silently replace the
+        user's file playback with a microphone source."""
         self.devices = (
             int(in_index) if in_index is not None else None,
             int(out_index) if out_index is not None else None,
         )
-        if self.is_running:
+        if self.is_running and self.stream is not None:
             self.stop_stream()
             self.start_mic_stream()
 
@@ -608,6 +620,9 @@ class AudioEngine:
             t, self._file_thread = self._file_thread, None
             if t is not threading.current_thread():
                 t.join(timeout=30)
+            # The stopping side owns the flag (the thread skips it once
+            # the stop event is set — see start_file_stream's finally).
+            self.is_running = False
         with self._lock:
             self._pending = None
 

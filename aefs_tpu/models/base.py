@@ -50,6 +50,30 @@ class EffectModel:
     def initial_params(self, config: dict) -> dict:
         return init_params(self.PARAMS, config)
 
+    def map_state(self, f_batched, f_lockstep, st, *rest):
+        """Map leaves of a state pytree (plus parallel trees in ``rest``):
+        ``f_lockstep`` on LOCKSTEP_STATE keys, ``f_batched`` elsewhere.
+        Containers (parallel/multiband) override to RECURSE into their
+        nested models, so e.g. a delay's ring-row counter stays lockstep
+        one nesting level down too."""
+        import jax
+
+        return {
+            k: jax.tree.map(
+                f_lockstep if k in self.LOCKSTEP_STATE else f_batched,
+                v, *(r[k] for r in rest),
+            )
+            for k, v in st.items()
+        }
+
+    def state_axes_tree(self, batch_axis: int = 0):
+        """Per-leaf vmap axis tree matching ``init_state``'s structure:
+        ``batch_axis`` everywhere except LOCKSTEP_STATE leaves (None).
+        None is a valid vmap axis-spec leaf; do NOT jax.tree.map over the
+        result (None reads as an empty subtree there)."""
+        return self.map_state(
+            lambda _: batch_axis, lambda _: None, self.init_state())
+
     # -- to implement ---------------------------------------------------
     def init_state(self):
         """Return the effect's state pytree (all-zero history)."""

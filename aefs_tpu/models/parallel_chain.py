@@ -72,6 +72,27 @@ class ParallelChains(EffectModel):
             )
         }
 
+    def map_state(self, f_batched, f_lockstep, st, *rest):
+        """Recurse into the nested models so THEIR lockstep counters
+        (e.g. a branch delay's ring row) stay batch-uniform under the
+        pool's vmap — mapping the whole container with f_batched would
+        silently re-batch them, re-triggering the per-slot ring-index
+        lowering trap (ops/ringbuf.py:rowring_write rationale) for every
+        parallel/multiband config."""
+        return {
+            "branches": tuple(
+                tuple(
+                    m.map_state(
+                        f_batched, f_lockstep, s,
+                        *(r["branches"][bi][si] for r in rest),
+                    )
+                    for si, ((_, m), s) in enumerate(zip(models, bst))
+                )
+                for bi, (models, bst) in enumerate(
+                    zip(self.branches, st["branches"]))
+            )
+        }
+
     def _sub_params(self, p, bi, ei, model):
         return {name: p[f"b{bi}_{ei}_{name}"] for name in model.PARAMS}
 

@@ -14,9 +14,11 @@ SVF state s = (low, band) advances as
 
 a first-order vector recurrence solved by the per-sample 2x2 Hillis
 scan (ops/scan.py:mat2_affine_hillis) — log2(N) levels of eight FMAs,
-fully parallel, any block size.  Stability holds over the whole param
-box: det M = 1 - f/Q in (0,1) and |tr| < 1 + det reduces to
-f^2 + 2f/Q < 4 (max ~2.3 at fc=4 kHz, Q=0.5).
+fully parallel, any block size.  Stability: det M = 1 - f/Q in (0,1)
+and |tr| < 1 + det reduces to f^2 + 2f/Q < 4 — true over the whole
+param box at fs = 48 kHz (max ~2.3 at fc=4 kHz, Q=0.5) but NOT at low
+file sample rates (11025 Hz puts the sweep top past the bound), so f
+is clamped to 95% of the bound's positive root sqrt(1/Q^2+4) - 1/Q.
 
 The sweep position blends two sources branchlessly:
 ``mode`` 0 = LFO (TwoSum-carried phase, the tremolo's machinery),
@@ -84,8 +86,19 @@ class Wah(EffectModel):
         lo_hz = jnp.minimum(p["min_hz"], p["max_hz"])
         hi_hz = jnp.maximum(p["min_hz"], p["max_hz"])
         fc = lo_hz * (hi_hz / lo_hz) ** sweep
-        f = 2.0 * jnp.sin(jnp.pi * fc / fs)  # (N,)
         q1 = 1.0 / p["res"]
+        f = 2.0 * jnp.sin(jnp.pi * fc / fs)  # (N,)
+        # Stability clamp: the Jury bound for M is f^2 + 2*f*q1 < 4
+        # (negative-trace case; the docstring's margin claim only holds
+        # at fs = 48 kHz).  The engine renegotiates the chain to the
+        # FILE's rate, and e.g. fs = 11025 with max_hz = 4000, res = 3
+        # puts the sweep top at f = 1.81 where f^2 + 2f/Q = 4.5 — the
+        # recurrence diverges every LFO cycle.  Clamp f to 95% of the
+        # bound's positive root (sweeps cap at the stability edge
+        # instead of blowing up; inactive over the whole param box at
+        # fs >= 24 kHz, so 48 kHz parity is untouched).  Mirrored in
+        # tests/oracles.py:OracleWah.
+        f = jnp.minimum(f, 0.95 * (jnp.sqrt(q1 * q1 + 4.0) - q1))
 
         mp = jnp.ones((1, n), jnp.float32)
         mq = f[None, :]

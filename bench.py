@@ -678,12 +678,26 @@ def _emit(results, printed, error=None):
             return
         printed["done"] = True
     headline = results.get("5_five_effect", 0.0)
+    # The watchdog thread emits while main may be inserting the NEXT
+    # config's key; dict iteration during insertion raises RuntimeError,
+    # which would swallow the one JSON line the watchdog exists to
+    # guarantee (printed["done"] is already True by then).  Retry the
+    # snapshot; a single-key write is atomic under the GIL so one clean
+    # pass always exists.
+    for _ in range(8):
+        try:
+            detail = {k: round(v, 2) for k, v in results.items()}
+            break
+        except RuntimeError:
+            continue
+    else:
+        detail = {"snapshot": 0.0}
     out = {
         "metric": "realtime_factor_48k_stereo_5fx_chain",
         "value": round(headline, 1),
         "unit": "x_realtime",
         "vs_baseline": round(headline, 1),
-        "detail": {k: round(v, 2) for k, v in results.items()},
+        "detail": detail,
     }
     if error:
         out["error"] = error

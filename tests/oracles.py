@@ -622,6 +622,8 @@ class OracleWah:
             sweep = (1 - p["mode"]) * lfo + p["mode"] * esw
             fc = lo * (hi / lo) ** sweep
             f = 2.0 * np.sin(np.pi * fc / self.fs)
+            # stability clamp at low fs (models/wah.py)
+            f = min(f, 0.95 * (np.sqrt(q1 * q1 + 4.0) - q1))
             for c in range(x.shape[1]):
                 self.low[c] = self.low[c] + f * self.band[c]
                 high = x[i, c] - self.low[c] - q1 * self.band[c]

@@ -36,7 +36,7 @@ def test_save_load_resume_bit_exact(tmp_path):
         ref_out.append(np.asarray(y))
 
     # Resume in a "new process": rebuild chain from the checkpoint.
-    cfgs2, tmap2, rebuild = load_session(str(tmp_path / "ckpt"))
+    cfgs2, tmap2, rebuild, _irs = load_session(str(tmp_path / "ckpt"))
     assert cfgs2 == CFGS
     chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
     state2 = rebuild(template)
@@ -50,7 +50,7 @@ def test_save_load_resume_bit_exact(tmp_path):
 def test_leaf_mismatch_raises(tmp_path):
     chain, state, tmap = build_chain(CFGS, FS, 256, channels_in=2)
     save_session(str(tmp_path / "ckpt"), CFGS, tmap, state)
-    _, _, rebuild = load_session(str(tmp_path / "ckpt"))
+    _, _, rebuild, _irs = load_session(str(tmp_path / "ckpt"))
     other_chain, other_state, _ = build_chain(CFGS[:1], FS, 256, channels_in=2)
     import pytest
 
@@ -83,6 +83,45 @@ def test_engine_save_resume_session(tmp_path):
     restored = eng2.resume_session(path)
     assert restored == cfg
     tail_got = [eng2.process_stream_block(b) for b in blocks[4:]]
+    for a, b in zip(tail_ref, tail_got):
+        assert np.array_equal(a, b)
+
+
+def test_engine_save_resume_with_uploaded_ir(tmp_path):
+    """A session whose convreverb carries an UPLOADED IR must checkpoint
+    and resume — in a fresh process the IR exists nowhere but the
+    checkpoint, and the saved state's spectral-history leaves are shaped
+    by the custom IR's length, so a rebuild on the synthetic IR could
+    never accept them (the old resume_session failed here even
+    in-process by omitting the IR overrides)."""
+    import base64
+
+    from aefs_tpu.engine.engine import AudioEngine
+    from aefs_tpu.engine.wavio import encode_wav_int16
+
+    cfg = [{"effect_id": "cv", "type": "convreverb",
+            "params": {"ir_seconds": 0.5, "mix_dry": 0.7, "mix_wet": 0.5}}]
+    rng = np.random.default_rng(17)
+    # An IR whose length matches no synthetic_ir(fs, ir_seconds) output.
+    ir = (rng.standard_normal((2, 13337)) *
+          np.exp(-np.arange(13337) / 3000.0)).astype(np.float32) * 0.2
+    url = "data:audio/wav;base64," + base64.b64encode(
+        encode_wav_int16(ir.T, 48000)).decode()
+    blocks = [rng.standard_normal((256, 1)).astype(np.float32) * 0.3
+              for _ in range(6)]
+
+    eng = AudioEngine()
+    eng.build_chain(cfg)
+    eng.set_ir("cv", url)
+    for b in blocks[:3]:
+        eng.process_stream_block(b)
+    path = eng.save_session(str(tmp_path / "sess_ir"))
+    tail_ref = [eng.process_stream_block(b) for b in blocks[3:]]
+
+    eng2 = AudioEngine()  # fresh process analogue: no custom_irs in memory
+    restored = eng2.resume_session(path)
+    assert restored == cfg
+    tail_got = [eng2.process_stream_block(b) for b in blocks[3:]]
     for a, b in zip(tail_ref, tail_got):
         assert np.array_equal(a, b)
 
@@ -153,7 +192,7 @@ def test_save_session_atomic_generations(tmp_path):
     # manifest swap) must be ignored by the loader...
     with open(os.path.join(p, "state-2.npz"), "wb") as f:
         f.write(b"torn")
-    cfgs2, tmap2, rebuild = load_session(p)
+    cfgs2, tmap2, rebuild, _irs = load_session(p)
     chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
     rebuild(template)  # loads gen 1, not the torn orphan
     # ...and the next save must clean it up and commit gen 2 on top.
@@ -172,7 +211,7 @@ def test_save_session_atomic_generations(tmp_path):
     with open(os.path.join(leg, "session.json"), "w") as f:
         _json.dump({"format_version": 1, "chain_config": CFGS,
                     "targets": tmap, "n_leaves": len(leaves)}, f)
-    cfgs3, _, rebuild3 = load_session(leg)
+    cfgs3, _, rebuild3, _irs3 = load_session(leg)
     assert cfgs3 == CFGS
     rebuild3(template)
 
@@ -253,7 +292,7 @@ def test_save_resume_integer_state_effects_bit_exact(tmp_path):
         state, y = step(state, targets, jnp.asarray(x[i * 256:(i + 1) * 256].T))
         ref.append(np.asarray(y))
 
-    cfgs2, tmap2, rebuild = load_session(str(tmp_path / "ck"))
+    cfgs2, tmap2, rebuild, _irs = load_session(str(tmp_path / "ck"))
     chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
     state2 = rebuild(template)
     step2 = chain2.step()

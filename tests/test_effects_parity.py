@@ -383,6 +383,25 @@ def test_wah_parity(params):
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 
 
+def test_wah_low_fs_stability_clamp():
+    """The engine renegotiates the chain to the FILE's sample rate, and
+    at fs = 11025 a 4 kHz sweep top with res = 3 exceeds the SVF Jury
+    bound (f^2 + 2f/Q = 4.5 > 4) — unclamped, the recurrence diverged
+    to inf within one LFO cycle.  The f-clamp (models/wah.py) caps the
+    sweep at the stability edge; the float64 oracle mirrors it, so
+    parity holds at the full bar while output stays finite."""
+    fs = 11025
+    params = {"rate_hz": 2.0, "min_hz": 300.0, "max_hz": 4000.0,
+              "res": 3.0, "mix": 1.0, "mode": 0.0}
+    x = tones(FRAMES, fs=fs, freqs=(220.0, 980.0, 2900.0))
+    got = run_chain({"effect_id": "w", "type": "wah", "params": params},
+                    x, fs=fs)
+    assert np.all(np.isfinite(got))
+    oracle = OracleWah(fs, **params)
+    ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+    assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
 def test_flanger_bitwise_blocking_invariance():
     """Any block size is processed as the same 256-sample chunk sequence
     (models/flanger.py lax.scan), so 256-streaming and 4096-superblock

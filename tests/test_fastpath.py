@@ -48,6 +48,11 @@ def run(cfgs, x, fast, blocksize=4096):
                "mix_wet": 0.9, "offset_ms": 0}, -80),
     ("delay", {"delay_ms": 375, "feedback": 0.3, "mix_dry": 0.8,
                "mix_wet": 0.8, "offset_ms": -120}, -80),
+    # Out-of-box config values: blockwise clamps through ParamSpec
+    # (delay_ms hi = 1499), so the file statics must clamp identically
+    # or the baked lag splits from the streamed one by 48 samples.
+    ("delay", {"delay_ms": 1500, "feedback": 0.4, "mix_dry": 1.0,
+               "mix_wet": 1.0, "offset_ms": 0}, -80),
     ("reverb", {"rt60_s": 2.1, "damp": 0.05, "pre_delay_ms": 0,
                 "mix_dry": 0.8, "mix_wet": 0.4}, -80),
     ("reverb", {"rt60_s": 6.0, "damp": 0.6, "pre_delay_ms": 40,

@@ -201,3 +201,23 @@ def test_ws_stream_file_command():
             backend.connected_client = None
 
     asyncio.run(scenario())
+
+
+def test_set_devices_leaves_file_stream_alone():
+    """Changing the device pickers while a FILE stream plays must not
+    kill the playback (the old code restarted into a MIC stream,
+    silently replacing the user's file source; devices only bind at
+    mic-stream open).  The selection still lands for the next start."""
+    rng = np.random.default_rng(5)
+    n = 48000  # 1 s
+    x = (0.3 * rng.standard_normal((n, 1))).astype(np.float32)
+
+    eng = AudioEngine()
+    eng.build_chain([])
+    assert eng.start_file_stream(_data_url(x), realtime=False)
+    eng.set_devices(1, 2)  # mid-stream device change
+    assert eng.devices == (1, 2)
+    blocks = _drain(eng)
+    y = np.concatenate([b for _, b in blocks])
+    assert y.shape == (n, 2)  # the full file arrived — stream survived
+    assert not eng.is_running

@@ -71,3 +71,36 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_nested_lockstep_axes_and_graft():
+    """Ring-row counters nested inside parallel containers must map to
+    vmap axis None (shared across pool slots) exactly like top-level
+    ones — a per-slot nested row re-triggers the documented ~12x
+    batched-index DUS lowering trap (models/base.py:map_state recursion;
+    ops/ringbuf.py:rowring_write rationale).  graft_slot_state must
+    likewise keep the nested shared counter while resetting the slot's
+    audio buffers."""
+    cfg = [{"effect_id": "p", "type": "parallel", "branches": [
+        [{"effect_id": "d", "type": "delay", "params": {"delay_ms": 90}}],
+        [{"effect_id": "g", "type": "gate", "params": {}}],
+    ], "params": {}}]
+    chain, single, tmap = build_chain(cfg, 48000, 256, channels_in=1)
+    ax = chain.state_axes()["fx"][0]
+    dly_ax = ax["branches"][0][0]
+    assert dly_ax["row"] is None, dly_ax
+    assert dly_ax["lines"] == 0, dly_ax
+
+    batched = chain.batch_state(single, 4)
+    bfx = batched["fx"][0]["branches"][0][0]
+    assert bfx["row"].ndim == 0  # shared scalar, not (4,)
+    assert bfx["lines"].shape[0] == 4
+
+    # Graft keeps the shared counter, resets the slot's buffers.
+    rows_before = np.asarray(bfx["row"])
+    dirty = jax.tree.map(lambda x: x + 1.0, batched)
+    grafted = chain.graft_slot_state(dirty, single, 2)
+    gfx = grafted["fx"][0]["branches"][0][0]
+    assert np.asarray(gfx["row"]) == rows_before + 1  # untouched by graft
+    assert np.allclose(np.asarray(gfx["lines"][2]),
+                       np.asarray(single["fx"][0]["branches"][0][0]["lines"]))
