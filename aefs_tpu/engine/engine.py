@@ -400,13 +400,26 @@ class AudioEngine:
                     if self.chain is chain:
                         self.chain_state = state
             out = np.asarray(y).T
-        fanned = np.repeat(in_block, 2, axis=1) if in_block.shape[1] == 1 else in_block
-        for qname, blk in (("input", fanned), ("output", out)):
-            try:
-                self.data_queues[qname].put_nowait(blk.copy())
-            except queue.Full:
-                pass
+        self._tap_plots(in_block, out)
         return out
+
+    def _tap_plots(self, in_block, out):
+        """Feed the plot queues as a PAIR: drop both blocks or neither.
+        Independent drop-on-full could desynchronize the two rings by one
+        block FOREVER (the sender drains between the two puts exactly as
+        the rings are full: the input put then lands while the output put
+        drops) — and the server's pair-drain assumes equal depths.  The
+        single-producer full() check is conservative-exact: only this
+        thread grows the rings."""
+        fanned = (np.repeat(in_block, 2, axis=1)
+                  if in_block.shape[1] == 1 else in_block)
+        qin, qout = self.data_queues["input"], self.data_queues["output"]
+        try:
+            if not (qin.full() or qout.full()):
+                qin.put_nowait(fanned.copy())
+                qout.put_nowait(out.copy())
+        except queue.Full:  # ragged test blocks (BlockQueue shape guard)
+            pass
 
     def process_stream_block_pipelined(self, in_block: np.ndarray) -> np.ndarray:
         """Depth-1 pipelined hot path: dispatch block k, return block k-1's
@@ -440,12 +453,7 @@ class AudioEngine:
                 out = np.asarray(pending[1]).T
             else:  # pipeline priming / chain swap: one silent block
                 out = np.zeros((in_block.shape[0], CHANNELS_OUT), np.float32)
-        fanned = np.repeat(in_block, 2, axis=1) if in_block.shape[1] == 1 else in_block
-        for qname, blk in (("input", fanned), ("output", out)):
-            try:
-                self.data_queues[qname].put_nowait(blk.copy())
-            except queue.Full:
-                pass
+        self._tap_plots(in_block, out)
         return out
 
     # -- mic stream (engine.py:147-190) ---------------------------------

@@ -30,7 +30,12 @@ def decode_wav(data: bytes):
             x = np.frombuffer(raw, np.uint8).astype(np.float32)
             x = (x - 128.0) / 128.0
         elif width == 2:
-            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            # The common case (every reference asset is 16-bit): the
+            # native converter is ~10x the numpy path on multi-minute
+            # uploads and falls back to exactly this scaling itself.
+            from aefs_tpu.native import i16_to_f32
+
+            x = i16_to_f32(np.frombuffer(raw, "<i2"))
         elif width == 3:
             b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
             i32 = (

@@ -215,6 +215,13 @@ class BlockQueue:
     def empty(self) -> bool:
         return len(self._ring) == 0
 
+    def full(self) -> bool:
+        """Producer-side capacity check (queue.Queue.full parity).  From
+        the single producer this is conservative-exact: only the producer
+        grows the ring, so not-full here guarantees the next push lands
+        (the consumer can only make more room)."""
+        return len(self._ring) >= self._ring.capacity
+
     def qsize(self) -> int:
         return len(self._ring)
 

@@ -196,23 +196,32 @@ async def handler(websocket):
         except Exception:
             return queue.Queue(maxsize=PLOT_QUEUE_BLOCKS)
 
-    data_queues = {"input": make_plot_queue(), "output": make_plot_queue()}
-    audio_engine = AudioEngine(data_queues)
-
-    analyzer = None
-    if SEND_ANALYSIS:
-        try:
-            from aefs_tpu.utils.analysis import PlotAnalyzer
-
-            analyzer = PlotAnalyzer(audio_engine.current_sample_rate)
-        except Exception as e:
-            print(f"Warning: on-device plot analysis unavailable: {e}")
-
-    sender_task = asyncio.create_task(
-        data_sender(websocket, data_queues, audio_engine, analyzer)
-    )
-
+    # EVERYTHING after the client-slot claim sits under try/finally: the
+    # engine build compiles XLA (and probes the device — which can raise
+    # on a wedged tunnel), and an exception here used to leave
+    # connected_client set forever, rejecting every future connection.
+    # The build also runs in the executor so a slow compile / wedge never
+    # freezes the event loop's keepalive pings.
+    audio_engine = None
+    sender_task = None
     try:
+        data_queues = {"input": make_plot_queue(), "output": make_plot_queue()}
+        loop = asyncio.get_running_loop()
+        audio_engine = await loop.run_in_executor(None, AudioEngine, data_queues)
+
+        analyzer = None
+        if SEND_ANALYSIS:
+            try:
+                from aefs_tpu.utils.analysis import PlotAnalyzer
+
+                analyzer = PlotAnalyzer(audio_engine.current_sample_rate)
+            except Exception as e:
+                print(f"Warning: on-device plot analysis unavailable: {e}")
+
+        sender_task = asyncio.create_task(
+            data_sender(websocket, data_queues, audio_engine, analyzer)
+        )
+
         async for message in websocket:
             try:
                 cmd = json.loads(message)
@@ -220,7 +229,12 @@ async def handler(websocket):
                 if command == "start_mic":
                     audio_engine.start_mic_stream()
                 elif command == "stop":
-                    audio_engine.stop_stream()
+                    # Executor: stop_stream joins the file-stream thread
+                    # (up to 30 s if a dispatch is wedged) — inline it
+                    # would stall keepalive pings and every other command.
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, audio_engine.stop_stream
+                    )
                 elif command == "build_chain":
                     # Chain builds compile XLA programs (seconds, possibly
                     # minutes uncached) — keep the event loop responsive.
@@ -289,6 +303,14 @@ async def handler(websocket):
                             realtime=cmd.get("realtime", True),
                         ),
                     )
+                    # Tell the client either way BEFORE attaching the
+                    # pump (so stream_started precedes any stream_audio):
+                    # a refusal (nothing uploaded / already running)
+                    # produces no stream_audio_end, and a UI that flipped
+                    # into "streaming" optimistically would be stuck.
+                    await websocket.send(json.dumps(
+                        {"type": "stream_started", "ok": bool(started)}
+                    ))
                     if started:
                         asyncio.create_task(
                             audio_streamer(websocket, audio_engine)
@@ -304,8 +326,11 @@ async def handler(websocket):
                         "selected": list(audio_engine.devices),
                     }))
                 elif command == "set_devices":
-                    audio_engine.set_devices(
-                        cmd.get("input"), cmd.get("output")
+                    # Executor: may restart a running mic stream (stream
+                    # open/close touches PortAudio and the stop path).
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, audio_engine.set_devices,
+                        cmd.get("input"), cmd.get("output"),
                     )
                 elif command == "set_ir":
                     # Additive extension: user-uploaded convreverb IR
@@ -391,9 +416,13 @@ async def handler(websocket):
     finally:
         # close() (not just stop_stream) breaks the session chain's
         # jit-cache cycle: gc is disabled, so a plain drop would leak the
-        # chain + compiled executables on every client churn.
-        audio_engine.close()
-        sender_task.cancel()
+        # chain + compiled executables on every client churn.  Engine /
+        # sender may not exist if the build itself failed — the slot must
+        # free regardless.
+        if audio_engine is not None:
+            audio_engine.close()
+        if sender_task is not None:
+            sender_task.cancel()
         connected_client = None
         print("Disconnected from frontend client")
 

@@ -400,7 +400,18 @@ class PoolServer:
         fut = asyncio.get_running_loop().create_future()
         async with self._cv:
             # one in-flight block per session: a second submission before
-            # the first resolves replaces it (drop-late, realtime rules)
+            # the first resolves replaces it (drop-late, realtime rules).
+            # The displaced future must be RESOLVED — today's per-session
+            # handler is strictly serial so this path is unreachable, but
+            # any pipelined caller exercising the advertised semantics
+            # would otherwise await the orphan forever (leaking the
+            # handler task and, via its finally, the slot).
+            old = self._pending.get(slot)
+            if old is not None and not old[1].done():
+                old[1].set_exception(
+                    RuntimeError("block superseded by a newer submission "
+                                 "(drop-late)")
+                )
             self._pending[slot] = (audio, fut)
             self._cv.notify()
         return await fut

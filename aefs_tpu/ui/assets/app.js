@@ -35,6 +35,7 @@ function connect() {
     if (msg.type === "plot_data") onPlotData(msg);
     else if (msg.type === "file_processed") onFileProcessed(msg);
     else if (msg.type === "stream_audio") onStreamAudio(msg);
+    else if (msg.type === "stream_started") onStreamStarted(msg.ok);
     else if (msg.type === "stream_audio_end") onStreamAudioEnd();
     else if (msg.type === "stats") onStats(msg);
     else if (msg.type === "session_saved")
@@ -53,7 +54,14 @@ function connect() {
                            : `IR failed: ${msg.error}`);
     else if (msg.type === "devices") renderDevices(msg);
   };
-  socket.addEventListener("open", () => send({ command: "list_devices" }));
+  socket.addEventListener("open", () => {
+    send({ command: "list_devices" });
+    // Each connection gets a FRESH empty-chain engine server-side; after
+    // a reconnect the UI's effect cards would otherwise silently diverge
+    // (dry audio, every slider landing on "could not be updated").
+    if (chain.length) send({ command: "build_chain", config: chain });
+    if (streaming) onStreamAudioEnd();  // old stream died with the socket
+  });
 }
 
 function renderDevices(msg) {
@@ -352,6 +360,21 @@ function onStreamAudio(msg) {
   streamT = at + n / msg.sample_rate;
 }
 
+function onStreamStarted(ok) {
+  // The UI flips into streaming state only on the backend's confirm —
+  // an optimistic flip on click had no way back when the engine refused
+  // (e.g. nothing uploaded on a fresh post-reconnect engine): no
+  // stream_audio_end ever arrives for a stream that never started.
+  if (!ok) {
+    sessionStatus("stream refused (no file uploaded or already running)");
+    return;
+  }
+  streaming = true;
+  streamT = 0;
+  $("stream-file").classList.add("hidden");
+  $("stop-file-stream").classList.remove("hidden");
+}
+
 function onStreamAudioEnd() {
   streaming = false;
   $("stream-file").classList.remove("hidden");
@@ -439,12 +462,8 @@ async function init() {
     send({ command: "reprocess_file" });
   };
   $("stream-file").onclick = () => {
-    streaming = true;
-    streamT = 0;
     if (streamCtx) streamCtx.resume();
-    $("stream-file").classList.add("hidden");
-    $("stop-file-stream").classList.remove("hidden");
-    send({ command: "stream_file" });
+    send({ command: "stream_file" });  // UI flips on stream_started
   };
   $("stop-file-stream").onclick = () => {
     send({ command: "stop" });

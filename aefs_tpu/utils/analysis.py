@@ -38,9 +38,13 @@ def blackman_harris(n):
     return w.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("fs",))
-def _analyze(tail, window, log_idx, pc_map, pc_weight, fs: int):
-    """tail: (FFT_SIZE,) most recent samples -> (spec_db, chroma)."""
+@jax.jit
+def _analyze(tail, window, log_idx, pc_map, pc_weight):
+    """tail: (FFT_SIZE,) most recent samples -> (spec_db, chroma).
+
+    All fs-dependent data (log_idx, pc_map, pc_weight) arrives as traced
+    arrays — a static fs argument here forced a pointless full recompile
+    of the serving-path kernel on every sample-rate renegotiation."""
     spec = jnp.abs(jnp.fft.rfft(tail * window))
     mag = spec / (FFT_SIZE / 4)
 
@@ -125,7 +129,6 @@ class PlotAnalyzer:
             specs, chromas = jax.vmap(
                 lambda t: _analyze(
                     t, self.window, self.log_idx, self.pc_map, self.pc_weight,
-                    fs=fs,
                 )
             )(jnp.asarray(frames))
             out[name] = {
@@ -142,7 +145,6 @@ class PlotAnalyzer:
             tail = jnp.asarray(ring[-FFT_SIZE:])
             spec_db, chroma = _analyze(
                 tail, self.window, self.log_idx, self.pc_map, self.pc_weight,
-                fs=self.fs,
             )
             result[name] = {
                 "spectrum_db": np.asarray(spec_db).round(2).tolist(),

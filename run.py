@@ -42,6 +42,11 @@ def run_services(backend_port: int, ui_port: int):
     # covers Ctrl-C): without this, killing the launcher leaks the
     # backend + UI processes — and a leaked backend can hold the TPU.
     def _terminate(_sig, _frame):
+        # One-shot: once teardown has begun, a second SIGTERM (impatient
+        # supervisor, `docker stop` escalation) must not interrupt the
+        # finally-block child cleanup — that would leak the backend, and
+        # a leaked backend holds the TPU (CLAUDE.md hard rule).
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _terminate)

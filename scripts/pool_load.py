@@ -125,6 +125,9 @@ async def main():
 
         async with websockets.connect(url, open_timeout=120) as ws:
             ready = json.loads(await ws.recv())
+            if ready.get("type") == "error":  # e.g. pool full
+                raise SystemExit(f"pool refused the probe session: "
+                                 f"{ready.get('error')}")
             blocksize, fs = ready["blocksize"], ready["sample_rate"]
             chain = ready.get("chain", [])
         # Acked-update target: the first effect with a known wiggleable
