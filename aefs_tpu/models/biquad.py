@@ -41,7 +41,19 @@ class BiquadFilter(EffectModel):
         peaking/shelf rows for types 3-5), branchless over the type —
         one-hot masks keep a single compiled program for all six."""
         fs = jnp.float32(self.fs)
-        fc = p["cutoff_hz"]
+        # Nyquist clamp (the wah's low-fs lesson, wah.py): the engine
+        # rebuilds the chain at the FILE's rate, and cutoff_hz > fs/2
+        # flips sin(w0) negative -> alpha < 0 -> poles OUTSIDE the unit
+        # circle — e.g. the 4.5 kHz presence shelf of a legal preset on
+        # an 8 kHz WAV diverges to Inf.  (The reference inherits the
+        # same instability: filter.py:62-98 has no clamp and
+        # engine.py:88 rebuilds at the file rate — deliberate
+        # robustness divergence.)  45% of fs rather than ~50%: at
+        # 0.495*fs sin(w0) ~ 0.03 puts the poles near the unit circle
+        # where the f32 conditioning floor eps/(1-r)^2 (CLAUDE.md) is
+        # only ~-50 dB; 0.45 keeps the clamped corner at full -80
+        # parity.  Mirrored in tests/oracles.py.
+        fc = jnp.minimum(p["cutoff_hz"], 0.45 * fs)
         q = p["q"]
         w0 = 2.0 * jnp.pi * fc / fs
         cw = jnp.cos(w0)

@@ -398,7 +398,9 @@ def linrec2_file(v, a1, a2, y1, y2, chunk: int = 256):
     dt = v.dtype
     vp = jnp.pad(v, (0, m * c - n)).reshape(m, c)
 
-    # Impulse response h[0..c] of the AR part (log-doubling, scan-free).
+    # Impulse response h[0..c] of the AR part (closed form over the pole
+    # structure — NOT log-doubling, which ar2_impulse's docstring records
+    # as catastrophically unstable at near-unit pole radius).
     h = jnp.asarray(ar2_impulse(a1, a2, c + 1), dt)
 
     t_mat = toeplitz_lower(h, c)

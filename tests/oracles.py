@@ -50,7 +50,13 @@ class OracleDelayLine:
         self.w = 0
 
     def process(self, x, delay_ms, feedback):
-        d = min(int(self.fs * delay_ms / 1000.0), self.size - 1)
+        # Mirror the model's float32 ms->samples quantization exactly
+        # (delay.py:to_samples: f32 product, f32 divide, truncate) — a
+        # float64 derivation disagrees by one sample on truncation
+        # boundaries (fuzz finding #4, e.g. 494.3749872 ms).
+        dq = np.float32(np.float32(self.fs) * np.float32(delay_ms)) \
+            / np.float32(1000.0)
+        d = min(int(dq), self.size - 1)
         y = np.zeros(len(x))
         for n in range(len(x)):
             r = (self.w - d) % self.size
@@ -173,7 +179,10 @@ class OracleReverb:
 
     def process(self, x):  # (N, 2)
         p = self.p
-        d = min(int(self.fs * p["pre_delay_ms"] / 1000.0), self.pre_size - 1)
+        # f32 quantization mirror (reverb.py:108), as in OracleDelayLine.
+        dq = np.float32(np.float32(self.fs) * np.float32(p["pre_delay_ms"])) \
+            / np.float32(1000.0)
+        d = min(int(dq), self.pre_size - 1)
         out = np.zeros_like(x)
         for side in range(2):
             pre = self.pre[side].process(x[:, side], d)
@@ -199,6 +208,8 @@ class OracleBiquad:
 
     def coeffs(self):
         fc, q = self.p["cutoff_hz"], self.p["q"]
+        # Nyquist clamp mirrored from models/biquad.py (f32 product).
+        fc = min(fc, float(np.float32(0.45) * np.float32(self.fs)))
         w0 = 2.0 * np.pi * fc / self.fs
         cw, sw = np.cos(w0), np.sin(w0)
         alpha = sw / (2.0 * q)
@@ -261,8 +272,14 @@ class OracleGate:
         self.gain = 0.0
 
     def _coeff(self, ms):
-        t = max(1e-3, ms * 1e-3)
-        return 1.0 - np.exp(-2.2 / (t * self.fs))
+        # f32 mirror (CLAUDE.md: mirror every f32 smoother coefficient —
+        # the release recursion amplifies the oracle gap by 1/(1-a_r)):
+        # the models compute 1 - exp(.) entirely in float32, and the
+        # subtraction near 1.0 is where ~1e-3 RELATIVE coefficient error
+        # appears at long release times.
+        t = np.float32(max(1e-3, ms * 1e-3))
+        return float(np.float32(1.0)
+                     - np.exp(np.float32(-2.2) / (t * np.float32(self.fs))))
 
     def process(self, x):  # (N, C)
         thresh = 10.0 ** (self.p["threshold_db"] / 20.0)
@@ -297,8 +314,14 @@ class OracleCompressor:
         self.env = 0.0
 
     def _coeff(self, ms):
-        t = max(1e-3, ms * 1e-3)
-        return 1.0 - np.exp(-2.2 / (t * self.fs))
+        # f32 mirror (CLAUDE.md: mirror every f32 smoother coefficient —
+        # the release recursion amplifies the oracle gap by 1/(1-a_r)):
+        # the models compute 1 - exp(.) entirely in float32, and the
+        # subtraction near 1.0 is where ~1e-3 RELATIVE coefficient error
+        # appears at long release times.
+        t = np.float32(max(1e-3, ms * 1e-3))
+        return float(np.float32(1.0)
+                     - np.exp(np.float32(-2.2) / (t * np.float32(self.fs))))
 
     def process(self, x):  # (N, C)
         p = self.p

@@ -118,6 +118,26 @@ def test_filter_parity(params):
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 
 
+def test_filter_low_fs_nyquist_clamp():
+    """cutoff_hz above the FILE's Nyquist (the engine rebuilds at the
+    file's rate): unclamped RBJ flips sin(w0) negative -> alpha < 0 ->
+    poles outside the unit circle — a legal 4.5 kHz shelf preset on an
+    8 kHz WAV diverged to Inf.  The Nyquist clamp (models/biquad.py,
+    mirrored in the oracle) keeps it finite at full parity."""
+    fs = 8000
+    for params in (
+        {"filter_type": 5, "cutoff_hz": 4500, "q": 0.707, "gain_db": 6.0},
+        {"filter_type": 0, "cutoff_hz": 6000, "q": 0.9},
+    ):
+        x = tones(FRAMES, fs=fs, freqs=(220.0, 950.0, 2400.0))
+        got = run_chain({"effect_id": "f", "type": "filter",
+                         "params": params}, x, fs=fs)
+        assert np.all(np.isfinite(got))
+        oracle = OracleBiquad(fs, **params)
+        ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
+        assert err_dbfs(got, ref) <= -80, (params, err_dbfs(got, ref))
+
+
 @pytest.mark.parametrize(
     "params",
     [
