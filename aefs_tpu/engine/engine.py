@@ -117,9 +117,13 @@ def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
         static_overrides=_file_static_overrides(chain_config),
     )
     targets = chain.targets(targets_map)
-    state = jax.tree.map(
-        lambda leaf: jnp.broadcast_to(leaf[None], (b,) + leaf.shape), one_state
-    )
+    # The canonical batcher (NOT a bare broadcast_to tree-map): lockstep
+    # ring-row counters stay unbatched, so any effect whose process_file
+    # falls back to the blockwise step (delay without file statics) keeps
+    # batch-uniform slice starts — per-batch starts are the documented
+    # ~12x DUS cliff (CLAUDE.md).
+    state = chain.batch_state(one_state, b)
+    state_axes = chain.state_axes()
     xd = jnp.asarray(x)
     if shard and len(jax.devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -127,15 +131,20 @@ def render_batch(chain_config, audios, fs, superblock=FILE_SUPERBLOCK,
         mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
         put = lambda leaf: jax.device_put(
             leaf,
-            NamedSharding(mesh, P(*(("data",) + (None,) * (leaf.ndim - 1)))),
+            NamedSharding(
+                mesh,
+                P(*(("data",) + (None,) * (leaf.ndim - 1)))
+                if leaf.ndim else P(),  # lockstep scalars replicate
+            ),
         )
         state = jax.tree.map(put, state)
         xd = put(xd)
 
     fn = jax.jit(
-        lambda st, tg, xx: jax.vmap(chain.process_whole, in_axes=(0, None, 0))(
-            st, tg, xx
-        )
+        lambda st, tg, xx: jax.vmap(
+            chain.process_whole, in_axes=(state_axes, None, 0),
+            out_axes=(state_axes, 0),
+        )(st, tg, xx)
     )
     _, y = fn(state, targets, xd)
     chain.release()  # one-shot chain: break the jit-cache cycle (gc is off)
@@ -178,6 +187,7 @@ class AudioEngine:
         # Enqueue is asynchronous (microseconds), so the audio path only
         # ever waits for another enqueue, never for device compute.
         self._dispatch_lock = threading.Lock()
+        self._param_lock = threading.Lock()  # serializes update_param writers
         self._targets_map = {}
         self._pending = None  # depth-1 pipeline: (chain, y, in-flight block)
         # Uploaded convreverb IRs: {effect_id: ((ch, n) float32, ir_fs)}.
@@ -278,7 +288,17 @@ class AudioEngine:
 
     def update_param(self, effect_id: str, param_name: str, value: float):
         """Route a live parameter change (engine.py:131-145): rewrite the
-        target; the audio path glides toward it one clamped step per block."""
+        target; the audio path glides toward it one clamped step per block.
+
+        ``_param_lock`` serializes concurrent WRITERS for the whole
+        copy-pack-swap: two unserialized writers would each pack a full
+        map copied before the other's swap, and the loser's parameter
+        would silently revert (lost update).  Control-plane-only — the
+        audio path never takes this lock."""
+        with self._param_lock:
+            self._update_param_locked(effect_id, param_name, value)
+
+    def _update_param_locked(self, effect_id, param_name, value):
         with self._lock:
             chain = self.chain
             targets_map = {k: dict(v) for k, v in self._targets_map.items()}

@@ -25,13 +25,20 @@ mirroring the f32 ``num`` quantization) <= -80 dBFS.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
 
-_PHASE_SCALE = jnp.float32(2.0**32)
-_INV_PHASE = jnp.float32(2.0**-32)
+# np.float32, NOT jnp.float32: a module-level jnp scalar dispatches a
+# device op at IMPORT time, which initializes the JAX backend the moment
+# anything imports aefs_tpu — on a wedged axon tunnel that hangs every
+# `import aefs_tpu` (incl. bench.py before its stray-sweep/probe harness
+# gets a chance to run).  Inside jit the two are numerically identical
+# f32 constants.
+_PHASE_SCALE = np.float32(2.0**32)
+_INV_PHASE = np.float32(2.0**-32)
 
 
 def phase_step_u32(freq_hz, fs):

@@ -32,6 +32,14 @@ def make_mesh(n_devices=None, model_parallel=1, devices=None):
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # A silent devices[:n] here would run an "N-device" dryrun on
+            # however few devices the env actually exposes and report it
+            # as passing — fail loudly instead.
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel:
@@ -120,5 +128,10 @@ class ShardedStreams:
 
     def run_block(self, state, targets, x):
         """x: (S, ci, N) host array."""
-        x = jax.device_put(jnp.asarray(x), self.input_sharding())
+        # device_put straight from host memory: jnp.asarray first would
+        # stage the WHOLE batch on device 0 and then reshard — double
+        # transfer plus a device-0 HBM spike proportional to S.  An
+        # already-device-resident array resharding is a pure d2d move.
+        src = x if isinstance(x, jax.Array) else np.asarray(x, np.float32)
+        x = jax.device_put(src, self.input_sharding())
         return self.step_fn()(state, targets, x)

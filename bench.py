@@ -646,13 +646,15 @@ def bench_batch_render(cfgs, x, b=16, superblock=4096, k=4):
     pad = (-len(x)) % superblock
     xp = np.concatenate([x, np.zeros((pad, 1), np.float32)])
     xb = jnp.asarray(np.broadcast_to(xp.T[None], (b, 1, xp.shape[0])).copy())
-    state = jax.tree.map(
-        lambda leaf: jnp.broadcast_to(leaf[None], (b,) + leaf.shape), one
-    )
+    # Canonical batcher: lockstep counters stay unbatched (engine
+    # render_batch rationale — batch-uniform slice starts).
+    state = chain.batch_state(one, b)
+    state_axes = chain.state_axes()
     fn = jax.jit(
-        lambda st, tg, xx: jax.vmap(chain.process_whole, in_axes=(0, None, 0))(
-            st, tg, xx
-        )
+        lambda st, tg, xx: jax.vmap(
+            chain.process_whole, in_axes=(state_axes, None, 0),
+            out_axes=(state_axes, 0),
+        )(st, tg, xx)
     )
     st, y = fn(state, targets, xb)
     float(jnp.sum(jnp.abs(y[:, :, -4:])))
@@ -737,12 +739,28 @@ def main():
 
     threading.Thread(target=watchdog, daemon=True).start()
 
-    log(f"[bench] devices: {jax.devices()}")
+    try:
+        _run(results, printed, t_start, deadline_s)
+    except BaseException as e:  # the JSON line must survive ANY failure
+        log(f"[bench] FATAL: {type(e).__name__}: {e}")
+        _emit(results, printed, error=f"{type(e).__name__}: {e}")
+
+
+def _run(results, printed, t_start, deadline_s):
+    import os
+
+    import jax
+
+    # Stray sweep BEFORE the first backend touch: jax.devices() both
+    # claims the TPU (violating the one-process rule while strays live)
+    # and can RAISE on a wedged tunnel — round 2 died with no JSON line
+    # on exactly that; keep all backend init behind the probe harness.
     preflight_sweep()
     if not wait_for_device():
         _emit(results, printed,
               error="TPU device did not become ready within 2100 s")
         return
+    log(f"[bench] devices: {jax.devices()}")
     x = rain_like()
 
     superblock = 4096
