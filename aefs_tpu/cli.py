@@ -178,12 +178,17 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
         # protocol below); legacy checkpoints kept everything flat.
         gen_dir = os.path.join(ckpt_dir, progress["dir"]) if "dir" in progress \
             else ckpt_dir
-        cfg2, tmap2, rebuild_state, irs = load_session(gen_dir)
+        cfg2, tmap2, rebuild_state, irs, profiles = load_session(gen_dir)
         overrides = file_static_overrides(cfg2)
         if irs:  # a server-written checkpoint may carry uploaded IRs
             from aefs_tpu.engine.checkpoint import ir_static_overrides
 
             for eid, ov in ir_static_overrides(irs, cfg2, fs).items():
+                overrides.setdefault(eid, {}).update(ov)
+        if profiles:  # ... and learned spectral noise profiles
+            from aefs_tpu.engine.checkpoint import profile_static_overrides
+
+            for eid, ov in profile_static_overrides(profiles, cfg2).items():
                 overrides.setdefault(eid, {}).update(ov)
         chain, state, _ = build_chain(
             cfg2, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2,

@@ -43,6 +43,7 @@ EFFECT_DEFAULTS = {
     "spectral": {
         "threshold_db": -45.0,
         "reduction": 0.2,
+        "profile_over_db": 6.0,  # margin over a learned noise profile
     },
     "octaver": {
         "semitones": -12.0,
@@ -319,6 +320,7 @@ UI_CONTROLS = {
     "spectral": [
         ("threshold_db", "Noise Threshold (dB)", -80, 0, 1),
         ("reduction", "Noise Floor (0=Silence, 1=Orig)", 0.0, 1.0, 0.05),
+        ("profile_over_db", "Profile Margin (dB, learned)", 0.0, 24.0, 0.5),
     ],
     "octaver": [
         ("semitones", "Pitch Shift (Semitones)", -24, 24, 1),

@@ -48,8 +48,25 @@ def ir_static_overrides(custom_irs: dict, chain_config, fs: int) -> dict:
     return out
 
 
+def profile_static_overrides(noise_profiles: dict, chain_config) -> dict:
+    """Static-override map carrying learned spectral noise profiles
+    (engine.learn_noise) into a chain build.  Unlike IRs a profile does
+    not change any state leaf shape — it is a per-bin threshold constant —
+    but a resume that dropped it would silently revert the effect to the
+    scalar-threshold gate, so it rides rebuilds and checkpoints the same
+    way.  Profiles are bin-indexed (hop is pinned to 256 in every mode),
+    so no rate resampling applies."""
+    ids = {c.get("effect_id") for c in chain_config}
+    return {
+        eid: {"noise_profile": np.asarray(prof, np.float32)}
+        for eid, prof in noise_profiles.items()
+        if eid in ids
+    }
+
+
 def save_session(path: str, chain_config, targets_map: dict, state,
-                 custom_irs: dict | None = None) -> None:
+                 custom_irs: dict | None = None,
+                 noise_profiles: dict | None = None) -> None:
     """Write a session checkpoint directory — CRASH-SAFE.
 
     The state lands in a fresh generation-named file and ``session.json``
@@ -78,11 +95,18 @@ def save_session(path: str, chain_config, targets_map: dict, state,
     for j, (eid, (ir, ir_fs)) in enumerate(sorted((custom_irs or {}).items())):
         ir_meta.append({"effect_id": eid, "fs": int(ir_fs), "key": f"ir_{j}"})
         ir_arrays[f"ir_{j}"] = np.asarray(ir, np.float32)
+    # Learned spectral noise profiles ride the same way (learn_noise):
+    # a resume without them silently reverts to the scalar threshold.
+    prof_meta, prof_arrays = [], {}
+    for j, (eid, prof) in enumerate(sorted((noise_profiles or {}).items())):
+        prof_meta.append({"effect_id": eid, "key": f"profile_{j}"})
+        prof_arrays[f"profile_{j}"] = np.asarray(prof, np.float32)
     with open(tmp, "wb") as f:
         np.savez(
             f,
             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
             **ir_arrays,
+            **prof_arrays,
         )
         f.flush()
         os.fsync(f.fileno())
@@ -98,6 +122,7 @@ def save_session(path: str, chain_config, targets_map: dict, state,
                 "gen": gen,
                 "state_file": state_file,
                 "custom_irs": ir_meta,
+                "noise_profiles": prof_meta,
             },
             f,
             indent=2,
@@ -121,7 +146,7 @@ def save_session(path: str, chain_config, targets_map: dict, state,
 
 def load_session(path: str):
     """Read a checkpoint -> (chain_config, targets_map, rebuild_state_fn,
-    custom_irs).
+    custom_irs, noise_profiles).
 
     ``rebuild_state_fn(template_state)`` grafts the saved leaves onto a
     freshly built chain's state pytree (the treedef comes from the rebuilt
@@ -129,7 +154,9 @@ def load_session(path: str):
     leaf *values* but not the state structure).  ``custom_irs`` maps
     effect_id -> (ir, fs) for any uploaded convreverb IRs the session
     carried — the caller must rebuild with ``ir_static_overrides`` or the
-    state leaves will not fit."""
+    state leaves will not fit.  ``noise_profiles`` maps effect_id -> the
+    learned per-bin noise floor (rebuild with
+    ``profile_static_overrides``)."""
     with open(os.path.join(path, "session.json")) as f:
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
@@ -141,6 +168,10 @@ def load_session(path: str):
     custom_irs = {
         m["effect_id"]: (data[m["key"]], int(m["fs"]))
         for m in meta.get("custom_irs", [])
+    }
+    noise_profiles = {
+        m["effect_id"]: data[m["key"]]
+        for m in meta.get("noise_profiles", [])
     }
 
     def rebuild_state(template_state):
@@ -162,4 +193,5 @@ def load_session(path: str):
             cast.append(jnp.asarray(saved, t.dtype))
         return jax.tree.unflatten(treedef, cast)
 
-    return meta["chain_config"], meta["targets"], rebuild_state, custom_irs
+    return (meta["chain_config"], meta["targets"], rebuild_state, custom_irs,
+            noise_profiles)

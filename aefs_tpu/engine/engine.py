@@ -191,9 +191,15 @@ class AudioEngine:
         self._targets_map = {}
         self._pending = None  # depth-1 pipeline: (chain, y, in-flight block)
         # Uploaded convreverb IRs: {effect_id: ((ch, n) float32, ir_fs)}.
-        # Engine-lifetime (not checkpointed); stale ids are pruned when the
-        # chain no longer contains them.
+        # Ride session checkpoints; stale ids are pruned when the chain no
+        # longer contains them.
         self.custom_irs = {}
+        # Learned spectral noise profiles: {effect_id: (bins,) float32}
+        # (learn_noise).  Same lifetime/pruning rules as custom_irs.
+        self.noise_profiles = {}
+        # Live noise capture in flight: {"need": blocks, "blocks": [...],
+        # "done": Event} — _tap_plots appends input blocks while set.
+        self._noise_capture = None
         from aefs_tpu.utils.metrics import BlockTimer
 
         self.metrics = BlockTimer(self.current_sample_rate, BLOCKSIZE)
@@ -225,14 +231,25 @@ class AudioEngine:
         return runner, runner.pack_state(state), tgroups
 
     def _ir_overrides(self, effects_config, fs):
-        """Static-override map carrying uploaded IRs into a chain build
-        (resampled to the build rate if the WAV's rate differs); prunes
-        IRs whose effect left the chain."""
-        from aefs_tpu.engine.checkpoint import ir_static_overrides
+        """Static-override map carrying uploaded IRs and learned noise
+        profiles into a chain build (IRs resampled to the build rate if
+        the WAV's rate differs); prunes entries whose effect left the
+        chain."""
+        from aefs_tpu.engine.checkpoint import (
+            ir_static_overrides, profile_static_overrides,
+        )
 
         ids = {c.get("effect_id") for c in effects_config}
         self.custom_irs = {k: v for k, v in self.custom_irs.items() if k in ids}
-        return ir_static_overrides(self.custom_irs, effects_config, fs)
+        self.noise_profiles = {
+            k: v for k, v in self.noise_profiles.items() if k in ids
+        }
+        out = ir_static_overrides(self.custom_irs, effects_config, fs)
+        for eid, extra in profile_static_overrides(
+            self.noise_profiles, effects_config
+        ).items():
+            out.setdefault(eid, {}).update(extra)
+        return out
 
     def set_ir(self, effect_id: str, contents: str) -> float:
         """Install a user-uploaded IR WAV (base64 data URL, the same
@@ -256,6 +273,61 @@ class AudioEngine:
         self.custom_irs[effect_id] = (np.asarray(ir, np.float32), int(fs_ir))
         self.build_chain(self.last_chain_config)
         return ir.shape[-1] / float(fs_ir)
+
+    def learn_noise(self, effect_id: str, contents: str = None,
+                    seconds: float = 2.0) -> float:
+        """Learn a per-bin noise profile for a spectral filter in the
+        current chain and rebuild so the gate thresholds per bin
+        (models/spectral.py module docstring).  Two sources:
+
+        - ``contents``: a noise-only WAV (base64 data URL, same encoding
+          as process_file / set_ir) — e.g. a recorded room-tone file;
+        - live capture (``contents is None``): the next ``seconds`` of
+          streaming INPUT audio (mic or file stream) — "be quiet and
+          press learn".  Requires an active stream; blocks the calling
+          (executor) thread until the capture completes.
+
+        Returns the measured mean noise floor in dBFS.  No reference
+        counterpart — the reference gates every bin against one global
+        threshold (spectral.py:68)."""
+        from aefs_tpu import native
+        from aefs_tpu.models.spectral import measure_noise_profile
+
+        kinds = {
+            c.get("effect_id"): c.get("type") for c in self.last_chain_config
+        }
+        if kinds.get(effect_id) != "spectral":
+            raise ValueError(
+                f"effect ID '{effect_id}' is not a spectral filter in the "
+                "current chain"
+            )
+        if contents is not None:
+            _, content_string = contents.split(",")
+            audio, _fs = decode_wav(native.b64decode(content_string))
+            mono = audio.mean(axis=1) if audio.ndim > 1 else audio
+        else:
+            need = max(1, int(round(float(seconds) * self.current_sample_rate
+                                    / BLOCKSIZE)))
+            cap = {"need": need, "blocks": [], "done": threading.Event()}
+            self._noise_capture = cap
+            try:
+                # The stream may start (or stop) while we wait; bound the
+                # wait by the capture length plus a grace period.
+                if not cap["done"].wait(timeout=float(seconds) + 10.0):
+                    raise ValueError(
+                        "no streaming audio to learn from — start the mic "
+                        "or a file stream, or upload a noise WAV"
+                    )
+            finally:
+                self._noise_capture = None
+            mono = np.concatenate(cap["blocks"])
+        profile = measure_noise_profile(mono, hop=BLOCKSIZE)
+        self.noise_profiles[effect_id] = profile
+        self.build_chain(self.last_chain_config)
+        floor = max(float(profile.mean()), 1e-10)
+        # Mean |rfft| of a Hann frame scales with n_fft/4; normalize to a
+        # rough dBFS figure for the UI status line.
+        return 20.0 * float(np.log10(floor / (2 * BLOCKSIZE / 4)))
 
     def build_chain(self, effects_config):
         self.last_chain_config = effects_config
@@ -342,6 +414,7 @@ class AudioEngine:
                     self._targets_map,
                 )
                 irs = dict(self.custom_irs)
+                profiles = dict(self.noise_profiles)
             state = runner.unpack_state(sgroups)
         # Config from the SNAPSHOTTED chain, not last_chain_config: a
         # concurrent build_chain updates the latter before its (seconds-
@@ -350,7 +423,8 @@ class AudioEngine:
         # caught by the randomized concurrency hammer).  Uploaded IRs
         # ride along: the state's spec_hist leaves are shaped by them,
         # so a resume (even in-process) must rebuild with the same IR.
-        save_session(path, chain.source_config, tmap, state, custom_irs=irs)
+        save_session(path, chain.source_config, tmap, state, custom_irs=irs,
+                     noise_profiles=profiles)
         return path
 
     def resume_session(self, path: str):
@@ -359,11 +433,14 @@ class AudioEngine:
         bit-exact.  Returns the restored chain config (for UI sync)."""
         from aefs_tpu.engine.checkpoint import load_session
 
-        chain_config, targets_map, rebuild_state, irs = load_session(path)
+        (chain_config, targets_map, rebuild_state, irs,
+         profiles) = load_session(path)
         # Restore the session's uploaded IRs BEFORE rebuilding: the saved
         # state's spec_hist leaves are shaped by the custom IR's length,
         # so a rebuild on the synthetic IR could never accept them.
+        # Noise profiles likewise (behavioral, not shape-bearing).
         self.custom_irs.update(irs)
+        self.noise_profiles.update(profiles)
         chain, state, _ = build_chain(
             chain_config,
             self.current_sample_rate,
@@ -431,6 +508,14 @@ class AudioEngine:
         drops) — and the server's pair-drain assumes equal depths.  The
         single-producer full() check is conservative-exact: only this
         thread grows the rings."""
+        cap = self._noise_capture
+        if cap is not None and not cap["done"].is_set():
+            # learn_noise live capture: collect mono INPUT blocks host-side
+            # (a list append + small mean — no device work, no locks).
+            cap["blocks"].append(
+                np.asarray(in_block, np.float32).mean(axis=1))
+            if len(cap["blocks"]) >= cap["need"]:
+                cap["done"].set()
         fanned = (np.repeat(in_block, 2, axis=1)
                   if in_block.shape[1] == 1 else in_block)
         qin, qout = self.data_queues["input"], self.data_queues["output"]

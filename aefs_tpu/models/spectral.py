@@ -16,16 +16,46 @@ parity waiver".)
 The reference's magnitude/phase decompose-recompose
 (mag * mask * exp(i*phase), spectral.py:74) is algebraically just
 ``fft * mask``; we use the direct product.
+
+New in this build (no reference counterpart — the reference gates every
+bin against ONE global threshold): an optional learned **noise profile**,
+the per-bin mean magnitude of a noise-only capture measured with the SAME
+analysis (Hann, n_fft = 2*hop).  When installed (static config, like the
+convreverb's user IR) the gate threshold becomes per-bin:
+
+    thresh_bin = max(threshold, profile_bin * 10^(profile_over_db/20))
+
+so broadband bins pass only where they exceed the measured noise floor by
+``profile_over_db``.  With no profile the max() reduces to the scalar
+threshold and the program is bitwise the original.  Profiles are learned
+by the engine (``learn_noise``: live capture or an uploaded WAV) and ride
+session checkpoints alongside custom IRs (engine/checkpoint.py).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
 from aefs_tpu.ops.fftops import hann_window, frame_signal, overlap_add
 from aefs_tpu.ops.scan import affine_scan
+
+
+def measure_noise_profile(mono, hop: int = 256) -> np.ndarray:
+    """Per-bin mean magnitude of a noise-only capture — host-side numpy,
+    measured with the SAME analysis ``process`` gates against (symmetric
+    Hann, n_fft = 2*hop, 50% overlap), so ``profile * 10^(over/20)`` is
+    directly comparable to the frame magnitudes at runtime."""
+    n_fft = 2 * hop
+    mono = np.asarray(mono, np.float32).reshape(-1)
+    if len(mono) < n_fft:
+        mono = np.pad(mono, (0, n_fft - len(mono)))
+    k = (len(mono) - n_fft) // hop + 1
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(k)[:, None]
+    frames = mono[idx] * np.hanning(n_fft)[None, :]
+    return np.abs(np.fft.rfft(frames, axis=-1)).mean(axis=0).astype(np.float32)
 
 
 class SpectralFilter(EffectModel):
@@ -35,9 +65,13 @@ class SpectralFilter(EffectModel):
     PARAMS = {
         "threshold_db": ParamSpec(-40.0, -80.0, 0.0, smooth="step", step=1.0),
         "reduction": ParamSpec(0.5, 0.0, 1.0, smooth="step", step=0.05),
+        # Margin over the learned per-bin noise floor (active only once a
+        # profile is installed via learn_noise; see module docstring).
+        "profile_over_db": ParamSpec(6.0, 0.0, 24.0, smooth="step", step=0.5),
     }
 
-    def __init__(self, fs, blocksize, channels=2, hop=256, smoothing=0.8, **config):
+    def __init__(self, fs, blocksize, channels=2, hop=256, smoothing=0.8,
+                 noise_profile=None, **config):
         super().__init__(fs, blocksize, channels)
         if blocksize % hop != 0:
             raise ValueError(f"blocksize {blocksize} must be a multiple of hop {hop}")
@@ -45,6 +79,15 @@ class SpectralFilter(EffectModel):
         self.n_fft = 2 * self.hop
         self.alpha = float(smoothing)
         self.window = hann_window(self.n_fft)
+        if noise_profile is not None:
+            noise_profile = jnp.asarray(noise_profile, jnp.float32)
+            bins = self.n_fft // 2 + 1
+            if noise_profile.shape != (bins,):
+                raise ValueError(
+                    f"noise_profile must have {bins} bins "
+                    f"(hop {self.hop}), got {noise_profile.shape}"
+                )
+        self.noise_profile = noise_profile
 
     def init_state(self):
         f32 = jnp.float32
@@ -64,6 +107,9 @@ class SpectralFilter(EffectModel):
         spec = jnp.fft.rfft(frames * self.window[None, :], axis=-1)  # (k, bins)
 
         mag = jnp.abs(spec)
+        if self.noise_profile is not None:
+            over = jnp.power(10.0, p["profile_over_db"] / 20.0)
+            thresh = jnp.maximum(thresh, self.noise_profile * over)  # (bins,)
         cur_mask = jnp.where(mag > thresh, 1.0, red)  # spectral.py:68
         # Temporal smoothing across frames (spectral.py:71) — first-order scan.
         mask = affine_scan(

@@ -351,6 +351,29 @@ async def handler(websocket):
                             "type": "ir_set", "effect_id": eid, "ok": False,
                             "error": str(e),
                         }))
+                elif command == "learn_noise":
+                    # Additive extension: learn a per-bin noise profile for
+                    # a spectral filter — from an uploaded noise WAV or a
+                    # live capture of the next N seconds of streaming input
+                    # (engine.learn_noise).  Executor: capture blocks and
+                    # the rebuild compiles.
+                    eid = cmd.get("effect_id")
+                    try:
+                        floor_db = await asyncio.get_running_loop().run_in_executor(
+                            None, audio_engine.learn_noise, eid,
+                            cmd.get("contents"),
+                            float(cmd.get("seconds", 2.0)),
+                        )
+                        await websocket.send(json.dumps({
+                            "type": "noise_learned", "effect_id": eid,
+                            "ok": True, "floor_db": round(floor_db, 1),
+                        }))
+                    except Exception as e:
+                        print(f"Error learning noise profile: {e}")
+                        await websocket.send(json.dumps({
+                            "type": "noise_learned", "effect_id": eid,
+                            "ok": False, "error": str(e),
+                        }))
                 elif command == "save_session":
                     # Additive extension: durable server-side session
                     # checkpoint (chain config + targets + audio state).

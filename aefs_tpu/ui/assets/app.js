@@ -52,6 +52,9 @@ function connect() {
     } else if (msg.type === "ir_set")
       sessionStatus(msg.ok ? `IR set (${msg.ir_seconds} s)`
                            : `IR failed: ${msg.error}`);
+    else if (msg.type === "noise_learned")
+      sessionStatus(msg.ok ? `noise profile learned (floor ${msg.floor_db} dBFS)`
+                           : `noise learn failed: ${msg.error}`);
     else if (msg.type === "devices") renderDevices(msg);
   };
   socket.addEventListener("open", () => {
@@ -233,6 +236,34 @@ function effectControls(card, fx, onParam) {
       reader.readAsDataURL(f);
     };
     row.append(lab, inp);
+    card.appendChild(row);
+  }
+  if (fx.type === "spectral") {
+    // Noise-profile learning: live capture ("be quiet, press learn") or
+    // a noise-only WAV upload; noise_learned response lands in the
+    // session status line.
+    const row = document.createElement("div");
+    row.className = "row";
+    const btn = document.createElement("button");
+    btn.textContent = "Learn noise (2 s)";
+    btn.onclick = () => {
+      sessionStatus("learning noise profile from live input…");
+      send({ command: "learn_noise", effect_id: fx.effect_id, seconds: 2.0 });
+    };
+    const inp = document.createElement("input");
+    inp.type = "file"; inp.accept = ".wav,audio/wav";
+    inp.title = "Learn from a noise-only WAV";
+    inp.onchange = () => {
+      const f = inp.files[0];
+      if (!f) return;
+      const reader = new FileReader();
+      reader.onload = () => {
+        sessionStatus("learning noise profile from WAV…");
+        send({ command: "learn_noise", effect_id: fx.effect_id, contents: reader.result });
+      };
+      reader.readAsDataURL(f);
+    };
+    row.append(btn, inp);
     card.appendChild(row);
   }
 }

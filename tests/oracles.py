@@ -499,8 +499,9 @@ class OracleSpectral:
     """SpectralFilter (spectral.py:5-100), constant params, hop=blocksize."""
 
     def __init__(self, fs, threshold_db=-40.0, reduction=0.5, smoothing=0.8,
-                 hop=256):
-        self.p = dict(threshold_db=threshold_db, reduction=reduction)
+                 hop=256, noise_profile=None, profile_over_db=6.0):
+        self.p = dict(threshold_db=threshold_db, reduction=reduction,
+                      profile_over_db=profile_over_db)
         self.hop = hop
         self.n_fft = 2 * hop
         self.window = np.hanning(self.n_fft)
@@ -508,11 +509,24 @@ class OracleSpectral:
         self.out_accum = np.zeros(self.n_fft)
         self.mask = np.ones(self.n_fft // 2 + 1)
         self.alpha = smoothing
+        # f32 like the model's static config — the per-bin thresholds must
+        # be BITWISE the model's or near-threshold bins flip the mask
+        # (CLAUDE.md: mirror every f32 coefficient the compare depends on).
+        self.noise_profile = (None if noise_profile is None
+                              else np.asarray(noise_profile, np.float32))
 
     def process(self, x):  # (N, C), N == hop
         hop = self.hop
         thresh = 10.0 ** (self.p["threshold_db"] / 20.0)
         red = self.p["reduction"]
+        if self.noise_profile is not None:
+            # Mirror the model's f32 arithmetic exactly: f32 power, f32
+            # product (the f64 scalar `thresh` only wins where the profile
+            # is far below it, where the compare can't flip).
+            over = np.power(np.float32(10.0),
+                            np.float32(self.p["profile_over_db"])
+                            / np.float32(20.0))
+            thresh = np.maximum(thresh, self.noise_profile * over)
         self.in_buffer[:-hop] = self.in_buffer[hop:]
         self.in_buffer[-hop:] = x.mean(axis=1)
         spec = np.fft.rfft(self.in_buffer * self.window)

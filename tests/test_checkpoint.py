@@ -36,7 +36,7 @@ def test_save_load_resume_bit_exact(tmp_path):
         ref_out.append(np.asarray(y))
 
     # Resume in a "new process": rebuild chain from the checkpoint.
-    cfgs2, tmap2, rebuild, _irs = load_session(str(tmp_path / "ckpt"))
+    cfgs2, tmap2, rebuild, _irs, _prof = load_session(str(tmp_path / "ckpt"))
     assert cfgs2 == CFGS
     chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
     state2 = rebuild(template)
@@ -50,7 +50,7 @@ def test_save_load_resume_bit_exact(tmp_path):
 def test_leaf_mismatch_raises(tmp_path):
     chain, state, tmap = build_chain(CFGS, FS, 256, channels_in=2)
     save_session(str(tmp_path / "ckpt"), CFGS, tmap, state)
-    _, _, rebuild, _irs = load_session(str(tmp_path / "ckpt"))
+    _, _, rebuild, _irs, _prof = load_session(str(tmp_path / "ckpt"))
     other_chain, other_state, _ = build_chain(CFGS[:1], FS, 256, channels_in=2)
     import pytest
 
@@ -192,7 +192,7 @@ def test_save_session_atomic_generations(tmp_path):
     # manifest swap) must be ignored by the loader...
     with open(os.path.join(p, "state-2.npz"), "wb") as f:
         f.write(b"torn")
-    cfgs2, tmap2, rebuild, _irs = load_session(p)
+    cfgs2, tmap2, rebuild, _irs, _prof = load_session(p)
     chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
     rebuild(template)  # loads gen 1, not the torn orphan
     # ...and the next save must clean it up and commit gen 2 on top.
@@ -211,7 +211,7 @@ def test_save_session_atomic_generations(tmp_path):
     with open(os.path.join(leg, "session.json"), "w") as f:
         _json.dump({"format_version": 1, "chain_config": CFGS,
                     "targets": tmap, "n_leaves": len(leaves)}, f)
-    cfgs3, _, rebuild3, _irs3 = load_session(leg)
+    cfgs3, _, rebuild3, _irs3, _prof3 = load_session(leg)
     assert cfgs3 == CFGS
     rebuild3(template)
 
@@ -292,7 +292,7 @@ def test_save_resume_integer_state_effects_bit_exact(tmp_path):
         state, y = step(state, targets, jnp.asarray(x[i * 256:(i + 1) * 256].T))
         ref.append(np.asarray(y))
 
-    cfgs2, tmap2, rebuild, _irs = load_session(str(tmp_path / "ck"))
+    cfgs2, tmap2, rebuild, _irs, _prof = load_session(str(tmp_path / "ck"))
     chain2, template, _ = build_chain(cfgs2, FS, 256, channels_in=2)
     state2 = rebuild(template)
     step2 = chain2.step()
