@@ -303,13 +303,34 @@ class AudioEngine:
             )
         if contents is not None:
             _, content_string = contents.split(",")
-            audio, _fs = decode_wav(native.b64decode(content_string))
+            audio, fs_wav = decode_wav(native.b64decode(content_string))
             mono = audio.mean(axis=1) if audio.ndim > 1 else audio
+            if int(fs_wav) != int(self.current_sample_rate):
+                # Profile bins are indexed against the ENGINE rate (hop is
+                # pinned to BLOCKSIZE at current_sample_rate): an off-rate
+                # WAV analyzed raw would map every per-bin threshold to the
+                # wrong frequency.  Resample like set_ir does for IRs.
+                n_out = max(
+                    8,
+                    int(round(len(mono) * self.current_sample_rate / fs_wav)),
+                )
+                t = np.linspace(0.0, len(mono) - 1, n_out)
+                mono = np.interp(t, np.arange(len(mono)), mono).astype(
+                    np.float32
+                )
         else:
             need = max(1, int(round(float(seconds) * self.current_sample_rate
                                     / BLOCKSIZE)))
             cap = {"need": need, "blocks": [], "done": threading.Event()}
-            self._noise_capture = cap
+            with self._lock:
+                # One live capture at a time: a second concurrent call
+                # overwriting the slot would steal this call's blocks and
+                # its ``finally`` would clear OUR capture mid-flight.
+                if self._noise_capture is not None:
+                    raise ValueError(
+                        "a noise capture is already in progress"
+                    )
+                self._noise_capture = cap
             try:
                 # The stream may start (or stop) while we wait; bound the
                 # wait by the capture length plus a grace period.
@@ -319,7 +340,9 @@ class AudioEngine:
                         "or a file stream, or upload a noise WAV"
                     )
             finally:
-                self._noise_capture = None
+                with self._lock:
+                    if self._noise_capture is cap:
+                        self._noise_capture = None
             mono = np.concatenate(cap["blocks"])
         profile = measure_noise_profile(mono, hop=BLOCKSIZE)
         self.noise_profiles[effect_id] = profile
@@ -438,7 +461,19 @@ class AudioEngine:
         # Restore the session's uploaded IRs BEFORE rebuilding: the saved
         # state's spec_hist leaves are shaped by the custom IR's length,
         # so a rebuild on the synthetic IR could never accept them.
-        # Noise profiles likewise (behavioral, not shape-bearing).
+        # Noise profiles likewise (behavioral, not shape-bearing).  For
+        # every effect id the checkpoint's config names, the checkpoint is
+        # the SOLE source of truth: an IR/profile learned in-process for
+        # that id but absent from the checkpoint must NOT survive the
+        # resume, or the restored chain would gate/convolve with data the
+        # saved session never had (breaking bit-exact resume).
+        ids = {c.get("effect_id") for c in chain_config}
+        self.custom_irs = {
+            k: v for k, v in self.custom_irs.items() if k not in ids
+        }
+        self.noise_profiles = {
+            k: v for k, v in self.noise_profiles.items() if k not in ids
+        }
         self.custom_irs.update(irs)
         self.noise_profiles.update(profiles)
         chain, state, _ = build_chain(

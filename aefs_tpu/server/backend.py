@@ -359,10 +359,15 @@ async def handler(websocket):
                     # the rebuild compiles.
                     eid = cmd.get("effect_id")
                     try:
+                        # Clamp client-supplied capture length: an absurd
+                        # value would pin a shared executor thread for
+                        # seconds+10 and grow an unbounded block list.
+                        seconds = min(
+                            30.0, max(0.1, float(cmd.get("seconds", 2.0)))
+                        )
                         floor_db = await asyncio.get_running_loop().run_in_executor(
                             None, audio_engine.learn_noise, eid,
-                            cmd.get("contents"),
-                            float(cmd.get("seconds", 2.0)),
+                            cmd.get("contents"), seconds,
                         )
                         await websocket.send(json.dumps({
                             "type": "noise_learned", "effect_id": eid,

@@ -145,6 +145,87 @@ def test_engine_learn_from_wav_and_checkpoint(tmp_path):
     eng2.close()
 
 
+def test_engine_learn_offrate_wav_resamples():
+    """A noise WAV recorded at a different rate than the engine must be
+    resampled before analysis — profile bins are indexed against the
+    ENGINE rate, so raw analysis would map every per-bin threshold to the
+    wrong frequency (ADVICE r3: set_ir resamples for exactly this
+    reason)."""
+    from aefs_tpu.engine.engine import AudioEngine
+
+    eng = AudioEngine()
+    eng.build_chain([SPECTRAL])
+    room = _room_tone(FS)
+    # Learn from the same signal shipped at 24 kHz: the engine must hear
+    # it stretched 2x in time (same frequencies), not shifted one octave.
+    eng.learn_noise("s", contents=_wav_url(room, fs=FS // 2))
+    got = eng.noise_profiles["s"]
+
+    t = np.linspace(0.0, len(room) - 1, 2 * len(room))
+    up = np.interp(t, np.arange(len(room)), room).astype(np.float32)
+    want = measure_noise_profile(up, hop=N)
+    # Same resampler (linear interp), int16 WAV round trip in between.
+    assert got.shape == want.shape
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.99, corr
+    # And decisively different from the un-resampled (wrong) analysis.
+    wrong = measure_noise_profile(room, hop=N)
+    assert np.corrcoef(got, wrong)[0, 1] < corr
+    eng.close()
+
+
+def test_resume_prunes_profiles_absent_from_checkpoint(tmp_path):
+    """A profile learned in-process for an effect id that IS in the
+    restored config but NOT in the checkpoint must not survive the
+    resume — the saved session never gated with it (ADVICE r3)."""
+    from aefs_tpu.engine.engine import AudioEngine
+
+    eng = AudioEngine()
+    eng.build_chain([SPECTRAL])
+    path = eng.save_session(str(tmp_path / "sess_noprofile"))  # no profile
+    eng.learn_noise("s", contents=_wav_url(_room_tone(FS)))
+    assert "s" in eng.noise_profiles
+    eng.resume_session(path)
+    assert "s" not in eng.noise_profiles
+    eng.close()
+
+
+def test_concurrent_learn_noise_rejected():
+    """Only one live capture at a time: a second concurrent call must be
+    rejected up front, not silently steal the first one's capture slot
+    (ADVICE r3)."""
+    from aefs_tpu.engine.engine import AudioEngine
+
+    eng = AudioEngine()
+    eng.build_chain([SPECTRAL])
+    started = threading.Event()
+    result = {}
+
+    def learner():
+        started.set()
+        result["floor_db"] = eng.learn_noise("s", seconds=0.05)
+
+    th = threading.Thread(target=learner)
+    th.start()
+    started.wait(5)
+    # Give the first call time to install its capture slot.
+    deadline = 50
+    while eng._noise_capture is None and deadline:
+        threading.Event().wait(0.01)
+        deadline -= 1
+    with pytest.raises(ValueError, match="already in progress"):
+        eng.learn_noise("s", seconds=0.05)
+    room = _room_tone(FS // 2)
+    i = 0
+    while th.is_alive() and i + N <= len(room):
+        eng.process_stream_block(room[i: i + N].reshape(-1, 1))
+        i += N
+    th.join(timeout=30)
+    assert not th.is_alive()
+    assert "floor_db" in result  # the first call completed normally
+    eng.close()
+
+
 def test_engine_learn_live_capture():
     from aefs_tpu.engine.engine import AudioEngine
 
