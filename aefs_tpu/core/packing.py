@@ -72,6 +72,74 @@ class Packer:
         return self.treedef.unflatten(leaves)
 
 
+class HybridPacker:
+    """Size-thresholded packing: leaves BIGGER than ``big_bytes`` pass
+    through as their own buffers (repacking them would copy megabytes per
+    step — the round-2 finding that a monolithic 89 MB packed state pinned
+    the batched step at ~18.5 ms through the relay); smaller leaves pack
+    into one 1-D buffer per dtype.  The flagship's batched serving state
+    is 8 big rings + 29 sub-32 KB scalars/taps: hybrid packing cuts the
+    dispatch from ~39 marshaled handles to ~12, which is the lever on
+    relay-attached backends where the per-buffer launch cost (~20 µs/
+    handle) bounds the serving host loop (VERDICT r3 #5)."""
+
+    def __init__(self, example, big_bytes=131072):
+        leaves, self.treedef = jax.tree.flatten(example)
+        # Per-leaf routing: ('big', big_index) or ('small', dtype_group,
+        # offset, size); group order = bigs first, then one per dtype.
+        self.routes = []
+        self.n_big = 0
+        self.small_dtypes = []
+        offsets = {}
+        for leaf in leaves:
+            arr = jnp.asarray(leaf)
+            shape = tuple(np.shape(leaf))
+            size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            if size * arr.dtype.itemsize > big_bytes:
+                self.routes.append(("big", self.n_big, shape, arr.dtype))
+                self.n_big += 1
+            else:
+                dt = arr.dtype
+                if dt not in offsets:
+                    offsets[dt] = 0
+                    self.small_dtypes.append(dt)
+                gi = self.small_dtypes.index(dt)
+                self.routes.append(("small", gi, shape, dt, offsets[dt], size))
+                offsets[dt] += size
+        self.group_sizes = tuple(offsets[dt] for dt in self.small_dtypes)
+
+    @property
+    def n_groups(self):
+        return self.n_big + len(self.small_dtypes)
+
+    def pack(self, pytree):
+        leaves = self.treedef.flatten_up_to(pytree)
+        bigs = [None] * self.n_big
+        smalls = [[] for _ in self.small_dtypes]
+        for leaf, route in zip(leaves, self.routes):
+            if route[0] == "big":
+                bigs[route[1]] = jnp.asarray(leaf, route[3])
+            else:
+                _, gi, _s, dt, _o, _n = route
+                smalls[gi].append(jnp.ravel(jnp.asarray(leaf, dt)))
+        return tuple(bigs) + tuple(
+            p[0] if len(p) == 1 else jnp.concatenate(p) for p in smalls
+        )
+
+    def unpack(self, groups):
+        leaves = []
+        for route in self.routes:
+            if route[0] == "big":
+                leaves.append(groups[route[1]])
+            else:
+                _, gi, shape, _dt, off, size = route
+                flat = jax.lax.slice(
+                    groups[self.n_big + gi], (off,), (off + size,)
+                )
+                leaves.append(flat.reshape(shape))
+        return self.treedef.unflatten(leaves)
+
+
 class PackedRunner:
     """A jitted ``fn(state, targets, x) -> (state, y)`` whose compiled
     signature is (state_groups, target_groups, x) with the state groups

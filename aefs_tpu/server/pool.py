@@ -132,7 +132,8 @@ class SessionPool:
                 P(*(("data",) + (None,) * (leaf.ndim - 1)))
                 if leaf.ndim else P(),
             )
-        self.state = self._fresh_batched_state()
+        # self.state is created after the packer/step setup below (its
+        # argument form depends on the hybrid packer).
         # Per-slot parameter targets: host-side maps + ONE packed host
         # buffer tbuf[row, slot] (row = (effect, param) in chain order).
         # The buffer ships with each dispatch (a single small h2d handle —
@@ -190,14 +191,44 @@ class SessionPool:
         # (ring rows), which stay batch-uniform across slots
         # (Chain.state_axes; ops/ringbuf.py:rowring_write).
         state_axes = self.chain.state_axes()
-        self._step = jax.jit(
-            lambda st, tflat, x: jax.vmap(
-                self.chain.process_block,
+        chain = self.chain  # the jit closure must not capture ``self``
+
+        def vmapped(st, tflat, x):
+            return jax.vmap(
+                chain.process_block,
                 in_axes=(state_axes, target_axes, 0),
                 out_axes=(state_axes, 0),
-            )(st, unflatten(tflat), x),
-            donate_argnums=(0,) if self._donate else (),
-        )
+            )(st, unflatten(tflat), x)
+
+        # Hybrid-packed dispatch arguments (core/packing.py:HybridPacker):
+        # big ring buffers stay standalone, the ~30 small state leaves
+        # collapse into one buffer per dtype — relay-attached backends
+        # charge ~20 µs per marshaled handle, which bounds the serving
+        # host loop long before the device is busy.  Sharded pools keep
+        # the plain pytree (packed small groups have no slot axis to
+        # shard).  Opt out: AEFS_POOL_PACK=0.
+        self._packer = None
+        if self._sharding is None and os.environ.get(
+                "AEFS_POOL_PACK", "1") == "1":
+            from aefs_tpu.core.packing import HybridPacker
+
+            self._packer = HybridPacker(self._fresh_batched_state_pytree())
+            packer = self._packer
+            self._step = jax.jit(
+                lambda groups, tflat, x: (
+                    lambda res: (packer.pack(res[0]), res[1])
+                )(vmapped(packer.unpack(groups), tflat, x)),
+                donate_argnums=(0,) if self._donate else (),
+            )
+        else:
+            self._step = jax.jit(
+                vmapped, donate_argnums=(0,) if self._donate else ()
+            )
+        # Depth-1 pipelined readback (engine.py mic-path pattern applied
+        # to the batcher, VERDICT r3 #3): (enqueued y, slots) of the
+        # dispatch whose readback is deferred to the NEXT step.
+        self._inflight = None
+        self.state = self._fresh_batched_state()
         self._ctrl_lock = threading.Lock()
         self._step_lock = threading.Lock()
         self._pending_resets = []
@@ -225,12 +256,8 @@ class SessionPool:
             return jax.device_put(x, self._sharding(x))
         return x
 
-    def _fresh_batched_state(self):
-        """Fresh per-slot audio state for every slot (sharded if the pool
-        is).  Also the recovery path when a donated dispatch dies mid-step
-        and leaves ``self.state`` pointing at deleted buffers."""
+    def _fresh_batched_state_pytree(self):
         import jax
-        import jax.numpy as jnp
 
         state = self.chain.batch_state(self._fresh_single, self.n_slots)
         if self._sharding is not None:
@@ -238,6 +265,14 @@ class SessionPool:
                 lambda leaf: jax.device_put(leaf, self._sharding(leaf)), state
             )
         return state
+
+    def _fresh_batched_state(self):
+        """Fresh per-slot audio state for every slot (sharded if the pool
+        is), in the step's argument form (hybrid-packed groups unless
+        sharded).  Also the recovery path when a donated dispatch dies
+        mid-step and leaves ``self.state`` pointing at deleted buffers."""
+        state = self._fresh_batched_state_pytree()
+        return self._packer.pack(state) if self._packer else state
 
     def _put_targets(self, tbuf):
         """Ship a (P, S) host target buffer for one dispatch (slot axis is
@@ -300,20 +335,40 @@ class SessionPool:
     def _apply_pending_resets(self, resets):
         """Graft fresh single-slot state into the batched pytree for every
         queued released slot (rare; runs under the step lock)."""
-        import jax
-
+        state = (self._packer.unpack(self.state) if self._packer
+                 else self.state)
         for slot in resets:
             # Lockstep counters keep their shared running value: a zeroed
             # ring is self-consistent from any row alignment
             # (Chain.graft_slot_state).
-            self.state = self.chain.graft_slot_state(
-                self.state, self._fresh_single, slot
+            state = self.chain.graft_slot_state(
+                state, self._fresh_single, slot
             )
+        self.state = self._packer.pack(state) if self._packer else state
 
     # -- batched step ------------------------------------------------------
     def step_blocks(self, blocks: dict[int, np.ndarray]):
-        """Run one batched dispatch: ``blocks`` maps slot -> (N,) mono
-        float32; idle slots process silence.  Returns {slot: (N, co)}."""
+        """Synchronous batched dispatch: ``blocks`` maps slot -> (N,) mono
+        float32; idle slots process silence.  Returns {slot: (N, co)} for
+        THIS batch — a pipelined step followed by an immediate flush.  Do
+        not interleave with pipelined callers (guarded)."""
+        if self._inflight is not None:
+            raise RuntimeError(
+                "a pipelined batch is in flight; flush_pipeline() first"
+            )
+        self.step_blocks_pipelined(blocks)
+        return self.flush_pipeline()
+
+    def step_blocks_pipelined(self, blocks: dict[int, np.ndarray]):
+        """Depth-1 pipelined batched step: enqueue THIS batch's dispatch,
+        return the PREVIOUS batch's results (None when the pipeline was
+        empty).  Batch k-1's readback overlaps batch k's compute and the
+        transport round trip — the engine mic path's pattern
+        (engine.process_stream_block_pipelined) applied to the batcher
+        (VERDICT r3 #3): sessions see one extra block of latency and the
+        pool's step wall approaches max(transfer, compute) instead of
+        their sum.  Bit-parity with the sync path is exact — the same
+        compiled step, only the readback is deferred."""
         x = np.zeros((self.n_slots, CHANNELS_IN, self.blocksize), np.float32)
         for slot, audio in blocks.items():
             x[slot, 0, : len(audio)] = audio[: self.blocksize]
@@ -331,7 +386,6 @@ class SessionPool:
                 self.state, y = self._step(
                     self.state, self._put_targets(tbuf), self._put(x)
                 )
-                out = np.asarray(y)  # sync + readback
             except Exception:
                 if self._donate:
                     # The failed dispatch consumed the donated state
@@ -342,15 +396,42 @@ class SessionPool:
                     print("Error: pool step failed; resetting slot state")
                     self.state = self._fresh_batched_state()
                 raise
-            self.last_step_ms = (time.time() - t0) * 1000.0
+            prev, self._inflight = self._inflight, (y, tuple(blocks))
             # Advance the shared grid phase(s) for the block just
-            # processed (every slot stepped — idle ones on silence).
+            # enqueued (every slot stepped — idle ones on silence).
             if self._phase_rows:
                 with self._ctrl_lock:
                     for r, model in self._phase_rows.items():
                         adv, mod = model.grid_phase_advance(self.blocksize)
                         self._tbuf[r, :] = (self._tbuf[r, 0] + adv) % mod
-        return {slot: out[slot].T for slot in blocks}
+            if prev is None:
+                self.last_step_ms = (time.time() - t0) * 1000.0
+                return None
+            y_prev, slots_prev = prev
+            out = np.asarray(y_prev)  # waits on dispatch k-1 only
+            self.last_step_ms = (time.time() - t0) * 1000.0
+        return {slot: out[slot].T for slot in slots_prev}
+
+    def flush_pipeline(self):
+        """Read back the in-flight batch ({slot: (N, co)}, or None if the
+        pipeline is empty).  Called by the batcher when no new submissions
+        arrive within a block period — the last block of a pausing stream
+        must not wait for the next one."""
+        with self._step_lock:
+            prev, self._inflight = self._inflight, None
+            if prev is None:
+                return None
+            y_prev, slots_prev = prev
+            out = np.asarray(y_prev)
+        return {slot: out[slot].T for slot in slots_prev}
+
+    def drop_pipeline(self):
+        """Abandon the in-flight batch (error recovery: after a failed
+        pipelined step the batcher fails both generations' futures and
+        restarts the pipeline clean — a transient lost block, never a
+        mismatched delivery)."""
+        with self._step_lock:
+            self._inflight = None
 
 
 def dict_copy(m):
@@ -364,37 +445,106 @@ class PoolServer:
         self._cv = asyncio.Condition()
         self._seqs = {}
 
+    @staticmethod
+    def _deliver(batch, outs):
+        """Resolve one generation's futures from its readback results."""
+        if batch is None:
+            return
+        for slot, (_a, fut) in batch.items():
+            if fut.done():
+                continue
+            if outs is not None and slot in outs:
+                fut.set_result(outs[slot])
+            else:
+                fut.set_exception(RuntimeError("pool step lost the block"))
+
+    @staticmethod
+    def _fail(batch, e):
+        if batch is None:
+            return
+        for _slot, (_a, fut) in batch.items():
+            if not fut.done():
+                fut.set_exception(RuntimeError(f"pool step failed: {e}"))
+
     async def batcher(self):
-        """Collect submissions arriving close together into one dispatch."""
+        """Collect submissions arriving close together into one dispatch.
+
+        Depth-1 pipelined by default (AEFS_POOL_PIPELINE=0 for strict
+        sync): batch k's dispatch is enqueued and batch k-1's results come
+        back while it computes, so the batcher's cadence approaches
+        max(transfer, compute).  ``prev`` holds the generation whose
+        results the NEXT step (or an idle flush) delivers; a failed step
+        fails BOTH generations and restarts the pipeline clean — sessions
+        keep their slots, realtime drop-late rules."""
         loop = asyncio.get_running_loop()
+        pipelined = os.environ.get("AEFS_POOL_PIPELINE", "1") == "1"
+        prev = None  # in-flight generation: {slot: (audio, future)}
         while True:
+            flush = False
             async with self._cv:
                 while not self._pending:
-                    await self._cv.wait()
-            await asyncio.sleep(0.002)  # aggregation window (< block cadence)
-            async with self._cv:
-                batch, self._pending = self._pending, {}
-            if not batch:
+                    if prev is None:
+                        await self._cv.wait()
+                        continue
+                    # Results in flight and nothing queued: give a
+                    # saturated stream one block period to piggyback,
+                    # then flush so a pausing stream's last block is
+                    # never held hostage to the next one.
+                    try:
+                        await asyncio.wait_for(self._cv.wait(), timeout=0.005)
+                    except asyncio.TimeoutError:
+                        flush = True
+                        break
+            if not flush:
+                await asyncio.sleep(0.002)  # aggregation window
+                async with self._cv:
+                    batch, self._pending = self._pending, {}
+                if not batch and prev is None:
+                    continue
+            else:
+                batch = {}
+
+            if not batch:  # idle flush of the in-flight generation
+                try:
+                    outs = await loop.run_in_executor(
+                        None, self.pool.flush_pipeline
+                    )
+                except Exception as e:
+                    self._fail(prev, e)
+                    self.pool.drop_pipeline()
+                    prev = None
+                    continue
+                self._deliver(prev, outs)
+                prev = None
                 continue
+
             blocks = {slot: audio for slot, (audio, _f) in batch.items()}
-            try:
-                outs = await loop.run_in_executor(
-                    None, self.pool.step_blocks, blocks
-                )
-            except Exception as e:
-                # A failed dispatch must kill neither the batcher task
-                # (every later submission would hang on a dead queue) nor
-                # the sessions: propagate to each waiter, whose handler
-                # logs it and keeps the connection alive.
-                for _slot, (_a, fut) in batch.items():
-                    if not fut.done():
-                        fut.set_exception(
-                            RuntimeError(f"pool step failed: {e}")
-                        )
-                continue
-            for slot, (_a, fut) in batch.items():
-                if not fut.done():
-                    fut.set_result(outs[slot])
+            if pipelined:
+                try:
+                    outs = await loop.run_in_executor(
+                        None, self.pool.step_blocks_pipelined, blocks
+                    )
+                except Exception as e:
+                    # A failed dispatch must kill neither the batcher task
+                    # (every later submission would hang on a dead queue)
+                    # nor the sessions: fail both generations' waiters and
+                    # restart the pipeline clean.
+                    self._fail(prev, e)
+                    self._fail(batch, e)
+                    self.pool.drop_pipeline()
+                    prev = None
+                    continue
+                self._deliver(prev, outs)
+                prev = batch
+            else:
+                try:
+                    outs = await loop.run_in_executor(
+                        None, self.pool.step_blocks, blocks
+                    )
+                except Exception as e:
+                    self._fail(batch, e)
+                    continue
+                self._deliver(batch, outs)
 
     async def submit(self, slot: int, audio: np.ndarray):
         fut = asyncio.get_running_loop().create_future()

@@ -512,19 +512,38 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
                         in_axes=(state_axes, target_axes, 0),
                         out_axes=(state_axes, 0))(st, tg, x)
 
-    step = jax.jit(batched)
+    # Host-loop step mirrors the PRODUCT pool (server/pool.py): hybrid-
+    # packed state arguments (big rings standalone, ~30 small leaves in
+    # one buffer per dtype) + the targets as one packed buffer — the
+    # relay charges ~20 µs per marshaled handle, so handle count bounds
+    # the tunnel host loop (VERDICT r3 #5; the device slope below is
+    # unaffected either way).
+    from aefs_tpu.core.packing import HybridPacker, Packer
+
+    spacker = HybridPacker(state)
+    tpacker = Packer(targets)
+
+    def packed_step(groups, tgroups, x):
+        st = spacker.unpack(groups)
+        tg = tpacker.unpack(tgroups)
+        st2, y = batched(st, tg, x)
+        return spacker.pack(st2), y
+
+    step = jax.jit(packed_step)
     x = jnp.asarray(
         0.1 * np.random.default_rng(3).standard_normal((n_streams, 1, blocksize)),
         jnp.float32,
     )
-    st, y = step(state, targets, x)
+    sgroups = spacker.pack(state)
+    tgroups = tpacker.pack(targets)
+    sg, y = step(sgroups, tgroups, x)
     float(jnp.sum(y))
     host_per = []
     for _ in range(2):
-        st, y = step(st, targets, x)
+        sg, y = step(sg, tgroups, x)
         t0 = time.time()
         for _ in range(n_iters):
-            st, y = step(st, targets, x)
+            sg, y = step(sg, tgroups, x)
         float(jnp.sum(y[:, :, -4:]))
         host_per.append((time.time() - t0) / n_iters)
     host = min(host_per)
@@ -746,6 +765,24 @@ def main():
         _emit(results, printed, error=f"{type(e).__name__}: {e}")
 
 
+def _retry_once(label, fn, budget_ok=lambda: True):
+    """Run a bench section; on ANY exception retry once with a fresh
+    dispatch after a settle pause (VERDICT r3 #2: the official r03 capture
+    lost batch16 to one transient `remote_compile: read body` — the relay
+    drops a request now and then, and one retry is all it takes).  The
+    second failure propagates to the caller's per-section except, so the
+    JSON line still survives."""
+    try:
+        return fn()
+    except Exception as e:
+        log(f"[bench] {label} attempt 1 FAILED "
+            f"({type(e).__name__}: {e}) — retrying once")
+        if not budget_ok():
+            raise
+        time.sleep(10.0)  # let an in-flight relay request drain
+        return fn()
+
+
 def _run(results, printed, t_start, deadline_s):
     import os
 
@@ -771,15 +808,26 @@ def _run(results, printed, t_start, deadline_s):
         k for k in CONFIGS
         if k != "5_five_effect" and (extended or not k.startswith("x_"))
     ]
+    budget_ok = lambda: time.time() - t_start < deadline_s - 300
     for name in order:
         try:
-            results[name] = bench_file_mode(name, CONFIGS[name], x, superblock)
+            results[name] = _retry_once(
+                name,
+                lambda name=name: bench_file_mode(
+                    name, CONFIGS[name], x, superblock
+                ),
+                budget_ok,
+            )
         except Exception as e:  # keep the headline alive if one config dies
             log(f"[bench] {name} FAILED: {type(e).__name__}: {e}")
             results[name] = 0.0
 
     try:
-        p50, p99, pipe50, dev_ms = bench_stream_latency(CONFIGS["5_five_effect"])
+        p50, p99, pipe50, dev_ms = _retry_once(
+            "stream latency",
+            lambda: bench_stream_latency(CONFIGS["5_five_effect"]),
+            budget_ok,
+        )
         results["stream_p50_ms"] = p50
         results["stream_pipelined_p50_ms"] = pipe50
         results["stream_device_step_ms"] = dev_ms
@@ -788,8 +836,10 @@ def _run(results, printed, t_start, deadline_s):
         log(f"[bench] stream latency FAILED: {type(e).__name__}: {e}")
 
     try:
-        dev_streams, host_streams, per_mode = bench_multistream(
-            CONFIGS["5_five_effect"]
+        dev_streams, host_streams, per_mode = _retry_once(
+            "multistream",
+            lambda: bench_multistream(CONFIGS["5_five_effect"]),
+            budget_ok,
         )
         results["concurrent_realtime_streams"] = dev_streams
         results["concurrent_realtime_streams_tunnel_hostloop"] = host_streams
@@ -802,8 +852,10 @@ def _run(results, printed, t_start, deadline_s):
     # time budget — the headline JSON line must always be printed.
     if time.time() - t_start < deadline_s - 300:
         try:
-            results["batch16_aggregate_x_realtime"] = bench_batch_render(
-                CONFIGS["5_five_effect"], x
+            results["batch16_aggregate_x_realtime"] = _retry_once(
+                "batch render",
+                lambda: bench_batch_render(CONFIGS["5_five_effect"], x),
+                budget_ok,
             )
         except Exception as e:
             log(f"[bench] batch render FAILED: {type(e).__name__}: {e}")

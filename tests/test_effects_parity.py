@@ -182,31 +182,43 @@ def test_compressor_parity(params):
         {"semitones": 7, "mix": 0.5},
         {"semitones": -24, "mix": 0.8},
         {"semitones": 4.5, "mix": 1.0},
+        {"semitones": 4.98, "mix": 1.0},     # off-grid API value
+        {"semitones": 11.73, "mix": 1.0},    # off-grid API value
+        {"semitones": -3.1415, "mix": 0.7},  # off-grid API value
     ],
 )
 def test_octaver_parity(params):
-    """GENERIC streaming path at 0.5-grid semitones (every UI-reachable
-    value): the double-single ratio table (models/octaver.py) removes the
-    f32-ratio drift, so parity vs the float64 oracle meets the full
-    -80 dBFS bar length-independently (measured -92..-96)."""
+    """GENERIC streaming path at ANY semitone value — grid or off-grid:
+    the on-device double-single 2^(s/12) (models/octaver.py:ds_exp2_div12)
+    matches the float64 ratio of the f32 param to ~2^-43 relative, so
+    parity vs the float64 oracle meets the full -80 dBFS bar
+    length-independently (measured ~-97 flat across 20 s segments; the
+    round-3 off-grid waiver — f32 ratio, -60 dBFS to ~8 s — is closed).
+    The oracle mirrors the f32 quantization of ``semitones``, the value
+    the effect actually receives (CLAUDE.md oracle-mirror rule)."""
     x = tones(FRAMES, fs=FS)
     got = run_chain({"effect_id": "o", "type": "octaver", "params": params}, x)
-    oracle = OracleOctaver(FS, **params)
+    oracle = OracleOctaver(FS, **{**params,
+                                  "semitones": float(np.float32(params["semitones"]))})
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
 
 
-def test_octaver_parity_offgrid_semitones():
-    """OFF-grid semitones (API-only values, not reachable from the UI's
-    0.5-step sliders) keep the plain f32 ratio, whose quantization
-    (~2^-25 relative) accumulates ~8e-12 of phase per sample vs the f64
-    oracle: -60 dBFS holds through ~8 s (the old floor for ALL values)."""
-    params = {"semitones": 4.98, "mix": 1.0}
-    x = tones(FRAMES, fs=FS)
+def test_octaver_parity_offgrid_length_independent():
+    """The closed off-grid waiver, demonstrated at length: 10 s at an
+    off-grid semitone value holds the -80 bar in EVERY 2.5 s segment (the
+    old f32-ratio path drifted through -60 by ~8 s)."""
+    params = {"semitones": 11.73, "mix": 1.0}
+    frames = int(FS * 10) // N * N
+    x = tones(frames, fs=FS)
     got = run_chain({"effect_id": "o", "type": "octaver", "params": params}, x)
-    oracle = OracleOctaver(FS, **params)
+    oracle = OracleOctaver(FS, semitones=float(np.float32(11.73)), mix=1.0)
     ref = run_oracle_blocks(oracle, x.astype(np.float64), N)
-    assert err_dbfs(got, ref) <= -60, err_dbfs(got, ref)
+    g = np.asarray(got, np.float64)
+    q = frames // 4
+    for seg in range(4):
+        e = err_dbfs(g[seg * q:(seg + 1) * q], ref[seg * q:(seg + 1) * q])
+        assert e <= -80, (seg, e)
 
 
 @pytest.mark.parametrize("semitones", [-12, -24, 12])
@@ -542,12 +554,15 @@ def test_chorus_blocksize_invariance_and_passthrough():
 
 @pytest.mark.parametrize("semitones", [4.98, 7.0, -12.0, 3.5])
 def test_octaver_generic_blocksize_invariance(semitones):
-    """GENERIC (float32-phasor) path: 256-sample streaming vs
-    4096-superblock processing at mix=1.0 (worst case).  The floor is
-    ~-70 dBFS — a few ulp(1) roundings in mod(inner + base, 1) differ
-    between block decompositions and scale by the ring size.  Pinned at
-    -65: the scrambled-TwoSum carry-drift bug this guards against
-    (models/octaver.py:_two_sum docstring) measured -37..-60 here."""
+    """GENERIC path: 256-sample streaming vs 4096-superblock processing at
+    mix=1.0 (worst case).  The phase is a pure function of the absolute
+    sample index (models/octaver.py:_phase_ramp, base-4096 digit
+    decomposition with exact 12-bit hi products), so any block
+    decomposition produces BITWISE-identical phases — measured -inf
+    (array_equal) on every value here; pinned at -100 to leave room for a
+    future tap-path change that stays below the parity floor.  (The
+    round-3 per-block carry differed between decompositions by a few
+    ulp(1) and was pinned at -65.)"""
     params = {"semitones": semitones, "mix": 1.0}
     x = bursts(8 * 4096, amp=0.3, seed=0)
     outs = []
@@ -556,7 +571,7 @@ def test_octaver_generic_blocksize_invariance(semitones):
             {"effect_id": "o", "type": "octaver", "params": params}, x,
             blocksize=bs,
         ))
-    assert err_dbfs(outs[0], outs[1].astype(np.float64)) <= -65
+    assert err_dbfs(outs[0], outs[1].astype(np.float64)) <= -100
 
 
 @pytest.mark.parametrize("blocksize", [128, 512])

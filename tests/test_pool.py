@@ -299,7 +299,9 @@ def test_pool_batcher_survives_step_failure():
         from aefs_tpu.server.pool import PoolServer, SessionPool
 
         pool = SessionPool(CFG, n_slots=1)
-        orig = pool.step_blocks
+        # The batcher's default path is the depth-1 pipelined step —
+        # inject the fault there.
+        orig = pool.step_blocks_pipelined
         calls = {"n": 0}
 
         def flaky(blocks):
@@ -308,7 +310,7 @@ def test_pool_batcher_survives_step_failure():
                 raise RuntimeError("injected device fault")
             return orig(blocks)
 
-        pool.step_blocks = flaky
+        pool.step_blocks_pipelined = flaky
         srv = PoolServer(pool)
         server = await ws.serve(srv.handler, "127.0.0.1", 0, max_size=2**26)
         port = server.sockets[0].getsockname()[1]
@@ -549,3 +551,55 @@ def test_pool_sharded_grid_matches_unsharded_grid():
         for s in blocks:
             err = np.max(np.abs(oa[s] - ob[s]))
             assert err < 1e-5, (i, s, err)
+
+
+def test_pool_pipelined_bit_parity_and_flush(monkeypatch):
+    """The depth-1 pipelined batcher path (VERDICT r3 #3): results arrive
+    one step late, BITWISE identical to the sync path, and an idle flush
+    returns the in-flight batch.  Also covers hybrid-packed dispatch
+    arguments (core/packing.py:HybridPacker) vs the plain-pytree step."""
+    from aefs_tpu.server.pool import SessionPool
+
+    cfg = [
+        {"effect_id": "o", "type": "octaver",
+         "params": {"semitones": -12, "mix": 0.7}},
+        {"effect_id": "f", "type": "filter",
+         "params": {"filter_type": 0, "cutoff_hz": 3000, "q": 0.8}},
+    ]
+    pa = SessionPool(cfg, n_slots=4)          # sync reference (packed)
+    monkeypatch.setenv("AEFS_POOL_PACK", "0")
+    pc = SessionPool(cfg, n_slots=4)          # plain pytree arguments
+    monkeypatch.delenv("AEFS_POOL_PACK")
+    pb = SessionPool(cfg, n_slots=4)          # pipelined (packed)
+    assert pa._packer is not None and pc._packer is None
+    for p in (pa, pb, pc):
+        p.update_param(1, "f", "cutoff_hz", 500)
+
+    rng = np.random.default_rng(7)
+    blocks_seq = [
+        {s: rng.standard_normal(pa.blocksize).astype(np.float32) * 0.2
+         for s in (0, 1, 3)}
+        for _ in range(6)
+    ]
+    sync_outs = [pa.step_blocks(dict(b)) for b in blocks_seq]
+    pack_outs = [pc.step_blocks(dict(b)) for b in blocks_seq]
+
+    pipe_outs = []
+    first = pb.step_blocks_pipelined(dict(blocks_seq[0]))
+    assert first is None  # pipeline was empty
+    for b in blocks_seq[1:]:
+        pipe_outs.append(pb.step_blocks_pipelined(dict(b)))
+    pipe_outs.append(pb.flush_pipeline())  # idle flush drains the last one
+    assert pb.flush_pipeline() is None     # now empty
+
+    for k, (sy, pk, pi) in enumerate(zip(sync_outs, pack_outs, pipe_outs)):
+        assert set(sy) == set(pk) == set(pi) == {0, 1, 3}
+        for s in sy:
+            np.testing.assert_array_equal(sy[s], pi[s]), (k, s)
+            np.testing.assert_array_equal(sy[s], pk[s]), (k, s)
+
+    # Guard: sync and pipelined calls must not interleave silently.
+    pb.step_blocks_pipelined(dict(blocks_seq[0]))
+    with pytest.raises(RuntimeError, match="in flight"):
+        pb.step_blocks(dict(blocks_seq[0]))
+    pb.drop_pipeline()
