@@ -42,16 +42,25 @@ _INV_PHASE = np.float32(2.0**-32)
 
 
 def phase_step_u32(freq_hz, fs):
-    """Quantize a frequency to uint32 phase units/sample: round(f/fs * 2^32).
+    """Quantize a frequency to uint32 phase units/sample:
+    round(f32(f) * f32(2^32 / fs)).
 
-    Clamped to the largest float32 BELOW 2^32 (= 2^32 - 256): at
-    f == fs the product rounds to exactly 2^32, whose uint32 conversion
-    is backend-defined.  The clamp costs one phase unit in 2^24 of rate
-    accuracy at the very top of the range and keeps every backend (and
-    the float64 oracles, which mirror this quantization) bitwise agreed.
+    The scale is ONE host-side f64 division rounded to f32 (fs is
+    static), so the only on-device ops are an f32 multiply and a round —
+    both correctly rounded on every XLA backend.  An on-device f32
+    division is NOT: XLA CPU codegens it via a Newton-refined reciprocal
+    that lands 1 ulp low for some quotients (measured: 8000/44100 jitted
+    = 0x3e39c277 vs the IEEE 0x3e39c278), which would make the decimation
+    clock backend-dependent.  Clamped to the largest float32 BELOW 2^32
+    (= 2^32 - 256): at f == fs the product rounds to exactly 2^32, whose
+    uint32 conversion is backend-defined.  The clamp costs one phase unit
+    in 2^24 of rate accuracy at the very top of the range and keeps every
+    backend (and the float64 oracles, which mirror this quantization)
+    bitwise agreed.
     """
+    scale = jnp.float32(2.0**32 / float(fs))
     return jnp.minimum(
-        jnp.round((freq_hz / jnp.float32(fs)) * _PHASE_SCALE),
+        jnp.round(freq_hz * scale),
         jnp.float32(2.0**32 - 256.0),
     ).astype(jnp.uint32)
 

@@ -715,11 +715,12 @@ class OracleFlanger:
 
 
 def _phase_step_u32(freq_hz, fs):
-    """Mirror models/ringmod.py:phase_step_u32 exactly (f32 quantization,
-    top-of-range clamp) so the integer phase math is bitwise shared."""
-    prod = np.float32(
-        (np.float32(freq_hz) / np.float32(fs)) * np.float32(2.0**32)
-    )
+    """Mirror models/ringmod.py:phase_step_u32 exactly (f32 multiply by
+    the host-f64 scale, top-of-range clamp) so the integer phase math is
+    bitwise shared.  The multiply-by-scale form exists because an
+    on-device f32 DIVISION is not correctly rounded on XLA CPU (1 ulp low
+    for e.g. 8000/44100) — see the model docstring."""
+    prod = np.float32(np.float32(freq_hz) * np.float32(2.0**32 / float(fs)))
     return int(min(float(np.round(prod)), 2.0**32 - 256.0))
 
 
