@@ -45,7 +45,7 @@ class ConvReverb(EffectModel):
     }
 
     def __init__(self, fs, blocksize, channels=2, ir=None, ir_seconds=2.0,
-                 hop=None, **config):
+                 hop=None, partition_multiple=1, **config):
         super().__init__(fs, blocksize, channels)
         self.hop = int(hop) if hop else int(blocksize)
         if blocksize % self.hop != 0:
@@ -55,6 +55,17 @@ class ConvReverb(EffectModel):
         ir = np.atleast_2d(np.asarray(ir, np.float32))
         if ir.shape[0] == 1 and channels > 1:
             ir = np.repeat(ir, channels, axis=0)
+        # partition_multiple m: zero-pad the IR so (P-1) % m == 0 — the
+        # exact-divisibility requirement for sharding the spec_hist
+        # partition axis over an m-way 'model' mesh axis
+        # (parallel/mesh.py).  Zero partitions contribute nothing; cost
+        # is < m extra rows of history.
+        m = max(int(partition_multiple), 1)
+        p_raw = max(1, -(-ir.shape[1] // self.hop))
+        pad_parts = (-(p_raw - 1)) % m
+        if pad_parts:
+            ir = np.pad(ir, ((0, 0), (0, pad_parts * self.hop +
+                                      (p_raw * self.hop - ir.shape[1]))))
         # (C, 2, P, hop+1) float32 partition spectra (real/imag split — the
         # axon TPU client cannot hold complex buffers) — static weights.
         self.ir_spectra = jnp.asarray(

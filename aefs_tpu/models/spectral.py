@@ -39,7 +39,8 @@ import numpy as np
 
 from aefs_tpu.core.params import ParamSpec
 from aefs_tpu.models.base import EffectModel
-from aefs_tpu.ops.fftops import hann_window, frame_signal, overlap_add
+from aefs_tpu.ops.fftops import (hann_window, frame_signal, overlap_add,
+                                 rfft_last, irfft_last)
 from aefs_tpu.ops.scan import affine_scan
 
 
@@ -104,7 +105,7 @@ class SpectralFilter(EffectModel):
 
         mono = jnp.mean(x, axis=0)  # mono analysis (spectral.py:55)
         frames, in_tail = frame_signal(state["in_tail"], mono, self.n_fft, hop)
-        spec = jnp.fft.rfft(frames * self.window[None, :], axis=-1)  # (k, bins)
+        spec = rfft_last(frames * self.window[None, :])  # (k, bins)
 
         mag = jnp.abs(spec)
         if self.noise_profile is not None:
@@ -119,7 +120,7 @@ class SpectralFilter(EffectModel):
             axis=0,
         )
 
-        frames_out = jnp.fft.irfft(spec * mask, axis=-1).astype(jnp.float32)
+        frames_out = irfft_last(spec * mask).astype(jnp.float32)
         y_mono, ola_tail = overlap_add(frames_out, state["ola_tail"], hop)
 
         new_state = {"in_tail": in_tail, "ola_tail": ola_tail, "mask": mask[-1]}

@@ -18,6 +18,69 @@ def hann_window(n_fft: int, dtype=jnp.float32):
     return jnp.asarray(np.hanning(n_fft), dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# rfft/irfft along the last axis, with an env-gated DFT-by-matmul fallback.
+#
+# XLA CPU's layout assignment has a bug in GSPMD-partitioned modules: it
+# inserts a copy to a non-dim0-major layout (e.g. {2,0,1}) immediately
+# before an FFT op, and the CPU fft thunk RET_CHECKs
+# IsMonotonicWithDim0Major on its operand (fft_thunk.cc:167).  Observed
+# whenever the conv reverb's model-sharded spec_hist and the spectral
+# filter's FFTs meet in one program on the virtual CPU mesh; barriers and
+# real/imag splits don't help because layout assignment runs after user
+# graph construction.  TPU lowering is unaffected.  AEFS_FFT_VIA_MATMUL=1
+# (set by dryrun_multichip's inner subprocess and the sharded-FFT tests)
+# routes the transforms through explicit DFT matmuls, which shard and lay
+# out like any other matmul.  f32 matmul DFT error is ~sqrt(N)*eps —
+# ~2e-6 relative at N=1024, far under the -100 dBFS comparison bars.
+# ---------------------------------------------------------------------------
+
+_DFT_CACHE: dict = {}
+
+
+def _fft_via_matmul() -> bool:
+    import os
+
+    return os.environ.get("AEFS_FFT_VIA_MATMUL", "0") == "1"
+
+
+def _dft_mats(n: int):
+    # NUMPY arrays in the cache (converted per call site): a jnp constant
+    # materialized during one trace leaks a tracer into later traces.
+    if n not in _DFT_CACHE:
+        k = np.arange(n // 2 + 1)
+        t = np.arange(n)
+        ang = 2.0 * np.pi * np.outer(t, k) / n  # (n, bins) float64
+        _DFT_CACHE[n] = (
+            np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32),
+        )
+    c, s = _DFT_CACHE[n]
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+def rfft_last(x):
+    """jnp.fft.rfft(x, axis=-1), or the DFT-matmul equivalent under
+    AEFS_FFT_VIA_MATMUL (see module comment)."""
+    if not _fft_via_matmul():
+        return jnp.fft.rfft(x, axis=-1)
+    c, s = _dft_mats(x.shape[-1])
+    return jax.lax.complex(x @ c, -(x @ s))
+
+
+def irfft_last(spec):
+    """jnp.fft.irfft(spec, axis=-1) (length 2*(bins-1)), or the DFT-matmul
+    equivalent under AEFS_FFT_VIA_MATMUL."""
+    if not _fft_via_matmul():
+        return jnp.fft.irfft(spec, axis=-1)
+    n = 2 * (spec.shape[-1] - 1)
+    c, s = _dft_mats(n)
+    w = np.full(n // 2 + 1, 2.0 / n)
+    w[0] = w[-1] = 1.0 / n
+    w = jnp.asarray(w, jnp.float32)
+    return (jnp.real(spec) * w) @ c.T - (jnp.imag(spec) * w) @ s.T
+
+
 def frame_signal(tail, x, n_fft: int, hop: int):
     """Slice a block into overlapping analysis frames.
 
@@ -85,18 +148,27 @@ def partitioned_fft_conv(spec_hist, in_tail, x, ir_spectra, hop: int):
     k = n // hop
 
     frames, new_in_tail = frame_signal(in_tail, x, 2 * hop, hop)
-    specs = jnp.fft.rfft(frames, axis=-1)  # (k, hop+1) complex
+    specs = rfft_last(frames)  # (k, hop+1) complex
 
     # Chronological spectra: P-1 carried, then k new.  Output hop j needs
     # X_{j-q} = full[p-1+j-q] for q = 0..P-1.
     hist_c = jax.lax.complex(spec_hist[0], spec_hist[1])
     ir_c = jax.lax.complex(ir_spectra[0], ir_spectra[1])
     full = jnp.concatenate([hist_c, specs], axis=0)  # (p-1+k, hop+1)
-    base = jnp.arange(k)[:, None] + (p - 1 - jnp.arange(p))[None, :]  # (k, p)
-    windows = jnp.take(full, base, axis=0)  # (k, p, hop+1)
+    if k == 1:
+        # Streaming path (one hop per block): the window is just `full`
+        # reversed — no gather.  Keeps the hot path off TPU gather
+        # lowering AND lets GSPMD shard the partition axis over the
+        # 'model' mesh axis (parallel/mesh.py): flip/multiply stay
+        # partition-local, the partition sum lowers to one psum of a
+        # (hop+1,) spectrum.
+        windows = jnp.flip(full, axis=0)[None]  # (1, p, hop+1)
+    else:
+        base = jnp.arange(k)[:, None] + (p - 1 - jnp.arange(p))[None, :]
+        windows = jnp.take(full, base, axis=0)  # (k, p, hop+1)
     y_spec = jnp.sum(windows * ir_c[None, :, :], axis=1)  # (k, hop+1)
 
-    y_frames = jnp.fft.irfft(y_spec, axis=-1)  # (k, 2*hop)
+    y_frames = irfft_last(y_spec)  # (k, 2*hop)
     # Overlap-save: the second half of each frame is the valid output.
     y = y_frames[:, hop:].reshape(n).astype(x.dtype)
 

@@ -57,6 +57,141 @@ def test_sharded_streams_match_single_stream():
     assert err_dbfs(y2[3], np.asarray(r2)) <= -120
 
 
+def test_sharded_convreverb_matches_single_stream():
+    """ConvReverb's frequency-domain delay line shards its IR-partition
+    axis over 'model' (parallel/mesh.py spec_hist rule + the k==1
+    gather-free conv path): the sharded result must match an unsharded
+    single-stream run.  The partition sum reassociates across devices,
+    so the bar is float32 rounding (-100), not bitwise."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, model_parallel=2)
+    cfgs = [
+        {"effect_id": "c", "type": "convreverb",
+         "params": {"mix_dry": 0.7, "mix_wet": 0.4},
+         "ir_seconds": 0.4, "partition_multiple": 2},
+    ]
+    chain, state0, tmap = build_chain(cfgs, FS, 512, channels_in=1)
+    targets = chain.targets(tmap)
+    init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
+
+    n_streams = 8
+    runner = ShardedStreams(chain, mesh, n_streams)
+    state, shardings = runner.init_state(init_cfg)
+    # The rule actually fired: spec_hist is partition-sharded over model.
+    hist_spec = None
+    for path, s in jax.tree_util.tree_leaves_with_path(shardings):
+        if any(getattr(k, "key", None) == "spec_hist" for k in path):
+            hist_spec = s.spec
+    assert hist_spec is not None and "model" in hist_spec, hist_spec
+
+    rng = np.random.default_rng(11)
+    xs = (0.2 * rng.standard_normal((n_streams, 1, 512))).astype(np.float32)
+    state, y, peak = runner.run_block(state, targets, xs)
+    state, y2, _ = runner.run_block(state, targets, xs)
+    y, y2 = np.asarray(y), np.asarray(y2)
+    assert np.isfinite(peak)
+
+    sstate = chain.init_state(init_cfg)
+    step = chain.step()
+    sstate, r1 = step(sstate, targets, jnp.asarray(xs[5]))
+    sstate, r2 = step(sstate, targets, jnp.asarray(xs[5]))
+    assert err_dbfs(y[5], np.asarray(r1)) <= -100
+    assert err_dbfs(y2[5], np.asarray(r2)) <= -100
+
+
+def test_sharded_per_stream_targets():
+    """Divergent live params across the mesh: each stream gets its own
+    targets pytree (leading S axis sharded over 'data') and must match
+    an unsharded single-stream run with the same targets."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, model_parallel=2)
+    cfgs, (chain, state0, tmap) = _chain()
+    init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
+
+    n_streams = 8
+    runner = ShardedStreams(chain, mesh, n_streams)
+    state, _ = runner.init_state(init_cfg)
+    maps = []
+    for s in range(n_streams):
+        m = {k: dict(v) for k, v in init_cfg.items()}
+        m["f"]["cutoff_hz"] = 500.0 + 400.0 * s
+        m["d"]["feedback"] = 0.1 + 0.05 * s
+        maps.append(m)
+    targets_b = runner.batch_targets(maps)
+
+    rng = np.random.default_rng(7)
+    xs = (0.2 * rng.standard_normal((n_streams, 1, 512))).astype(np.float32)
+    state, y, peak = runner.run_block(state, targets_b, xs,
+                                      per_stream_targets=True)
+    y = np.asarray(y)
+    assert np.isfinite(peak)
+
+    for s in (0, 6):
+        sstate = chain.init_state(init_cfg)
+        step = chain.step()
+        _, r = step(sstate, chain.targets(maps[s]), jnp.asarray(xs[s]))
+        assert err_dbfs(y[s], np.asarray(r)) <= -120, s
+
+
+def test_dft_matmul_matches_fft():
+    """The AEFS_FFT_VIA_MATMUL fallback (XLA CPU sharded-layout bug
+    workaround, ops/fftops.py) must agree with jnp.fft to f32 matmul
+    accuracy for both transforms."""
+    from aefs_tpu.ops.fftops import rfft_last, irfft_last
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((5, 1024)), jnp.float32)
+    ref_spec = jnp.fft.rfft(x, axis=-1)
+    ref_time = jnp.fft.irfft(ref_spec, axis=-1)
+    import os
+
+    os.environ["AEFS_FFT_VIA_MATMUL"] = "1"
+    try:
+        got_spec = rfft_last(x)
+        got_time = irfft_last(ref_spec)
+    finally:
+        os.environ.pop("AEFS_FFT_VIA_MATMUL")
+    # Spectrum error relative to the spectrum's own scale (bins carry
+    # magnitudes ~sqrt(N); dBFS-vs-1.0 would overstate the error).
+    scale = float(np.max(np.abs(np.asarray(ref_spec))))
+    spec_err = float(np.max(np.abs(np.asarray(got_spec - ref_spec)))) / scale
+    assert 20 * np.log10(spec_err) <= -100, spec_err
+    # unit-variance noise peaks ~4x fullscale; -110 dBFS here is ~2e-6
+    # relative — the chain-level acceptance bars sit at -100.
+    assert err_dbfs(np.asarray(got_time), np.asarray(ref_time)) <= -110
+
+
+def test_sharded_spectral_plus_convreverb(monkeypatch):
+    """The spectral filter and a model-sharded conv reverb in ONE program:
+    trips XLA CPU's fft layout RET_CHECK without the matmul-DFT fallback
+    (ops/fftops.py comment); with it, sharded must match unsharded."""
+    assert len(jax.devices()) >= 8
+    monkeypatch.setenv("AEFS_FFT_VIA_MATMUL", "1")
+    mesh = make_mesh(8, model_parallel=2)
+    cfgs = [
+        {"effect_id": "s", "type": "spectral",
+         "params": {"threshold_db": -50, "reduction": 0.3}},
+        {"effect_id": "c", "type": "convreverb",
+         "params": {"mix_dry": 0.7, "mix_wet": 0.4},
+         "ir_seconds": 0.4, "partition_multiple": 2},
+    ]
+    chain, _, tmap = build_chain(cfgs, FS, 512, channels_in=1)
+    targets = chain.targets(tmap)
+    init_cfg = {c["effect_id"]: c["params"] for c in cfgs}
+
+    runner = ShardedStreams(chain, mesh, 8)
+    state, _ = runner.init_state(init_cfg)
+    rng = np.random.default_rng(13)
+    xs = (0.2 * rng.standard_normal((8, 1, 512))).astype(np.float32)
+    state, y, peak = runner.run_block(state, targets, xs)
+    y = np.asarray(y)
+    assert np.isfinite(peak)
+
+    sstate = chain.init_state(init_cfg)
+    _, r = chain.step()(sstate, targets, jnp.asarray(xs[2]))
+    assert err_dbfs(y[2], np.asarray(r)) <= -100
+
+
 def test_mesh_factors():
     mesh = make_mesh(8, model_parallel=2)
     assert dict(mesh.shape) == {"data": 4, "model": 2}
