@@ -216,11 +216,12 @@ class Reverb(EffectModel):
         n = x.shape[-1]
         b = self.n_combs
         lmax = self.comb_lmax
-        comb_y = [y_msc[:, side, :].reshape(-1)[:n][None] for side in range(2)]
+        # Side-major (n_sides, M, C): each side's sum flattens for free.
+        comb_y = [y_msc[side].reshape(-1)[:n][None] for side in range(2)]
 
         # Final ring state w = x + g*damped over the last ``lmax`` true
         # samples, extracted from the damped tail chunks (tiny arrays).
-        m = y_msc.shape[0]
+        m = y_msc.shape[1]
         k = min(m, -(-lmax // c) + 1)  # <= 3 since lmax < 2C
         off = m * c - k * c  # padded-coordinate start of the tail window
         d_tail = jnp.moveaxis(d3[3 - k :], 0, 1).reshape(2 * b, k * c)

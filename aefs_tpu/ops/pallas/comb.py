@@ -119,7 +119,7 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
     s = max(side_of) + 1
 
     def kernel(h_ref, g_ref, x_ref, ysum_ref, dtail_ref,
-               prev2, prev1, dlast, px2, px1):
+               prev2, prev1, dlast, px2, px1, ext_ref, xs_ref):
         i = pl.program_id(0)
         h = h_ref[0, 0]
 
@@ -142,22 +142,34 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
         # file), not by compute — both the old propagator matmul and the
         # Hillis scan are sub-microsecond per chunk.
         cp2, cp1, cdl = prev2[...], prev1[...], dlast[...]
-        cq2, cq1 = px2[...], px1[...]
+
+        # Batched input-window extraction: the comb's INPUT taps depend
+        # only on the raw signal, so all K chunks' lag-shifted windows
+        # are one static-offset copy per comb per GRID STEP (c <= lag
+        # < 2c puts the start 2c-lag in (0, c]) — replacing the former
+        # per-chunk (1, 3C) lane rolls (K x B rolls -> B window copies,
+        # the largest VPU cost in the kernel after the damping scan).
+        # Ref-mediated copies: Mosaic cannot concat VALUES whose lane
+        # offsets differ across rows ("offset mismatch on non-concat
+        # dimension"), but ref stores at static offsets lower cleanly.
+        ext_ref[:, 0:c] = px2[...]
+        ext_ref[:, c : 2 * c] = px1[...]
+        ext_ref[:, 2 * c :] = xks
+        for bi, lag in enumerate(lags):
+            si = side_of[bi]
+            start = 2 * c - lag
+            xs_ref[bi : bi + 1, :] = ext_ref[
+                si : si + 1, start : start + k_chunks * c
+            ]
+        xs_all = xs_ref[...]  # (B, K*C)
+
         outs = []
         for j in range(k_chunks):
             xc = xks[:, j * c : (j + 1) * c]  # (S, C)
+            xs = xs_all[:, j * c : (j + 1) * c]  # (B, C)
 
-            # Lag-shifted windows, identical to comb_bank_file_pallas.
-            ext_x = jnp.concatenate([cq2, cq1, xc], axis=1)  # (S, 3C)
-            xs = jnp.concatenate(
-                [
-                    pltpu.roll(
-                        ext_x[side_of[bi] : side_of[bi] + 1, :], lag + c, 1
-                    )[:, :c]
-                    for bi, lag in enumerate(lags)
-                ],
-                axis=0,
-            )  # (B, C)
+            # Feedback window damped[n - lag] from the two carried damped
+            # chunks (computed this step — must stay per-chunk).
             ext = jnp.concatenate([cp2, cp1], axis=1)  # (B, 2C)
             r = jnp.concatenate(
                 [
@@ -188,9 +200,18 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
             # matmul (which also ran at bf16 MXU precision: -55 dB vs the
             # float64 oracle where this scan reaches -139 dB).  The
             # cross-chunk carry folds into lane 0 of the addend.
-            # (A per-level weight VECTOR folding mask and h^s into one
-            # multiplier measured SLOWER — 0.596 vs 0.538 ms — the
-            # inline cmp+select fuses better than a VMEM scratch read.)
+            # (Two measured dead ends, both slope-timed on the v5e with a
+            # 200-iteration contrast: a per-level weight VECTOR from the
+            # traced h (round 3: 0.596 vs 0.538 ms — in-kernel weight
+            # construction per grid step) and a STATIC-h variant feeding
+            # host-precomputed folded weight vectors as a kernel input
+            # (round 4: 0.567 vs 0.562 ms traced).  The scan is LATENCY
+            # bound — ~11 strictly sequential roll->mul->add levels per
+            # chunk x 635 chunks at ~55-60 cycles of dependency latency
+            # per level accounts for the measured 0.436 ms regardless of
+            # per-level op count; level count is pinned at ceil(log2 c)
+            # and c at the comb-lag geometry, so this is the kernel's
+            # floor, not an op-selection artifact.  See PERF.md.)
             acc = (1.0 - h) * y + jnp.where(lane == 0, h * cdl, 0.0)
             hs = h
             step = 1
@@ -214,11 +235,17 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
 
             cp2, cp1 = cp1, damped
             cdl = damped[:, c - 1 : c]
-            cq2, cq1 = cq1, xc
 
-        ysum_ref[...] = jnp.stack(outs, axis=0)  # (K, S_out, C)
+        # Side-major stack: the reverb consumes each side's sum as ONE
+        # contiguous (N,) signal, so (n_sides, M, C) makes its flatten a
+        # free reshape instead of a strided whole-signal copy (~58 us of
+        # the 18.6 s flagship pass at reverb.py:219).
+        ysum_ref[...] = jnp.stack(outs, axis=1)  # (S_out, K, C)
         prev2[...], prev1[...], dlast[...] = cp2, cp1, cdl
-        px2[...], px1[...] = cq2, cq1
+        # Raw-signal carry for the next grid step: the last two chunks of
+        # this step's extended window (aligned static slices).
+        px2[...] = ext_ref[:, k_chunks * c : (k_chunks + 1) * c]
+        px1[...] = ext_ref[:, (k_chunks + 1) * c : (k_chunks + 2) * c]
 
     return kernel
 
@@ -233,7 +260,7 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
                                k_chunks: int = 32,
                                interpret: bool = False):
     """Fused-output variant of ``comb_bank_file_pallas``: returns
-    (ysum, d_tail) where ysum: (M, n_sides, C) is the per-side comb-bank
+    (ysum, d_tail) where ysum: (n_sides, M, C) is the per-side comb-bank
     sum and d_tail: (3, B, C) holds the damped state for the last three
     true chunks (zero rows for chunks before the signal start).  HBM
     traffic drops from 2 * (M, B, C) writes (~114 MB per 18.6 s file, of
@@ -259,7 +286,7 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
     spec_g = pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
     spec_x = pl.BlockSpec((s, k * c), lambda i: (0, i), memory_space=pltpu.VMEM)
     spec_ysum = pl.BlockSpec(
-        (k, n_sides, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (n_sides, k, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     # One VMEM-resident block revisited by every grid step, flushed once.
     spec_dtail = pl.BlockSpec(
@@ -269,7 +296,7 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
     ysum, d_tail = pl.pallas_call(
         _make_sums_kernel(lags, side_of, c, n_sides, k, last_step, last_j),
         out_shape=(
-            jax.ShapeDtypeStruct((m2, n_sides, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_sides, m2, c), jnp.float32),
             jax.ShapeDtypeStruct((3, b, c), jnp.float32),
         ),
         grid=(steps,),
@@ -281,10 +308,12 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
             pltpu.VMEM((b, 1), jnp.float32),   # damped[-1] carry
             pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-2
             pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-1
+            pltpu.VMEM((s, (k + 2) * c), jnp.float32),  # extended window
+            pltpu.VMEM((b, k * c), jnp.float32),        # per-comb input taps
         ],
         interpret=interpret,
     )(h_arr, g_arr, x)
-    return ysum[:m], d_tail
+    return ysum[:, :m], d_tail
 
 
 @functools.partial(

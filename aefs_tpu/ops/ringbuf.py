@@ -506,7 +506,7 @@ def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None,
 def comb_bank_file_sums(x, lags, g, h, side_of, n_sides: int,
                         use_pallas=None):
     """``comb_bank_file_chunks`` reduced to what the reverb file path
-    actually consumes: (ysum, d_tail, c) with ysum: (M, n_sides, C) the
+    actually consumes: (ysum, d_tail, c) with ysum: (n_sides, M, C) the
     per-side comb-bank sums and d_tail: (3, B, C) the damped chunks for
     the last three chunk slots (leading rows zero when the signal is
     shorter — a zero damped history IS the pre-signal state).  On TPU
@@ -531,7 +531,7 @@ def comb_bank_file_sums(x, lags, g, h, side_of, n_sides: int,
         from aefs_tpu.ops.pallas.comb import comb_bank_file_pallas_sums
 
         return comb_bank_file_pallas_sums(
-            jnp.pad(x, ((0, 0), (0, n_pad - n))), g, h,
+            jnp.pad(x, ((0, 0), (0, n_pad - n))), g, jnp.float32(h),
             tuple(int(l) for l in lags), c, side_of, n_sides,
             interpret=use_pallas == "interpret",
         ) + (c,)
@@ -544,8 +544,8 @@ def comb_bank_file_sums(x, lags, g, h, side_of, n_sides: int,
             sum(y_mbc[:, bi] for bi in range(b) if side_of[bi] == si)
             for si in range(n_sides)
         ],
-        axis=1,
-    )  # (M, n_sides, C)
+        axis=0,
+    )  # (n_sides, M, C) — side-major, see comb_bank_file_pallas_sums
     k = min(m, 3)
     d_tail = jnp.concatenate(
         [jnp.zeros((3 - k, b, c), x.dtype), d_mbc[m - k :]], axis=0

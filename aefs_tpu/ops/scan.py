@@ -428,6 +428,67 @@ def linrec2_file(v, a1, a2, y1, y2, chunk: int = 256):
     return y.reshape(m * c)[:n]
 
 
+def linrec2_file_fir(x, b0, b1, b2, a1, a2, x1, x2, y1, y2,
+                     chunk: int = 256):
+    """Whole biquad B(z)/A(z) over a long signal with the FIR part FOLDED
+    into the chunk impulse response: y_base = x_chunks @ T(conv(b, h))
+    plus two rank-1 x-boundary terms, then the same 2x2 carry scan as
+    ``linrec2_file``.  Folding removes the shifted-x materializations
+    (two lane-offset concats that XLA lowers as whole-signal
+    dynamic-update-slices, ~0.1 ms of the 18.6 s flagship pass) and the
+    separate v = B*x pass.
+
+    Boundary algebra: within chunk k, v[0] reads x[-1] (via b1) and
+    x[-2] (via b2), v[1] reads x[-1] (via b2) — all KNOWN samples of
+    chunk k-1 (or the carried x1/x2 state for k=0), so their responses
+    hx1 = b1*h + b2*shift(h), hx2 = b2*h join y_base outside the scan;
+    only the y[-1]/y[-2] carries need the associative scan, exactly as
+    in linrec2_file.
+
+    x: (N,); coefficients and initial conditions are traced scalars.
+    Returns y: (N,).
+    """
+    n = x.shape[-1]
+    c = int(chunk)
+    m = -(-n // c)
+    dt = x.dtype
+    xp = jnp.pad(x, (0, m * c - n)).reshape(m, c)
+
+    h = jnp.asarray(ar2_impulse(a1, a2, c + 1), dt)  # AR impulse h[0..c]
+    z1 = jnp.zeros((1,), dt)
+    h_ba = (b0 * h[:c]
+            + b1 * jnp.concatenate([z1, h[: c - 1]])
+            + b2 * jnp.concatenate([z1, z1, h[: c - 2]]))
+    t_mat = toeplitz_lower(h_ba, c)
+    y_base = jnp.einsum(
+        "mi,ji->mj", xp, t_mat, precision=lax.Precision.HIGHEST
+    )
+
+    # Previous-chunk x boundary samples (known, not part of the carry).
+    xp1 = jnp.concatenate([jnp.asarray(x1, dt)[None], xp[:-1, c - 1]])
+    xp2 = jnp.concatenate([jnp.asarray(x2, dt)[None], xp[:-1, c - 2]])
+    hx1 = b1 * h[:c] + b2 * jnp.concatenate([z1, h[: c - 1]])
+    hx2 = b2 * h[:c]
+    y_base = y_base + xp1[:, None] * hx1[None, :] + xp2[:, None] * hx2[None, :]
+
+    h1 = h[1 : c + 1]  # response to y[-1] = 1
+    h2 = -a2 * h[:c]  # response to y[-2] = 1
+    ones = jnp.ones((m,), dt)
+    elems = (
+        h1[c - 1] * ones, h2[c - 1] * ones,
+        h1[c - 2] * ones, h2[c - 2] * ones,
+        y_base[:, c - 1], y_base[:, c - 2],
+    )
+    cp, cq, cr, cs, cu, cv = lax.associative_scan(_combine2, elems)
+    out1 = cp * y1 + cq * y2 + cu
+    out2 = cr * y1 + cs * y2 + cv
+    in1 = jnp.concatenate([jnp.asarray(y1, dt)[None], out1[:-1]])
+    in2 = jnp.concatenate([jnp.asarray(y2, dt)[None], out2[:-1]])
+
+    y = y_base + in1[:, None] * h1[None, :] + in2[:, None] * h2[None, :]
+    return y.reshape(m * c)[:n]
+
+
 def linrec2(v, a1, a2, y1, y2):
     """Solve y[n] = v[n] - a1*y[n-1] - a2*y[n-2] with y[-1]=y1, y[-2]=y2.
 
@@ -635,23 +696,28 @@ def biquad_block(x, b0, b1, b2, a1, a2, state):
     y1 = state[:, 2]
     y2 = state[:, 3]
 
-    xm1 = jnp.concatenate([x1, x[:, :-1]], axis=1)[:, :n]  # x[n-1]
-    xm2 = jnp.concatenate([x2, x1, x[:, :-2]], axis=1)[:, :n]  # x[n-2]
-    v = b0 * x + b1 * xm1 + b2 * xm2
-
     if n >= 1024:
-        # Long signals (file mode / superblocks): chunked Toeplitz solve —
-        # one MXU matmul per 256-chunk versus the associative scan's ~40
-        # memory passes.  Streaming blocks keep the associative scan: the
-        # matmul form loses ~12 dB under per-block coefficient glides
+        # Long signals (file mode / superblocks): chunked Toeplitz solve
+        # with the FIR folded into the chunk impulse response
+        # (linrec2_file_fir) — one MXU matmul per 256-chunk versus the
+        # associative scan's ~40 memory passes, and no shifted-x
+        # materializations.  Streaming blocks keep the associative scan:
+        # the matmul form loses ~12 dB under per-block coefficient glides
         # (boundary-state handoff cancellation at high Q), and profiling
         # shows the scan is NOT a hot spot at mic blocksizes.
-        y = jax.vmap(lambda vv, i1, i2: linrec2_file(vv, a1, a2, i1, i2))(
-            v, y1, y2
-        )
+        y = jax.vmap(
+            lambda xx, i1, i2, j1, j2: linrec2_file_fir(
+                xx, b0, b1, b2, a1, a2, i1, i2, j1, j2
+            )
+        )(x, x1[:, 0], x2[:, 0], y1, y2)
+        xm1_last = x[:, -2]
     else:
+        xm1 = jnp.concatenate([x1, x[:, :-1]], axis=1)[:, :n]  # x[n-1]
+        xm2 = jnp.concatenate([x2, x1, x[:, :-2]], axis=1)[:, :n]  # x[n-2]
+        v = b0 * x + b1 * xm1 + b2 * xm2
         y = jax.vmap(lambda vv, i1, i2: linrec2(vv, a1, a2, i1, i2))(v, y1, y2)
+        xm1_last = xm1[:, -1]
 
     ym2 = y[:, -2] if n >= 2 else y1
-    new_state = jnp.stack([x[:, -1], xm1[:, -1], y[:, -1], ym2], axis=1)
+    new_state = jnp.stack([x[:, -1], xm1_last, y[:, -1], ym2], axis=1)
     return y, new_state

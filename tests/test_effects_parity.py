@@ -1,10 +1,13 @@
 """Golden-waveform parity: each TPU effect vs its float64 NumPy oracle.
 
-The acceptance bar is <= -80 dBFS peak error (BASELINE.json) for every
-effect except the octaver, whose fractional-read phase path is evaluated in
-float32 exactly as in the reference kernel (octaver.py:37-62, float32
-fastmath); against a float64 oracle the phase-quantization floor sits near
--60 dBFS, which we assert instead and document here.
+The acceptance bar is <= -80 dBFS peak error (BASELINE.json) for EVERY
+effect, octaver included: its phase ramp is a pure function of the
+absolute sample index (base-4096 digit decomposition) driven by an
+on-device double-single 2^(s/12) (models/octaver.py:ds_exp2_div12), so
+any semitone value — on or off the UI grid — measures ~-97 dBFS
+length-independently, and block decompositions are BITWISE identical.
+Oracles mirror the f32 quantization of param VALUES the effects actually
+receive (e.g. semitones=f32(11.73)), not just smoother coefficients.
 """
 
 import numpy as np

@@ -125,3 +125,4 @@ def test_pallas_comb_sums_short_signal():
         )
         assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
         assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-4
+
