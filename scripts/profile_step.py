@@ -83,6 +83,8 @@ def main():
     ap.add_argument("--top", type=int, default=16)
     ap.add_argument("--grid", action="store_true",
                     help="exact-grid phase-locked serving (pool --grid)")
+    ap.add_argument("--config", default="5_five_effect",
+                    help="bench.CONFIGS key to profile (default flagship)")
     args = ap.parse_args()
 
     import jax
@@ -97,7 +99,7 @@ def main():
     except Exception:
         pass
     wait_for_device()
-    cfgs = CONFIGS["5_five_effect"]
+    cfgs = CONFIGS[args.config]
     d = tempfile.mkdtemp(prefix="aefs_prof_")
 
     if args.target == "file":

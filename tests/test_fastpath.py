@@ -95,6 +95,36 @@ def test_fast_matches_blockwise_five_effect_chain():
     assert err_dbfs(slow, fastv) <= -50, err_dbfs(slow, fastv)
 
 
+@pytest.mark.parametrize("ir_seconds,n_blocks", [
+    (0.3, 12),   # IR shorter than the file: full spec_hist rebuild
+    (2.5, 12),   # IR longer than the file (P-1 > k): zero-history rows
+])
+def test_convreverb_file_state_handoff(ir_seconds, n_blocks):
+    """The whole-file conv path (convreverb.process_file) rebuilds the
+    end-of-file state exactly: continuing BLOCKWISE from it must match a
+    pure blockwise run of the concatenated signal."""
+    from aefs_tpu.models.convreverb import ConvReverb
+
+    hop = 4096
+    eff = ConvReverb(FS, hop, channels=2, ir_seconds=ir_seconds)
+    rng = np.random.default_rng(7)
+    xa = np.asarray(
+        0.3 * rng.standard_normal((2, n_blocks * hop)), np.float32)
+    xb = np.asarray(0.3 * rng.standard_normal((2, 2 * hop)), np.float32)
+    p = {"mix_dry": 0.7, "mix_wet": 0.4}
+
+    st_fast, _ = eff.process_file(eff.init_state(), p, xa)
+    _, y_cont = eff.process(st_fast, p, xb)
+
+    st = eff.init_state()
+    for j in range(n_blocks):
+        st, _ = eff.process(st, p, xa[:, j * hop:(j + 1) * hop])
+    _, y_ref = eff.process(st, p, xb)
+
+    e = err_dbfs(np.asarray(y_cont).T, np.asarray(y_ref).T)
+    assert e <= -80, e
+
+
 def test_fast_path_short_file():
     """Files shorter than one superblock must still work."""
     x = noise(1000, amp=0.3, seed=4)
