@@ -393,6 +393,18 @@ class AudioEngine:
         with self._param_lock:
             self._update_param_locked(effect_id, param_name, value)
 
+    def _sync_config_param(self, effect_id, param_name, value):
+        """Write a validated live param into last_chain_config under the
+        state lock.  Parallel-branch params arrive here in their lifted
+        b<branch>_<index>_<name> form on the CONTAINER's effect_id
+        (models/parallel_chain.py:53-61), which initial_params re-merges
+        on rebuild — so a top-level id match covers branches too."""
+        with self._lock:
+            for cfg in self.last_chain_config:
+                if cfg.get("effect_id") == effect_id:
+                    cfg.setdefault("params", {})[param_name] = value
+                    return
+
     def _update_param_locked(self, effect_id, param_name, value):
         with self._lock:
             chain = self.chain
@@ -408,6 +420,13 @@ class AudioEngine:
             )
             return
         targets_map.setdefault(effect_id, {})[param_name] = float(value)
+        # Keep the CONFIG in sync too: file mode builds a fresh chain from
+        # last_chain_config (targets AND baked statics like the delay's
+        # file lag), so a live update that only touched the streaming
+        # targets would silently revert when the user (re)processes a
+        # file — the reference's file path always sees current params
+        # (core.py:123-129 reads the live SmoothParams).
+        self._sync_config_param(effect_id, param_name, float(value))
         # Building + packing the targets creates device buffers (host->
         # device RPCs on remote backends) — do it OUTSIDE the lock the
         # audio callback takes every block, then swap atomically.  Pack

@@ -232,3 +232,57 @@ def test_chain_rebuild_frees_under_gc_disable():
     finally:
         if was_enabled:
             gc.enable()
+
+
+def test_update_param_reaches_file_mode():
+    """A live update_param must be visible to file mode: the file chain is
+    rebuilt fresh from last_chain_config (targets AND baked statics like
+    the delay's file lag), so update_param syncs the config too — the
+    reference's file path always reads current params (core.py:123-129)."""
+    eng = AudioEngine()
+    eng.build_chain([{"effect_id": "d", "type": "delay",
+                      "params": {"delay_ms": 375, "feedback": 0.0,
+                                 "mix_wet": 1.0, "mix_dry": 0.0,
+                                 "offset_ms": 0}}])
+    fs = 48000
+    x = np.zeros((fs, 1), np.float32)
+    x[0] = 1.0
+    eng.update_param("d", "mix_wet", 0.0)
+    eng.update_param("d", "mix_dry", 1.0)
+    # Baked static path too: move the echo to 200 ms.
+    eng.update_param("d", "delay_ms", 200.0)
+    _, y = eng.process_file_array(x, fs)
+    assert float(np.abs(y[0:2]).max()) > 0.9          # dry passes
+    old = int(0.375 * fs)
+    assert float(np.abs(y[old - 2:old + 4]).max()) == 0.0  # old echo gone
+    # mix_wet 0 silences the (relocated) echo entirely.
+    new = int(0.200 * fs)
+    assert float(np.abs(y[new - 2:new + 4]).max()) == 0.0
+    eng.close()
+
+
+def test_update_param_reaches_file_mode_in_parallel_branch():
+    """Branch params are lifted into the container's namespace
+    (b<branch>_<index>_<name> on the container's effect_id,
+    models/parallel_chain.py:53-61); the config sync must carry those
+    lifted keys into file mode too."""
+    eng = AudioEngine()
+    eng.build_chain([{
+        "effect_id": "par", "type": "parallel",
+        "params": {},
+        "branches": [
+            [{"effect_id": "w", "type": "waveshaper",
+              "params": {"drive": 1.0, "shape": 1, "mix": 1.0,
+                         "out_gain": 1.0}}],
+            [],
+        ],
+    }])
+    fs = 48000
+    x = 0.25 * np.ones((4096, 1), np.float32)
+    _, y_before = eng.process_file_array(x, fs)
+    eng.update_param("par", "b0_0_out_gain", 0.0)
+    _, y_after = eng.process_file_array(x, fs)
+    # Muting branch 1's waveshaper output must change the file render.
+    assert float(np.abs(y_after[2048:]).max()) < float(
+        np.abs(y_before[2048:]).max())
+    eng.close()
