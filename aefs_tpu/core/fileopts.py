@@ -45,11 +45,22 @@ def file_static_overrides(effects_config):
                 "file_semitones": float(params.get("semitones", -12.0)),
             }
         elif etype == "reverb":
-            # Lets the model validate the comb topology against the
-            # whole-file chunk solver's C <= L < 2C constraint at BUILD
-            # time (actionable error) instead of dying at trace time deep
-            # inside ops/ringbuf.comb_bank_file_chunks.
-            overrides[eid] = {"file_mode": True}
+            # file_mode lets the model validate the comb topology against
+            # the whole-file chunk solver's C <= L < 2C constraint at
+            # BUILD time (actionable error) instead of dying at trace
+            # time deep inside ops/ringbuf.comb_bank_file_chunks.
+            # file_damp bakes the damping coefficient so the Pallas comb
+            # kernel can truncate the damping recursion to an exact FIR
+            # (h^J < 2^-40) — clamped through the model's ParamSpec like
+            # the delay's lags so the baked value equals the f32 runtime
+            # target bit-for-bit.
+            from aefs_tpu.models.reverb import Reverb
+
+            overrides[eid] = {
+                "file_mode": True,
+                "file_damp": Reverb.PARAMS["damp"].clamp(
+                    float(params.get("damp", 0.5))),
+            }
         elif etype in ("parallel", "multiband"):
             # multiband expands to a parallel container with the SAME
             # effect_id (core/multiband.py), so the flag lands on it.

@@ -54,9 +54,16 @@ class Reverb(EffectModel):
         max_delay_ms=200.0,
         max_pre_delay_ms=100.0,
         file_mode=False,
+        file_damp=None,
         **config,
     ):
         super().__init__(fs, blocksize, channels)
+        # Baked damping coefficient for the whole-file comb solve (None
+        # in streaming mode): enables the kernel's truncated-FIR damping
+        # when h is small (ops/pallas/comb.py).  The value is the
+        # ParamSpec-clamped config damp, so it equals the f32 runtime
+        # target the blockwise path glides at.
+        self.file_damp = None if file_damp is None else float(file_damp)
         self.ap_gain = float(allpass_gain)
         self.pre_size = max(1, int(fs * float(max_pre_delay_ms) / 1000.0) + 1)
 
@@ -210,7 +217,8 @@ class Reverb(EffectModel):
         # tail — the only two things this path reads — so the kernel
         # never writes the full per-comb y/damped tensors to HBM.
         y_msc, d3, c = comb_bank_file_sums(
-            pre_out, all_lags, g_all, damp, side_of, 2
+            pre_out, all_lags, g_all, damp, side_of, 2,
+            h_static=self.file_damp,
         )
 
         n = x.shape[-1]

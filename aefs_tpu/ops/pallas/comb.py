@@ -23,12 +23,38 @@ chunks, carried in persistent VMEM scratch.
 from __future__ import annotations
 
 import functools
+import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Tap budget for the static-h truncated-FIR damping: h <= 2^(-40/32)
+# ~= 0.42 qualifies; larger h keeps the Hillis scan (the FIR's
+# throughput cost grows with taps while the scan's latency is flat).
+_FIR_TAP_BUDGET = 32
+
+
+def fir_damp_weights(h_static: float, budget: int = _FIR_TAP_BUDGET):
+    """Truncated-FIR damping weights for a STATIC damping coefficient:
+    damped[n] = sum_t w_t y[n-t] with w_t = (1-h) h^t, truncated at the
+    first J with h^(J+1) <= 2^-40 — the dropped tail is < 2^-40 *
+    max|damped|, two decades below the f32 ulp of the result, so the FIR
+    is numerically EXACT relative to the recursion in f32.  Returns None
+    when h needs more than ``budget`` taps (the caller keeps the
+    latency-bound Hillis scan, PERF.md round 4)."""
+    h = float(np.float32(h_static))
+    if not (0.0 <= h < 1.0):
+        return None
+    if h == 0.0:
+        return (np.float32(1.0),)
+    j = int(math.ceil(-40.0 / math.log2(h)))
+    if j + 1 > budget:
+        return None
+    return tuple(np.float32((1.0 - h) * h**t) for t in range(j + 1))
 
 
 def _make_kernel(lags, side_of, c):
@@ -114,14 +140,16 @@ def _make_kernel(lags, side_of, c):
     return kernel
 
 
-def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
+def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j,
+                      fir_w=None):
     b = len(lags)
     s = max(side_of) + 1
 
     def kernel(h_ref, g_ref, x_ref, ysum_ref, dtail_ref,
-               prev2, prev1, dlast, px2, px1, ext_ref, xs_ref):
+               prev2, prev1, dlast, px2, px1, ext_ref, xs_ref, *fir_scr):
         i = pl.program_id(0)
         h = h_ref[0, 0]
+        yext = fir_scr[0] if fir_w is not None else None
 
         @pl.when(i == 0)
         def _init():
@@ -131,6 +159,8 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
             px2[...] = jnp.zeros((s, c), jnp.float32)
             px1[...] = jnp.zeros((s, c), jnp.float32)
             dtail_ref[...] = jnp.zeros((3, b, c), jnp.float32)
+            if yext is not None:
+                yext[...] = jnp.zeros((b, (k_chunks + 1) * c), jnp.float32)
 
         g = g_ref[0, :]  # (B,)
         xks = x_ref[...]  # (S, K*C) raw source chunks
@@ -212,15 +242,38 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
             # per-level op count; level count is pinned at ceil(log2 c)
             # and c at the comb-lag geometry, so this is the kernel's
             # floor, not an op-selection artifact.  See PERF.md.)
-            acc = (1.0 - h) * y + jnp.where(lane == 0, h * cdl, 0.0)
-            hs = h
-            step = 1
-            while step < c:
-                rolled = pltpu.roll(acc, step, 1)
-                acc = acc + jnp.where(lane >= step, hs * rolled, 0.0)
-                hs = hs * hs
-                step *= 2
-            damped = acc
+            if fir_w is not None:
+                # Static-h truncated-FIR damping (fir_damp_weights): the
+                # recursion's impulse response decays below 2^-40 within
+                # len(fir_w) taps, so damped is an exact short FIR over
+                # the carried y window — len(fir_w) independent
+                # slice-mul-adds (throughput, tree-reduced) instead of
+                # ~11 strictly sequential scan levels (latency).  The
+                # traced h is IGNORED on this path: the file-mode
+                # contract bakes damp at the f32 runtime target
+                # (core/fileopts.py), exactly like the delay's file lag.
+                base = (j + 1) * c
+                yext[:, base : base + c] = y
+                terms = [
+                    fir_w[t] * yext[:, base - t : base + c - t]
+                    for t in range(len(fir_w))
+                ]
+                while len(terms) > 1:
+                    terms = [
+                        terms[t] + terms[t + 1]
+                        for t in range(0, len(terms) - 1, 2)
+                    ] + ([terms[-1]] if len(terms) % 2 else [])
+                damped = terms[0]
+            else:
+                acc = (1.0 - h) * y + jnp.where(lane == 0, h * cdl, 0.0)
+                hs = h
+                step = 1
+                while step < c:
+                    rolled = pltpu.roll(acc, step, 1)
+                    acc = acc + jnp.where(lane >= step, hs * rolled, 0.0)
+                    hs = hs * hs
+                    step *= 2
+                damped = acc
 
             # Only the damped tail survives the file pass (final ring
             # state reads < 2 chunks): flush the last three true chunks
@@ -234,7 +287,8 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
                     dtail_ref[2] = d0
 
             cp2, cp1 = cp1, damped
-            cdl = damped[:, c - 1 : c]
+            if fir_w is None:
+                cdl = damped[:, c - 1 : c]
 
         # Side-major stack: the reverb consumes each side's sum as ONE
         # contiguous (N,) signal, so (n_sides, M, C) makes its flatten a
@@ -242,6 +296,9 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
         # the 18.6 s flagship pass at reverb.py:219).
         ysum_ref[...] = jnp.stack(outs, axis=1)  # (S_out, K, C)
         prev2[...], prev1[...], dlast[...] = cp2, cp1, cdl
+        if fir_w is not None:
+            # Carry the step's last y chunk for next step's FIR reach-back.
+            yext[:, 0:c] = yext[:, k_chunks * c : (k_chunks + 1) * c]
         # Raw-signal carry for the next grid step: the last two chunks of
         # this step's extended window (aligned static slices).
         px2[...] = ext_ref[:, k_chunks * c : (k_chunks + 1) * c]
@@ -253,11 +310,12 @@ def _make_sums_kernel(lags, side_of, c, n_sides, k_chunks, last_step, last_j):
 @functools.partial(
     jax.jit,
     static_argnames=("lags", "side_of", "c", "n_sides", "k_chunks",
-                     "interpret"),
+                     "h_static", "interpret"),
 )
 def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
                                side_of: tuple, n_sides: int,
                                k_chunks: int = 32,
+                               h_static: float | None = None,
                                interpret: bool = False):
     """Fused-output variant of ``comb_bank_file_pallas``: returns
     (ysum, d_tail) where ysum: (n_sides, M, C) is the per-side comb-bank
@@ -293,8 +351,24 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
         (3, b, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
 
+    fir_w = None if h_static is None else fir_damp_weights(h_static)
+    scratch = [
+        pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-2
+        pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-1
+        pltpu.VMEM((b, 1), jnp.float32),   # damped[-1] carry
+        pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-2
+        pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-1
+        pltpu.VMEM((s, (k + 2) * c), jnp.float32),  # extended window
+        pltpu.VMEM((b, k * c), jnp.float32),        # per-comb input taps
+    ]
+    if fir_w is not None:
+        # Carried y window for the truncated-FIR damping: [prev step's
+        # last chunk | this step's K chunks].
+        scratch.append(pltpu.VMEM((b, (k + 1) * c), jnp.float32))
+
     ysum, d_tail = pl.pallas_call(
-        _make_sums_kernel(lags, side_of, c, n_sides, k, last_step, last_j),
+        _make_sums_kernel(lags, side_of, c, n_sides, k, last_step, last_j,
+                          fir_w=fir_w),
         out_shape=(
             jax.ShapeDtypeStruct((n_sides, m2, c), jnp.float32),
             jax.ShapeDtypeStruct((3, b, c), jnp.float32),
@@ -302,15 +376,7 @@ def comb_bank_file_pallas_sums(x, g, h, lags: tuple, c: int,
         grid=(steps,),
         in_specs=[spec_scalar, spec_g, spec_x],
         out_specs=(spec_ysum, spec_dtail),
-        scratch_shapes=[
-            pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-2
-            pltpu.VMEM((b, c), jnp.float32),   # damped chunk m-1
-            pltpu.VMEM((b, 1), jnp.float32),   # damped[-1] carry
-            pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-2
-            pltpu.VMEM((s, c), jnp.float32),   # raw x chunk m-1
-            pltpu.VMEM((s, (k + 2) * c), jnp.float32),  # extended window
-            pltpu.VMEM((b, k * c), jnp.float32),        # per-comb input taps
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(h_arr, g_arr, x)
     return ysum[:, :m], d_tail

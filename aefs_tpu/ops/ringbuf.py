@@ -504,7 +504,7 @@ def comb_bank_file_chunks(x, lags, g, h, chunk=None, use_pallas=None,
 
 
 def comb_bank_file_sums(x, lags, g, h, side_of, n_sides: int,
-                        use_pallas=None):
+                        use_pallas=None, h_static=None):
     """``comb_bank_file_chunks`` reduced to what the reverb file path
     actually consumes: (ysum, d_tail, c) with ysum: (n_sides, M, C) the
     per-side comb-bank sums and d_tail: (3, B, C) the damped chunks for
@@ -533,6 +533,7 @@ def comb_bank_file_sums(x, lags, g, h, side_of, n_sides: int,
         return comb_bank_file_pallas_sums(
             jnp.pad(x, ((0, 0), (0, n_pad - n))), g, jnp.float32(h),
             tuple(int(l) for l in lags), c, side_of, n_sides,
+            h_static=None if h_static is None else float(h_static),
             interpret=use_pallas == "interpret",
         ) + (c,)
 

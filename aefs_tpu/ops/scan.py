@@ -277,6 +277,11 @@ def lag_affine_scan(base, a, lag: int, row_chunk: int = 128):
     chunks = jnp.pad(padded, ((0, mp * c - m), (0, 0))).reshape(mp, c, lag)
     h = jnp.power(a, jnp.arange(c + 1, dtype=dt))  # a^j, j = 0..C
     t_a = toeplitz_lower(h, c)
+    # Precision stays HIGHEST (6-pass f32): a round-4 device A/B at the
+    # flagship's three lag geometries measured HIGH (3-pass) saving only
+    # ~5 us per call (the einsum is bandwidth-bound, not FLOP-bound)
+    # while degrading HIGHEST-relative agreement to ~-98 dB — most of
+    # the margin against the -80 dBFS parity bar for nothing.
     y_loc = jnp.einsum(
         "ji,kil->kjl", t_a, chunks, precision=lax.Precision.HIGHEST
     )

@@ -126,3 +126,42 @@ def test_pallas_comb_sums_short_signal():
         assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
         assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-4
 
+
+def test_pallas_comb_sums_fir_damping():
+    """Static-h truncated-FIR damping (h_static baked, h^J < 2^-40) vs the
+    XLA fallback's exact recursion: numerically identical within f32
+    rounding at small h, including multi-grid-step reach-back and the
+    damped tail."""
+    from aefs_tpu.ops.ringbuf import comb_bank_file_sums
+    from aefs_tpu.ops.pallas.comb import fir_damp_weights
+
+    rng = np.random.default_rng(5)
+    lags = (1425, 1780, 1972, 2097, 1411, 1766, 1958, 2083)
+    side_of = (0, 0, 0, 0, 1, 1, 1, 1)
+    n = 150000  # several k_chunks=32 grid steps at c = 1408
+    x2 = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+    g = jnp.asarray(np.linspace(0.5, 0.9, 8), jnp.float32)
+
+    for hval in (0.0, 0.05, 0.2, 0.40):
+        assert fir_damp_weights(hval) is not None, hval
+        h = jnp.float32(hval)
+        y_ref, d_ref, _ = comb_bank_file_sums(
+            x2, lags, g, h, side_of, 2, use_pallas=False
+        )
+        y_p, d_p, _ = comb_bank_file_sums(
+            x2, lags, g, h, side_of, 2, use_pallas="interpret",
+            h_static=hval,
+        )
+        assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5, hval
+        assert float(jnp.max(jnp.abs(d_p - d_ref))) < 1e-4, hval
+
+    # Large h exceeds the tap budget -> scan fallback (still correct).
+    assert fir_damp_weights(0.6) is None
+    y_ref, d_ref, _ = comb_bank_file_sums(
+        x2, lags, g, jnp.float32(0.6), side_of, 2, use_pallas=False
+    )
+    y_p, d_p, _ = comb_bank_file_sums(
+        x2, lags, g, jnp.float32(0.6), side_of, 2, use_pallas="interpret",
+        h_static=0.6,
+    )
+    assert float(jnp.max(jnp.abs(y_p - y_ref))) < 1e-5
