@@ -29,6 +29,7 @@ scalar state across blocks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
@@ -86,6 +87,10 @@ class Compressor(EffectModel):
         t = jnp.clip(o + 0.5 * w, 0.0, w)
         g_db = slope * (t * t / (2.0 * w) + jnp.maximum(o - 0.5 * w, 0.0))
         gain = jnp.power(10.0, (g_db + p["makeup_db"]) / 20.0)
+        if long:
+            # Materialize before the stereo broadcast (see gate.py) so XLA
+            # does not duplicate the gain-computer chain per channel.
+            gain = jax.lax.optimization_barrier(gain)
 
         return (
             {"peak": peak[-1], "env": env[-1]},

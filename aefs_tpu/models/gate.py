@@ -15,6 +15,7 @@ sequential loop.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
@@ -53,7 +54,14 @@ class NoiseGate(EffectModel):
         # Mic blocks: hand-rolled Hillis over lanes (affine_hillis) — the
         # associative_scan Blelloch lowering's strided lane slices cost a
         # layout pass each, ~2.5x of this op on the batched serving step.
-        scan = affine_scan_long if x.shape[-1] >= 4096 else affine_hillis
+        long = x.shape[-1] >= 4096
+        scan = affine_scan_long if long else affine_hillis
         gain = scan(mult, add, state["gain"])
 
+        if long:
+            # Materialize the gain curve before the stereo broadcast: XLA
+            # otherwise duplicates the producer chain into each consumer
+            # fusion of y (profiled on the flagship file pass; the barrier
+            # trades one (N,) write for recomputing the scan tail twice).
+            gain = jax.lax.optimization_barrier(gain)
         return {"gain": gain[-1]}, x * gain[None, :]

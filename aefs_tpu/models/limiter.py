@@ -32,6 +32,7 @@ Parity: float64 per-sample oracle (tests/oracles.py:OracleLimiter)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from aefs_tpu.core.params import ParamSpec
@@ -89,6 +90,10 @@ class Limiter(EffectModel):
 
         vext = jnp.concatenate([state["vh"], v])  # (D + N,)
         g = window_sum_trailing(vext[None, :], w, n)[0] * (1.0 / w)
+        if n >= 4096:
+            # Materialize before the stereo broadcast (see gate.py) so XLA
+            # does not duplicate the window-sum chain per channel.
+            g = jax.lax.optimization_barrier(g)
 
         delayed = ext[:, :n] if self.delay else xd  # x delayed by D
         y = g[None, :] * delayed

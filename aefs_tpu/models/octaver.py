@@ -13,6 +13,7 @@ eps^2 level instead of a per-block eps random walk.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -373,6 +374,10 @@ class Octaver(EffectModel):
         g1 = 0.5 * (1.0 - jnp.cos(two_pi * p1))  # Hann crossfade (octaver.py:66-67)
         g2 = 0.5 * (1.0 - jnp.cos(two_pi * p2))
         wet = s1 * g1 + s2 * g2
+        if n >= 4096:
+            # Materialize before the stereo broadcast (see process_file) so
+            # XLA does not duplicate the gain evals per channel.
+            wet = jax.lax.optimization_barrier(wet)
 
         new_state = {
             "hist": ring_push(hist, mono),
@@ -431,7 +436,11 @@ class Octaver(EffectModel):
         k_tiles = -(-n // per)
         g1 = jnp.tile(g1p, k_tiles)[:n]  # octaver.py:66-67
         g2 = jnp.tile(g2p, k_tiles)[:n]
-        wet = s1 * g1 + s2 * g2
+        # Materialize wet before the stereo broadcast: without the barrier
+        # XLA duplicates the whole tap+gain producer chain into each
+        # consumer fusion of y (profiled as two ~0.08 ms fusions at the
+        # blend line); one (N,) write is ~6x cheaper.
+        wet = jax.lax.optimization_barrier(s1 * g1 + s2 * g2)
 
         # Exact phase advance: p(n) = mod(n * (1 - 2^e) / size, 1) — an
         # exact rational, carried into the generic state as a host-computed
