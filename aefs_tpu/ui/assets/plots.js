@@ -38,13 +38,60 @@ function drawSeries(ctx, w, h, data, color, yMin, yMax, decimate) {
   ctx.stroke();
 }
 
+/* Legend chips + PNG export, drawn into the canvas top-right corner.
+ * Click a series chip to toggle its visibility (reference analogue:
+ * Plotly legend toggling, 02_custom.js:165-280); the ⤓ chip downloads
+ * the current canvas as a PNG (Plotly's toImage toolbar button). */
+function drawLegend(ctx, w, canvas, entries) {
+  ctx.font = "10px sans-serif";
+  const rects = [];
+  let x = w - 6;
+  for (let i = entries.length - 1; i >= 0; i--) {
+    const en = entries[i];
+    const tw = ctx.measureText(en.label).width + (en.color ? 14 : 8);
+    x -= tw + 6;
+    const r = { x, y: 4, w: tw, h: 14, key: en.key };
+    ctx.fillStyle = "rgba(18,21,26,0.75)";
+    ctx.fillRect(r.x, r.y, r.w, r.h);
+    if (en.color) {
+      ctx.fillStyle = en.on ? en.color : Palette.grid;
+      ctx.fillRect(r.x + 4, r.y + 5, 6, 4);
+      ctx.fillStyle = en.on ? "#e0e6ee" : Palette.text;
+      ctx.fillText(en.label, r.x + 12, r.y + 11);
+    } else {
+      ctx.fillStyle = Palette.text;
+      ctx.fillText(en.label, r.x + 4, r.y + 11);
+    }
+    rects.push(r);
+  }
+  canvas._legendRects = rects;
+}
+
+function legendHit(canvas, px, py) {
+  const rects = canvas._legendRects || [];
+  for (const r of rects) {
+    if (px >= r.x && px <= r.x + r.w && py >= r.y && py <= r.y + r.h) return r.key;
+  }
+  return null;
+}
+
+function exportCanvasPNG(canvas, name) {
+  const a = document.createElement("a");
+  a.href = canvas.toDataURL("image/png");
+  a.download = name + ".png";
+  a.click();
+}
+
 /* Shared pan/zoom/hover plumbing: each interactive plot owns a view
- * window [lo, hi] (a fraction of its x-axis) plus a hover cursor, and
- * re-renders on wheel-zoom around the cursor, drag-pan, mouse move and
+ * window [lo, hi] (a fraction of its x-axis) plus a y value range
+ * [yLo, yHi] and a hover cursor, and re-renders on wheel-zoom around
+ * the cursor, drag-pan, shift-drag box zoom (x AND y range, like
+ * Plotly's default dragmode), legend clicks, mouse move and
  * double-click reset (reference analogue: Plotly's zoom/pan/hover on
  * all three plots, 02_custom.js:165-280). */
-function attachPanZoom(canvas, view, render, setHover) {
-  let dragging = false, dragX = 0, dragLo = 0, dragHi = 1;
+function attachPanZoom(canvas, view, render, setHover, vis, exportName) {
+  let dragging = false, boxing = false, dragX = 0, dragY = 0, dragLo = 0, dragHi = 1;
+  let moved = false;
   canvas.addEventListener("wheel", (e) => {
     e.preventDefault();
     const w = canvas.clientWidth || 1;
@@ -57,12 +104,37 @@ function attachPanZoom(canvas, view, render, setHover) {
     render();
   }, { passive: false });
   canvas.addEventListener("mousedown", (e) => {
-    dragging = true; dragX = e.offsetX;
-    dragLo = view.lo; dragHi = view.hi;
+    dragX = e.offsetX; dragY = e.offsetY; moved = false;
+    if (e.shiftKey) { boxing = true; view._box = { x0: dragX, y0: dragY, x1: dragX, y1: dragY }; }
+    else { dragging = true; dragLo = view.lo; dragHi = view.hi; }
   });
-  window.addEventListener("mouseup", () => { dragging = false; });
+  window.addEventListener("mouseup", (e) => {
+    if (boxing) {
+      boxing = false;
+      const b = view._box; view._box = null;
+      if (b && Math.abs(b.x1 - b.x0) > 8) {
+        const w = canvas.clientWidth || 1, h = canvas.clientHeight || 1;
+        const span = view.hi - view.lo;
+        const f0 = Math.max(0, Math.min(b.x0, b.x1) / w);
+        const f1 = Math.min(1, Math.max(b.x0, b.x1) / w);
+        const nlo = view.lo + f0 * span, nhi = view.lo + f1 * span;
+        view.lo = nlo; view.hi = Math.max(nhi, nlo + 0.001);
+        if (Math.abs(b.y1 - b.y0) > 8 && view.yLo != null) {
+          const ySpan = view.yHi - view.yLo;
+          const top = Math.min(b.y0, b.y1) / h, bot = Math.max(b.y0, b.y1) / h;
+          const nyHi = view.yHi - top * ySpan, nyLo = view.yHi - bot * ySpan;
+          view.yLo = nyLo; view.yHi = Math.max(nyHi, nyLo + 1e-6);
+        }
+      }
+      render();
+    }
+    dragging = false;
+  });
   canvas.addEventListener("mousemove", (e) => {
-    if (dragging) {
+    if (boxing && view._box) {
+      view._box.x1 = e.offsetX; view._box.y1 = e.offsetY; moved = true;
+    } else if (dragging) {
+      moved = moved || Math.abs(e.offsetX - dragX) > 3;
       const w = canvas.clientWidth || 1;
       const span = dragHi - dragLo;
       const d = ((dragX - e.offsetX) / w) * span;
@@ -72,10 +144,30 @@ function attachPanZoom(canvas, view, render, setHover) {
     setHover(e.offsetX);
     render();
   });
+  canvas.addEventListener("click", (e) => {
+    if (moved) return;  // end of a pan, not a click
+    const key = legendHit(canvas, e.offsetX, e.offsetY);
+    if (key === "__export__") exportCanvasPNG(canvas, exportName || "plot");
+    else if (key && vis) { vis[key] = !vis[key]; render(); }
+  });
   canvas.addEventListener("mouseleave", () => { setHover(null); render(); });
   canvas.addEventListener("dblclick", () => {
-    view.lo = 0; view.hi = 1; render();
+    view.lo = 0; view.hi = 1;
+    if (view.yLo != null) { view.yLo = view.yDefLo; view.yHi = view.yDefHi; }
+    render();
   });
+}
+
+function drawBoxOverlay(ctx, view) {
+  const b = view._box;
+  if (!b) return;
+  ctx.fillStyle = "rgba(122,162,247,0.12)";
+  ctx.strokeStyle = Palette.input;
+  ctx.lineWidth = 1;
+  const x = Math.min(b.x0, b.x1), y = Math.min(b.y0, b.y1);
+  const w = Math.abs(b.x1 - b.x0), h = Math.abs(b.y1 - b.y0);
+  ctx.fillRect(x, y, w, h);
+  ctx.strokeRect(x, y, w, h);
 }
 
 function drawHoverTip(ctx, w, x, txt) {
@@ -96,7 +188,8 @@ function drawHoverTip(ctx, w, x, txt) {
 /* Interactive time plot: same view mechanics over the sample axis;
  * the hover readout converts to milliseconds via the page's sampleRate
  * when it is known. */
-const TimeView = { lo: 0, hi: 1 };
+const TimeView = { lo: 0, hi: 1, yLo: -1, yHi: 1, yDefLo: -1, yDefHi: 1 };
+const TimeVis = { input: true, output: true };
 let timeState = null;   // {canvas, input, output}
 let timeHover = null;
 
@@ -115,8 +208,10 @@ function renderTime() {
   const i0 = Math.max(0, Math.floor(TimeView.lo * (n - 1)));
   const i1 = Math.min(n - 1, Math.max(i0 + 1, Math.ceil(TimeView.hi * (n - 1))));
   const slice = (d) => (d ? Array.prototype.slice.call(d, i0, i1 + 1) : null);
-  drawSeries(ctx, w, h, slice(input), Palette.input, -1, 1, 1600);
-  drawSeries(ctx, w, h, slice(output), Palette.output, -1, 1, 1600);
+  if (TimeVis.input)
+    drawSeries(ctx, w, h, slice(input), Palette.input, TimeView.yLo, TimeView.yHi, 1600);
+  if (TimeVis.output)
+    drawSeries(ctx, w, h, slice(output), Palette.output, TimeView.yLo, TimeView.yHi, 1600);
 
   if (timeHover != null) {
     const frac = Math.max(0, Math.min(1, timeHover / w));
@@ -124,14 +219,21 @@ function renderTime() {
     const x = ((idx - i0) / Math.max(1, i1 - i0)) * w;
     const fs = (typeof sampleRate !== "undefined" && sampleRate) || 0;
     const at = fs ? `${(idx / fs * 1000).toFixed(1)} ms` : `n ${idx}`;
-    const iv = input && input[idx] != null ? input[idx].toFixed(3) : "—";
-    const ov = output && output[idx] != null ? output[idx].toFixed(3) : "—";
+    const iv = TimeVis.input && input && input[idx] != null ? input[idx].toFixed(3) : "—";
+    const ov = TimeVis.output && output && output[idx] != null ? output[idx].toFixed(3) : "—";
     drawHoverTip(ctx, w, x, `${at}   in ${iv}   out ${ov}`);
   }
+  drawLegend(ctx, w, canvas, [
+    { label: "in", color: Palette.input, on: TimeVis.input, key: "input" },
+    { label: "out", color: Palette.output, on: TimeVis.output, key: "output" },
+    { label: "⤓", key: "__export__" },
+  ]);
+  drawBoxOverlay(ctx, TimeView);
 }
 
 function attachTimeInteractions(canvas) {
-  attachPanZoom(canvas, TimeView, renderTime, (v) => { timeHover = v; });
+  attachPanZoom(canvas, TimeView, renderTime, (v) => { timeHover = v; },
+                TimeVis, "waveform");
 }
 
 /* Interactive spectrum: wheel-zoom around the cursor, drag-pan,
@@ -140,7 +242,8 @@ function attachTimeInteractions(canvas) {
  * server with their frequency axis (utils/analysis.py plot_freqs), so
  * both live and file-scrub modes share the same interactions
  * (reference analogue: Plotly zoom/pan/hover, 02_custom.js:178-250). */
-const SpecView = { lo: 0, hi: 1 };
+const SpecView = { lo: 0, hi: 1, yLo: -100, yHi: 0, yDefLo: -100, yDefHi: 0 };
+const SpecVis = { input: true, output: true };
 let specState = null;   // {canvas, inDb, outDb, freqs}
 let specHover = null;   // cursor x in CSS px, or null
 
@@ -182,8 +285,10 @@ function renderSpectrum() {
   const i0 = Math.max(0, Math.floor(SpecView.lo * (n - 1)));
   const i1 = Math.min(n - 1, Math.max(i0 + 1, Math.ceil(SpecView.hi * (n - 1))));
   const slice = (d) => Array.prototype.slice.call(d, i0, i1 + 1);
-  drawSeries(ctx, w, h, slice(inDb), Palette.input, -100, 0);
-  if (outDb) drawSeries(ctx, w, h, slice(outDb), Palette.output, -100, 0);
+  if (SpecVis.input)
+    drawSeries(ctx, w, h, slice(inDb), Palette.input, SpecView.yLo, SpecView.yHi);
+  if (outDb && SpecVis.output)
+    drawSeries(ctx, w, h, slice(outDb), Palette.output, SpecView.yLo, SpecView.yHi);
   ctx.fillStyle = Palette.text; ctx.font = "10px sans-serif";
   const fLo = freqs ? freqs[i0] : null, fHi = freqs ? freqs[i1] : null;
   ctx.fillText(fLo != null ? fmtHz(fLo) : "20 Hz", 4, h - 4);
@@ -195,20 +300,28 @@ function renderSpectrum() {
     const idx = i0 + Math.round(frac * (i1 - i0));
     const x = ((idx - i0) / (i1 - i0)) * w;
     const fv = freqs ? fmtHz(freqs[idx]) : `bin ${idx}`;
-    const iv = inDb[idx] != null ? inDb[idx].toFixed(1) : "—";
-    const ov = outDb && outDb[idx] != null ? outDb[idx].toFixed(1) : "—";
+    const iv = SpecVis.input && inDb[idx] != null ? inDb[idx].toFixed(1) : "—";
+    const ov = SpecVis.output && outDb && outDb[idx] != null ? outDb[idx].toFixed(1) : "—";
     drawHoverTip(ctx, w, x, `${fv}   in ${iv} dB   out ${ov} dB`);
   }
+  drawLegend(ctx, w, canvas, [
+    { label: "in", color: Palette.input, on: SpecVis.input, key: "input" },
+    { label: "out", color: Palette.output, on: SpecVis.output, key: "output" },
+    { label: "⤓", key: "__export__" },
+  ]);
+  drawBoxOverlay(ctx, SpecView);
 }
 
 function attachSpectrumInteractions(canvas) {
-  attachPanZoom(canvas, SpecView, renderSpectrum, (v) => { specHover = v; });
+  attachPanZoom(canvas, SpecView, renderSpectrum, (v) => { specHover = v; },
+                SpecVis, "spectrum");
 }
 
 const NOTE_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"];
 
 /* Chroma hover: highlight the pitch class under the cursor and show its
  * in/out energies (12 bars — no zoom needed, hover readout only). */
+const ChromaVis = { input: true, output: true };
 let chromaState = null;  // {canvas, inChroma, outChroma}
 let chromaHover = null;
 
@@ -230,10 +343,14 @@ function renderChroma() {
       ctx.fillStyle = "rgba(255,255,255,0.06)";
       ctx.fillRect(i * bw, 0, bw, h);
     }
-    ctx.fillStyle = Palette.input;
-    ctx.fillRect(i * bw + 2, h - 14 - vi * (h - 18), bw / 2 - 3, vi * (h - 18));
-    ctx.fillStyle = Palette.output;
-    ctx.fillRect(i * bw + bw / 2, h - 14 - vo * (h - 18), bw / 2 - 3, vo * (h - 18));
+    if (ChromaVis.input) {
+      ctx.fillStyle = Palette.input;
+      ctx.fillRect(i * bw + 2, h - 14 - vi * (h - 18), bw / 2 - 3, vi * (h - 18));
+    }
+    if (ChromaVis.output) {
+      ctx.fillStyle = Palette.output;
+      ctx.fillRect(i * bw + bw / 2, h - 14 - vo * (h - 18), bw / 2 - 3, vo * (h - 18));
+    }
     ctx.fillStyle = Palette.text; ctx.font = "10px sans-serif";
     ctx.fillText(NOTE_NAMES[i], i * bw + bw / 2 - 6, h - 3);
   }
@@ -242,9 +359,19 @@ function renderChroma() {
     drawHoverTip(ctx, w, hi * bw + bw / 2,
                  `${NOTE_NAMES[hi]}   in ${vi.toFixed(2)}   out ${vo.toFixed(2)}`);
   }
+  drawLegend(ctx, w, canvas, [
+    { label: "in", color: Palette.input, on: ChromaVis.input, key: "input" },
+    { label: "out", color: Palette.output, on: ChromaVis.output, key: "output" },
+    { label: "⤓", key: "__export__" },
+  ]);
 }
 
 function attachChromaInteractions(canvas) {
   canvas.addEventListener("mousemove", (e) => { chromaHover = e.offsetX; renderChroma(); });
   canvas.addEventListener("mouseleave", () => { chromaHover = null; renderChroma(); });
+  canvas.addEventListener("click", (e) => {
+    const key = legendHit(canvas, e.offsetX, e.offsetY);
+    if (key === "__export__") exportCanvasPNG(canvas, "chroma");
+    else if (key) { ChromaVis[key] = !ChromaVis[key]; renderChroma(); }
+  });
 }

@@ -427,8 +427,17 @@ def test_spa_serves_session_and_interaction_surfaces():
     assert 'id="reprocess-file"' in html and 'id="download-processed"' in html
     assert 'id="smooth-spectrum"' in html and "reprocess_file" in appjs
     assert "smoothSeries" in plotsjs
-    for evt in ("wheel", "mousedown", "mousemove", "dblclick"):
+    for evt in ("wheel", "mousedown", "mousemove", "dblclick", "click"):
         assert f'"{evt}"' in plotsjs, evt
+    # round-4: the rest of the Plotly interaction surface (VERDICT r03
+    # delta #1) — legend series toggling, shift-drag box zoom with a
+    # y-axis range, and per-plot PNG export (Plotly toImage analogue).
+    for fn in ("drawLegend", "legendHit", "exportCanvasPNG", "drawBoxOverlay"):
+        assert fn in plotsjs, fn
+    assert "shiftKey" in plotsjs and "toDataURL" in plotsjs
+    for vis in ("TimeVis", "SpecVis", "ChromaVis"):
+        assert vis in plotsjs, vis
+    assert "yDefLo" in plotsjs  # double-click resets the y range too
     # round-3: live file streaming (wishlist todo:4 preferred design)
     assert 'id="stream-file"' in html and 'id="stop-file-stream"' in html
     assert "stream_file" in appjs and "onStreamAudio" in appjs
