@@ -132,22 +132,29 @@ class ConvReverb(EffectModel):
         # zero-history-extended input (windows before the signal start read
         # zeros, matching the blockwise path's initial spec_hist rows).
         pparts = self.partitions
-        xt = jnp.concatenate(
-            [jnp.zeros((x.shape[0], pparts * hop), x.dtype), x], axis=1
-        )
-        e = xt.shape[-1]
-        frames = jnp.stack(
-            [
-                xt[:, e - (pparts - i) * hop : e - (pparts - i - 2) * hop
-                   if (pparts - i - 2) > 0 else None]
-                for i in range(pparts - 1)
-            ],
-            axis=1,
-        )  # (C, P-1, 2*hop), chronological (newest last)
-        fs_c = jnp.fft.rfft(frames, axis=-1)
-        spec_hist = jnp.stack(
-            [jnp.real(fs_c), jnp.imag(fs_c)], axis=1
-        ).astype(jnp.float32)  # (C, 2, P-1, hop+1)
+        if pparts > 1:
+            xt = jnp.concatenate(
+                [jnp.zeros((x.shape[0], pparts * hop), x.dtype), x], axis=1
+            )
+            e = xt.shape[-1]
+            frames = jnp.stack(
+                [
+                    xt[:, e - (pparts - i) * hop : e - (pparts - i - 2) * hop
+                       if (pparts - i - 2) > 0 else None]
+                    for i in range(pparts - 1)
+                ],
+                axis=1,
+            )  # (C, P-1, 2*hop), chronological (newest last)
+            fs_c = jnp.fft.rfft(frames, axis=-1)
+            spec_hist = jnp.stack(
+                [jnp.real(fs_c), jnp.imag(fs_c)], axis=1
+            ).astype(jnp.float32)  # (C, 2, P-1, hop+1)
+        else:
+            # IR fits in one hop (e.g. a short uploaded impulse): the
+            # frequency-domain delay line is empty, nothing to rebuild.
+            spec_hist = jnp.zeros(
+                (x.shape[0], 2, 0, hop + 1), jnp.float32
+            )
 
         y = jnp.clip(p["mix_dry"] * x + p["mix_wet"] * wet, -1.0, 1.0)
         return {"spec_hist": spec_hist, "in_tail": x[:, -hop:]}, y

@@ -34,6 +34,7 @@ session checkpoints alongside custom IRs (engine/checkpoint.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -124,6 +125,10 @@ class SpectralFilter(EffectModel):
         y_mono, ola_tail = overlap_add(frames_out, state["ola_tail"], hop)
 
         new_state = {"in_tail": in_tail, "ola_tail": ola_tail, "mask": mask[-1]}
+        if x.shape[-1] >= 4096:
+            # Materialize before the channel broadcast (see gate.py) so XLA
+            # does not duplicate the OLA glue per channel.
+            y_mono = jax.lax.optimization_barrier(y_mono)
         # Same cleaned mono signal on every output channel (spectral.py:92-96).
         y = jnp.broadcast_to(y_mono[None, :], x.shape)
         return new_state, y

@@ -96,8 +96,12 @@ def test_fast_matches_blockwise_five_effect_chain():
 
 
 @pytest.mark.parametrize("ir_seconds,n_blocks", [
-    (0.3, 12),   # IR shorter than the file: full spec_hist rebuild
-    (2.5, 12),   # IR longer than the file (P-1 > k): zero-history rows
+    (0.3, 12),    # IR shorter than the file: full spec_hist rebuild
+    (2.5, 12),    # IR longer than the file (P-1 > k): zero-history rows
+    (0.02, 12),   # IR shorter than ONE HOP (P == 1): empty spec_hist —
+                  # regression: the rebuild stacked an empty frame list
+                  # ("Need at least one array to stack", hit by short
+                  # uploaded IRs through the set_ir e2e flow)
 ])
 def test_convreverb_file_state_handoff(ir_seconds, n_blocks):
     """The whole-file conv path (convreverb.process_file) rebuilds the
