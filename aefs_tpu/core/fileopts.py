@@ -58,8 +58,13 @@ def file_static_overrides(effects_config):
 
             overrides[eid] = {
                 "file_mode": True,
+                # Default MUST come from the ParamSpec: a config that
+                # omits 'damp' glides/streams at the spec default, and a
+                # baked static that disagrees would damp file renders
+                # differently the moment the FIR budget covers it.
                 "file_damp": Reverb.PARAMS["damp"].clamp(
-                    float(params.get("damp", 0.5))),
+                    float(params.get("damp",
+                                     Reverb.PARAMS["damp"].default))),
             }
         elif etype in ("parallel", "multiband"):
             # multiband expands to a parallel container with the SAME

@@ -39,11 +39,10 @@ def ir_static_overrides(custom_irs: dict, chain_config, fs: int) -> dict:
         if eid not in ids:
             continue
         if ir_fs != fs:
+            from aefs_tpu.engine.wavio import resample_bandlimited
+
             n_out = max(8, int(round(ir.shape[1] * fs / ir_fs)))
-            t = np.linspace(0.0, ir.shape[1] - 1, n_out)
-            ir = np.stack(
-                [np.interp(t, np.arange(ir.shape[1]), ch) for ch in ir]
-            ).astype(np.float32)
+            ir = resample_bandlimited(ir, n_out)
         out[eid] = {"ir": ir}
     return out
 

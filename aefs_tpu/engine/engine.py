@@ -310,14 +310,13 @@ class AudioEngine:
                 # pinned to BLOCKSIZE at current_sample_rate): an off-rate
                 # WAV analyzed raw would map every per-bin threshold to the
                 # wrong frequency.  Resample like set_ir does for IRs.
+                from aefs_tpu.engine.wavio import resample_bandlimited
+
                 n_out = max(
                     8,
                     int(round(len(mono) * self.current_sample_rate / fs_wav)),
                 )
-                t = np.linspace(0.0, len(mono) - 1, n_out)
-                mono = np.interp(t, np.arange(len(mono)), mono).astype(
-                    np.float32
-                )
+                mono = resample_bandlimited(mono, n_out)
         else:
             need = max(1, int(round(float(seconds) * self.current_sample_rate
                                     / BLOCKSIZE)))
@@ -353,7 +352,6 @@ class AudioEngine:
         return 20.0 * float(np.log10(floor / (2 * BLOCKSIZE / 4)))
 
     def build_chain(self, effects_config):
-        self.last_chain_config = effects_config
         chain, state, targets_map = build_chain(
             effects_config,
             self.current_sample_rate,
@@ -369,6 +367,12 @@ class AudioEngine:
         with self._lock:
             old = self.chain
             self.chain = chain
+            # Swapped together with the chain so readers holding _lock
+            # always see a (chain, config) pair that belongs together —
+            # update_param's guarded config sync below depends on this
+            # (a failed build also leaves BOTH pointing at the old,
+            # still-running chain instead of a config that never built).
+            self.last_chain_config = effects_config
             self._runner = runner
             self.chain_state = sgroups  # packed groups (runner.unpack_state)
             self._targets_map = targets_map
@@ -393,17 +397,16 @@ class AudioEngine:
         with self._param_lock:
             self._update_param_locked(effect_id, param_name, value)
 
-    def _sync_config_param(self, effect_id, param_name, value):
-        """Write a validated live param into last_chain_config under the
-        state lock.  Parallel-branch params arrive here in their lifted
-        b<branch>_<index>_<name> form on the CONTAINER's effect_id
+    def _sync_config_param_held(self, effect_id, param_name, value):
+        """Write a validated live param into last_chain_config — caller
+        HOLDS self._lock.  Parallel-branch params arrive here in their
+        lifted b<branch>_<index>_<name> form on the CONTAINER's effect_id
         (models/parallel_chain.py:53-61), which initial_params re-merges
         on rebuild — so a top-level id match covers branches too."""
-        with self._lock:
-            for cfg in self.last_chain_config:
-                if cfg.get("effect_id") == effect_id:
-                    cfg.setdefault("params", {})[param_name] = value
-                    return
+        for cfg in self.last_chain_config:
+            if cfg.get("effect_id") == effect_id:
+                cfg.setdefault("params", {})[param_name] = value
+                return
 
     def _update_param_locked(self, effect_id, param_name, value):
         with self._lock:
@@ -420,13 +423,6 @@ class AudioEngine:
             )
             return
         targets_map.setdefault(effect_id, {})[param_name] = float(value)
-        # Keep the CONFIG in sync too: file mode builds a fresh chain from
-        # last_chain_config (targets AND baked statics like the delay's
-        # file lag), so a live update that only touched the streaming
-        # targets would silently revert when the user (re)processes a
-        # file — the reference's file path always sees current params
-        # (core.py:123-129 reads the live SmoothParams).
-        self._sync_config_param(effect_id, param_name, float(value))
         # Building + packing the targets creates device buffers (host->
         # device RPCs on remote backends) — do it OUTSIDE the lock the
         # audio callback takes every block, then swap atomically.  Pack
@@ -439,6 +435,23 @@ class AudioEngine:
             if self.chain is chain:
                 self._targets_map = targets_map
                 self._targets = tgroups
+                # Keep the CONFIG in sync too, under the SAME guard: file
+                # mode builds a fresh chain from last_chain_config
+                # (targets AND baked statics like the delay's file lag),
+                # so a live update that only touched the streaming targets
+                # would silently revert when the user (re)processes a file
+                # — the reference's file path always sees current params
+                # (core.py:123-129 reads the live SmoothParams).  Guarded:
+                # build_chain swaps (chain, last_chain_config) atomically,
+                # so an update racing a rebuild either lands on the chain
+                # it validated against or is dropped whole — never written
+                # into the NEW topology's config after losing the targets
+                # swap (a config⇄targets split), and never onto the
+                # orphaned old list (a lost update on the next file
+                # render).
+                self._sync_config_param_held(
+                    effect_id, param_name, float(value)
+                )
 
     # -- session checkpoint/resume (engine/checkpoint.py) ----------------
     def save_session(self, path: str) -> str:
@@ -511,6 +524,7 @@ class AudioEngine:
         with self._lock:
             old = self.chain
             self.chain = chain
+            self.last_chain_config = chain_config  # atomic with the chain
             self._runner = runner
             self.chain_state = sgroups
             self._targets_map = targets_map
@@ -518,7 +532,6 @@ class AudioEngine:
             self._pending = None
         if old is not None and old is not chain:
             old.release()  # same leak rationale as build_chain
-        self.last_chain_config = chain_config
         return chain_config
 
     # -- block streaming ------------------------------------------------

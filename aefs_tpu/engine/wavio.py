@@ -114,3 +114,27 @@ def read_wav_file(path: str):
 def write_wav_file(path: str, audio, fs: int):
     with open(path, "wb") as f:
         f.write(encode_wav_int16(audio, fs))
+
+
+def resample_bandlimited(x: np.ndarray, n_out: int) -> np.ndarray:
+    """Band-limited whole-clip resample along the last axis (rfft bin
+    truncation / zero-padding), for off-rate uploads whose content must
+    land in the RIGHT frequency bins — IR WAVs (engine.set_ir) and noise
+    profiles (engine.learn_noise).  Linear interpolation is wrong in the
+    downsample direction: with no anti-alias low-pass, above-Nyquist
+    energy folds into in-band bins, which is exactly the mis-mapping the
+    resample exists to prevent.  Truncating the spectrum IS the brickwall
+    low-pass; zero-padding is an exact band-limited upsample.  O(n log n)
+    on the host, run once per upload."""
+    x = np.asarray(x, np.float64)
+    n_in = x.shape[-1]
+    n_out = int(n_out)
+    if n_out == n_in:
+        return x.astype(np.float32)
+    spec = np.fft.rfft(x, axis=-1)
+    k_out = n_out // 2 + 1
+    out_spec = np.zeros(x.shape[:-1] + (k_out,), np.complex128)
+    k = min(spec.shape[-1], k_out)
+    out_spec[..., :k] = spec[..., :k]
+    y = np.fft.irfft(out_spec, n_out, axis=-1) * (n_out / n_in)
+    return y.astype(np.float32)

@@ -32,9 +32,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tap budget for the static-h truncated-FIR damping: h <= 2^(-40/32)
-# ~= 0.42 qualifies; larger h keeps the Hillis scan (the FIR's
-# throughput cost grows with taps while the scan's latency is flat).
+# Tap budget for the static-h truncated-FIR damping: taps = J+1 with
+# J = ceil(-40/log2 h), so the true cutoff is h <= 2^(-40/31) ~= 0.409
+# (NOT 2^(-40/32) ~= 0.42 — the +1 for the t=0 tap); larger h keeps the
+# Hillis scan (the FIR's throughput cost grows with taps while the
+# scan's latency is flat).
 _FIR_TAP_BUDGET = 32
 
 

@@ -162,17 +162,26 @@ class SessionPool:
             if (i, "grid_phase") in self._trows
         }
 
+        # Locals only below: the jitted step's closure chain (vmapped ->
+        # unflatten) must not capture ``self`` — the pool process runs
+        # with gc.disable(), so a self -> _step -> unflatten -> self cycle
+        # would leak every discarded SessionPool with its compiled
+        # executables (the PackedRunner/Chain.release rationale,
+        # core/packing.py).
+        trows = dict(self._trows)
+        effects = tuple(self.chain.effects)
+
         def unflatten(tflat):
             return tuple(
                 {
                     name: (
-                        tflat[self._trows[(i, name)], 0]
+                        tflat[trows[(i, name)], 0]
                         if name == "grid_phase"
-                        else tflat[self._trows[(i, name)]]
+                        else tflat[trows[(i, name)]]
                     )
                     for name in model.PARAMS
                 }
-                for i, (eid, model) in enumerate(self.chain.effects)
+                for i, (eid, model) in enumerate(effects)
             )
 
         target_axes = tuple(
@@ -432,6 +441,17 @@ class SessionPool:
         mismatched delivery)."""
         with self._step_lock:
             self._inflight = None
+
+    def close(self):
+        """Drop the jitted step and break the chain's jit-cache cycle so
+        a discarded pool frees under refcounting alone — the serving
+        process runs with gc.disable() (Chain.release rationale).  The
+        pool must not be stepped after close; idempotent."""
+        with self._step_lock:
+            self._step = None
+            self._inflight = None
+            self.state = None
+        self.chain.release()
 
 
 def dict_copy(m):

@@ -175,3 +175,22 @@ def test_reverb_near_violating_topology_file_parity():
     got = run(cfgs, x, fast=True)
     ref = run_oracle_blocks(EdgeOracle(FS, **params), x.astype(np.float64), 256)
     assert err_dbfs(got, ref) <= -80, err_dbfs(got, ref)
+
+
+def test_file_damp_default_matches_param_spec():
+    """A config that omits 'damp' glides/streams at the ParamSpec default,
+    so the baked file_damp static MUST equal that same default — a
+    disagreeing literal would damp file renders differently from the
+    runtime target the moment the FIR tap budget covers it
+    (fir_damp_weights qualifies h=0.3 at 25 taps)."""
+    from aefs_tpu.core.fileopts import file_static_overrides
+    from aefs_tpu.models.reverb import Reverb
+    from aefs_tpu.ops.pallas.comb import fir_damp_weights
+
+    cfg = [{"effect_id": "r", "type": "reverb", "params": {}}]
+    ov = file_static_overrides(cfg)
+    spec = Reverb.PARAMS["damp"]
+    assert ov["r"]["file_damp"] == spec.clamp(spec.default)
+    # and the default is inside the FIR window, so the baked value is
+    # actually exercised (not silently falling back to the scan)
+    assert fir_damp_weights(spec.default) is not None

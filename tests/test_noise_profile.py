@@ -161,10 +161,11 @@ def test_engine_learn_offrate_wav_resamples():
     eng.learn_noise("s", contents=_wav_url(room, fs=FS // 2))
     got = eng.noise_profiles["s"]
 
-    t = np.linspace(0.0, len(room) - 1, 2 * len(room))
-    up = np.interp(t, np.arange(len(room)), room).astype(np.float32)
+    from aefs_tpu.engine.wavio import resample_bandlimited
+
+    up = resample_bandlimited(room, 2 * len(room))
     want = measure_noise_profile(up, hop=N)
-    # Same resampler (linear interp), int16 WAV round trip in between.
+    # Same resampler (band-limited), int16 WAV round trip in between.
     assert got.shape == want.shape
     corr = np.corrcoef(got, want)[0, 1]
     assert corr > 0.99, corr
@@ -247,4 +248,51 @@ def test_engine_learn_live_capture():
     assert not th.is_alive()
     assert "floor_db" in result and result["floor_db"] < -20.0
     assert "s" in eng.noise_profiles
+    eng.close()
+
+
+def test_resample_bandlimited_antialias_down():
+    """Band-limited resampler unit contract: downsampling must NOT fold
+    above-target-Nyquist energy into in-band bins (bare np.interp does —
+    a 30 kHz tone in a 96 kHz clip aliases to 18 kHz at 48 kHz, teaching
+    the spectral gate a falsely high 18 kHz threshold), and an in-band
+    tone must come through at amplitude."""
+    from aefs_tpu.engine.wavio import resample_bandlimited
+
+    fs_hi, n = 96000, 96000
+    t = np.arange(n) / fs_hi
+    sig = (0.5 * np.sin(2 * np.pi * 30000 * t)
+           + 0.3 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    y = resample_bandlimited(sig, n // 2)  # -> 48 kHz
+    spec = np.abs(np.fft.rfft(y)) / (len(y) / 2)
+    freqs = np.fft.rfftfreq(len(y), 1 / 48000)
+    b1k = np.argmin(np.abs(freqs - 1000))
+    b18k = np.argmin(np.abs(freqs - 18000))
+    assert spec[b1k] == pytest.approx(0.3, rel=1e-3)      # in-band kept
+    assert spec[b18k] < 1e-6, spec[b18k]                  # no alias image
+    # the naive decimation this replaces DOES alias (guards the rationale)
+    naive = np.interp(np.linspace(0, n - 1, n // 2), np.arange(n), sig)
+    nspec = np.abs(np.fft.rfft(naive)) / (len(naive) / 2)
+    assert nspec[b18k] > 0.05, nspec[b18k]
+
+
+def test_engine_learn_downrate_wav_does_not_alias():
+    """Engine-level guard for the downsample direction: a 96 kHz noise
+    WAV with strong energy near 30 kHz must not teach the 48 kHz engine
+    an elevated threshold near 18 kHz (the naive-decimation alias bin)."""
+    from aefs_tpu.engine.engine import AudioEngine
+
+    eng = AudioEngine()
+    eng.build_chain([SPECTRAL])
+    fs_hi = 2 * FS
+    t = np.arange(2 * FS) / fs_hi  # 1 s at 96 kHz
+    sig = (_room_tone(2 * FS, amp=0.005)
+           + 0.4 * np.sin(2 * np.pi * 30000 * t).astype(np.float32))
+    eng.learn_noise("s", contents=_wav_url(sig, fs=fs_hi))
+    got = eng.noise_profiles["s"]
+    # Profile bins index a 2N-point rfft at the ENGINE rate.
+    freqs = np.fft.rfftfreq(2 * N, 1 / FS)
+    alias = np.argmin(np.abs(freqs - 18000))
+    base = np.median(got[(freqs > 4000) & (freqs < 16000)])
+    assert got[alias] < 4 * base, (got[alias], base)
     eng.close()

@@ -595,11 +595,38 @@ def test_pool_pipelined_bit_parity_and_flush(monkeypatch):
     for k, (sy, pk, pi) in enumerate(zip(sync_outs, pack_outs, pipe_outs)):
         assert set(sy) == set(pk) == set(pi) == {0, 1, 3}
         for s in sy:
-            np.testing.assert_array_equal(sy[s], pi[s]), (k, s)
-            np.testing.assert_array_equal(sy[s], pk[s]), (k, s)
+            np.testing.assert_array_equal(sy[s], pi[s], err_msg=f"{(k, s)}")
+            np.testing.assert_array_equal(sy[s], pk[s], err_msg=f"{(k, s)}")
 
     # Guard: sync and pipelined calls must not interleave silently.
     pb.step_blocks_pipelined(dict(blocks_seq[0]))
     with pytest.raises(RuntimeError, match="in flight"):
         pb.step_blocks(dict(blocks_seq[0]))
     pb.drop_pipeline()
+
+
+def test_pool_discard_frees_without_gc():
+    """A discarded SessionPool must free under refcounting ALONE: the
+    serving process runs gc.disable() (pool.py main), so any
+    self -> _step -> closure -> self cycle (or an unreleased chain
+    jit-cache cycle) leaks the pool and its compiled executables on
+    every rebuild.  The jit closures bind locals, never ``self``; close()
+    breaks the chain's cache cycle (Chain.release)."""
+    import gc
+    import weakref
+
+    from aefs_tpu.server.pool import SessionPool
+
+    pool = SessionPool(CFG, n_slots=2)
+    pool.step_blocks({0: _tone(pool.blocksize, 1000)})
+    wp = weakref.ref(pool)
+    wc = weakref.ref(pool.chain)
+    gc.collect()        # clear unrelated garbage first
+    gc.disable()        # serving-process conditions: no cycle collector
+    try:
+        pool.close()
+        del pool
+        assert wp() is None, "SessionPool kept alive by a closure cycle"
+        assert wc() is None, "chain kept alive after close() (jit cache)"
+    finally:
+        gc.enable()
