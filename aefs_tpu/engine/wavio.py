@@ -136,5 +136,16 @@ def resample_bandlimited(x: np.ndarray, n_out: int) -> np.ndarray:
     out_spec = np.zeros(x.shape[:-1] + (k_out,), np.complex128)
     k = min(spec.shape[-1], k_out)
     out_spec[..., :k] = spec[..., :k]
+    # Nyquist-bin weight correction (scipy.signal.resample's rule): irfft
+    # counts the Nyquist bin ONCE but every interior bin twice (conjugate
+    # pair), so a bin that changes role must change weight — upsampling
+    # from even n_in moves the input Nyquist bin to an interior slot
+    # (halve it, else a Nyquist-rate component comes back at 2x), and
+    # downsampling to even n_out folds an interior input bin onto the
+    # output Nyquist (keep 2x its real part).
+    if n_out > n_in and n_in % 2 == 0:
+        out_spec[..., n_in // 2] *= 0.5
+    elif n_out < n_in and n_out % 2 == 0:
+        out_spec[..., -1] = 2.0 * out_spec[..., -1].real
     y = np.fft.irfft(out_spec, n_out, axis=-1) * (n_out / n_in)
     return y.astype(np.float32)

@@ -342,7 +342,15 @@ class Octaver(EffectModel):
         # semitones.  A step change (live glide) re-anchors the base via
         # an exact fold of the PREVIOUS step over n_abs; the periodic
         # 2^28 re-anchor bounds n_abs long before int32 overflow (~1.5 h
-        # of 48 kHz audio between folds).
+        # of 48 kHz audio between folds).  Invariance caveat past the
+        # horizon: the fold fires at the first BLOCK BOUNDARY >= 2^28, so
+        # decompositions whose boundaries differ there (e.g. whole-file
+        # vs blockwise, or non-power-of-two blocks) re-anchor at
+        # different indices and _phase_fold carries one ulp(1) rounding —
+        # outputs past ~93 min are ulp-close, not bitwise.  Power-of-two
+        # streaming blocksizes all divide 2^28 and stay mutually bitwise;
+        # the bitwise claim (CLAUDE.md, test_fastpath) holds below the
+        # horizon, which covers every realtime session and test length.
         strides = _stride_levels(step_hi, step_lo)
         refold = (p["semitones"] != state["semi_prev"]) | (
             state["n_abs"] >= jnp.int32(1 << 28)

@@ -417,7 +417,21 @@ class SessionPool:
                 self.last_step_ms = (time.time() - t0) * 1000.0
                 return None
             y_prev, slots_prev = prev
-            out = np.asarray(y_prev)  # waits on dispatch k-1 only
+            try:
+                out = np.asarray(y_prev)  # waits on dispatch k-1 only
+            except Exception:
+                # A donated dispatch that fails ASYNCHRONOUSLY surfaces
+                # its error here, not at the enqueue above — and the k
+                # dispatch already consumed the poisoned state, so both
+                # its output and self.state are dead.  Same recovery as
+                # the enqueue path: drop the in-flight generation and
+                # rebuild fresh state, or every future step raises
+                # 'Array has been deleted' forever.
+                self._inflight = None
+                if self._donate:
+                    print("Error: pool readback failed; resetting slot state")
+                    self.state = self._fresh_batched_state()
+                raise
             self.last_step_ms = (time.time() - t0) * 1000.0
         return {slot: out[slot].T for slot in slots_prev}
 
@@ -431,7 +445,14 @@ class SessionPool:
             if prev is None:
                 return None
             y_prev, slots_prev = prev
-            out = np.asarray(y_prev)
+            try:
+                out = np.asarray(y_prev)
+            except Exception:
+                # Async-failure recovery, as in step_blocks_pipelined.
+                if self._donate:
+                    print("Error: pool readback failed; resetting slot state")
+                    self.state = self._fresh_batched_state()
+                raise
         return {slot: out[slot].T for slot in slots_prev}
 
     def drop_pipeline(self):

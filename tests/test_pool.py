@@ -630,3 +630,44 @@ def test_pool_discard_frees_without_gc():
         assert wc() is None, "chain kept alive after close() (jit cache)"
     finally:
         gc.enable()
+
+
+def test_pool_readback_failure_resets_donated_state():
+    """A donated dispatch can fail ASYNCHRONOUSLY — the error surfaces at
+    the pipelined READBACK (np.asarray of the previous batch), not at the
+    enqueue.  The recovery must be the same as an enqueue failure: drop
+    the in-flight generation and rebuild fresh state, or every later step
+    raises 'Array has been deleted' and a transient fault becomes a
+    permanent outage."""
+    from aefs_tpu.server.pool import SessionPool
+
+    class Boom:
+        def __array__(self, *a, **k):
+            raise RuntimeError("poisoned async result")
+
+    # flush_pipeline path
+    pool = SessionPool(CFG, n_slots=2)
+    pool._donate = True
+    fresh = pool._fresh_batched_state()
+    pool._inflight = (Boom(), (0,))
+    with pytest.raises(RuntimeError):
+        pool.flush_pipeline()
+    assert pool._inflight is None
+    pool._donate = False  # the real state was never donated in this test
+    out = pool.step_blocks({0: _tone(pool.blocksize, 1000)})
+    assert np.all(np.isfinite(out[0]))
+    pool.close()
+    del fresh
+
+    # step_blocks_pipelined path: the poisoned generation is dropped and
+    # the state reset even though THIS dispatch succeeded.
+    pool = SessionPool(CFG, n_slots=2)
+    pool._donate = True
+    pool._inflight = (Boom(), (0,))
+    with pytest.raises(RuntimeError):
+        pool.step_blocks_pipelined({0: _tone(pool.blocksize, 1000)})
+    assert pool._inflight is None
+    pool._donate = False
+    out = pool.step_blocks({0: _tone(pool.blocksize, 1000)})
+    assert np.all(np.isfinite(out[0]))
+    pool.close()

@@ -125,7 +125,12 @@ def test_effect_parity_at_rate(case, fs):
     x = mk(fs)
     got = run_chain({"effect_id": "e", "type": etype, "params": params},
                     x, fs)
-    okw = dict(params)
+    # Oracles mirror the f32 quantization of param VALUES the effect
+    # actually receives (CLAUDE.md; test_effects_parity.py:9-10) — the
+    # f64 literal vs the f32 target reads as fake drift (~-60 dBFS by
+    # 8 s at the octaver's 2^(s/12)).
+    okw = {k: (float(np.float32(v)) if isinstance(v, float) else v)
+           for k, v in params.items()}
     if etype == "spectral":
         okw["hop"] = N
     oracle = oracle_cls(fs, **okw)
