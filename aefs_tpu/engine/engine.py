@@ -449,8 +449,15 @@ class AudioEngine:
                 # swap (a config⇄targets split), and never onto the
                 # orphaned old list (a lost update on the next file
                 # render).
+                # Clamp through the ParamSpec before persisting: the
+                # streaming targets are clamped on pack, so an out-of-range
+                # literal written raw here could diverge from what the live
+                # path actually applies if a future build-from-config path
+                # ever skipped clamping (ADVICE r4).
                 self._sync_config_param_held(
-                    effect_id, param_name, float(value)
+                    effect_id, param_name,
+                    float(models[effect_id].PARAMS[param_name].clamp(
+                        float(value))),
                 )
 
     # -- session checkpoint/resume (engine/checkpoint.py) ----------------

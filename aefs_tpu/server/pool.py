@@ -402,6 +402,10 @@ class SessionPool:
                     # raise 'Array has been deleted' — a transient error
                     # must not become a permanent outage.  Sessions keep
                     # their slots; their audio tails restart from silence.
+                    # (A SYNCHRONOUS raise means the tuple assignment never
+                    # ran, so in non-donated mode self.state still holds
+                    # the valid pre-step buffers — no reset needed here;
+                    # async failures reset unconditionally at readback.)
                     print("Error: pool step failed; resetting slot state")
                     self.state = self._fresh_batched_state()
                 raise
@@ -420,17 +424,17 @@ class SessionPool:
             try:
                 out = np.asarray(y_prev)  # waits on dispatch k-1 only
             except Exception:
-                # A donated dispatch that fails ASYNCHRONOUSLY surfaces
-                # its error here, not at the enqueue above — and the k
-                # dispatch already consumed the poisoned state, so both
-                # its output and self.state are dead.  Same recovery as
-                # the enqueue path: drop the in-flight generation and
-                # rebuild fresh state, or every future step raises
-                # 'Array has been deleted' forever.
+                # A dispatch that fails ASYNCHRONOUSLY surfaces its error
+                # here, not at the enqueue above — and self.state was
+                # already replaced with the failed dispatch chain's
+                # error-array output, DONATED OR NOT (the enqueue's tuple
+                # assignment happened; only the readback raises).  Reset
+                # unconditionally or every future step re-raises the same
+                # poisoned-state error forever (ADVICE r4).  Sessions keep
+                # their slots; their audio tails restart from silence.
                 self._inflight = None
-                if self._donate:
-                    print("Error: pool readback failed; resetting slot state")
-                    self.state = self._fresh_batched_state()
+                print("Error: pool readback failed; resetting slot state")
+                self.state = self._fresh_batched_state()
                 raise
             self.last_step_ms = (time.time() - t0) * 1000.0
         return {slot: out[slot].T for slot in slots_prev}
@@ -448,10 +452,12 @@ class SessionPool:
             try:
                 out = np.asarray(y_prev)
             except Exception:
-                # Async-failure recovery, as in step_blocks_pipelined.
-                if self._donate:
-                    print("Error: pool readback failed; resetting slot state")
-                    self.state = self._fresh_batched_state()
+                # Async-failure recovery, as in step_blocks_pipelined:
+                # self.state already holds the failed chain's error arrays
+                # whether or not the dispatch donated — reset it
+                # unconditionally (ADVICE r4).
+                print("Error: pool readback failed; resetting slot state")
+                self.state = self._fresh_batched_state()
                 raise
         return {slot: out[slot].T for slot in slots_prev}
 

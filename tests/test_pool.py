@@ -671,3 +671,35 @@ def test_pool_readback_failure_resets_donated_state():
     out = pool.step_blocks({0: _tone(pool.blocksize, 1000)})
     assert np.all(np.isfinite(out[0]))
     pool.close()
+
+
+def test_pool_readback_failure_resets_undonated_state():
+    """An asynchronous device/transport failure poisons ``self.state`` even
+    WITHOUT donation: the enqueue's tuple assignment already replaced it
+    with the failed dispatch chain's error-array output before np.asarray
+    raised.  The readback handlers must therefore reset unconditionally
+    (ADVICE r4) — in the default non-donated mode a donate-gated reset
+    turns one transient fault into a permanent every-step failure."""
+    from aefs_tpu.server.pool import SessionPool
+
+    class Boom:
+        def __array__(self, *a, **k):
+            raise RuntimeError("poisoned async result")
+
+    for path in ("flush", "pipelined"):
+        pool = SessionPool(CFG, n_slots=2)
+        assert not pool._donate
+        resets = []
+        orig = pool._fresh_batched_state
+        pool._fresh_batched_state = lambda: (resets.append(1), orig())[1]
+        pool._inflight = (Boom(), (0,))
+        with pytest.raises(RuntimeError):
+            if path == "flush":
+                pool.flush_pipeline()
+            else:
+                pool.step_blocks_pipelined({0: _tone(pool.blocksize, 1000)})
+        assert resets, f"{path}: no unconditional state reset on readback failure"
+        assert pool._inflight is None
+        out = pool.step_blocks({0: _tone(pool.blocksize, 1000)})
+        assert np.all(np.isfinite(out[0]))
+        pool.close()
