@@ -6,12 +6,16 @@ render.yaml).  On TPU the economics invert: a single chip sustains
 150+ concurrent realtime chains (PERF.md density sweep), so this server
 multiplexes many WebSocket sessions onto one vmapped chain step:
 
-- the pool shares one chain TOPOLOGY (a preset or JSON config fixed at
-  server start — vmap requires a common program);
-- every session owns a SLOT: its own audio state and its own smoothed
-  parameter targets (the targets pytree carries a leading slot axis and
-  the step vmaps over it, so per-session ``update_param`` works exactly
-  like the single-session engine);
+- sessions are BUCKETED BY CHAIN TOPOLOGY (vmap requires a common
+  program): every bucket is one ``SessionPool`` — one compiled vmapped
+  step — and per-session ``build_chain`` migrates a session's slot to
+  the bucket matching its requested chain, compiling a new bucket on
+  first use (``MultiPool``; the server starts with one default bucket
+  from --preset/--config);
+- every session owns a SLOT in its bucket: its own audio state and its
+  own smoothed parameter targets (the targets pytree carries a leading
+  slot axis and the step vmaps over it, so per-session ``update_param``
+  works exactly like the single-session engine);
 - clients stream mono blocks; pending blocks are batched per dispatch
   (idle slots process silence, which keeps their reverb/delay tails
   alive between submissions — live-session semantics).
@@ -21,10 +25,12 @@ Protocol (additive; one connection per session):
     -> {"command": "stream_block", "audio": [N floats]}
     <- {"type": "processed_block", "seq": k, "output": [...],
         "output_r": [...]}
+    -> {"command": "build_chain", "effects_config": [...]}
+    <- {"type": "chain_built", "slot": s, "chain": [...]}
     -> {"command": "update_param", "effect_id": id, "param": p, "value": v}
     -> {"command": "get_pool_stats"}
     <- {"type": "pool_stats", "slots": S, "active": a, "blocksize": N,
-        "step_ms": t, "chain": [...]}
+        "step_ms": t, "chain": [...], "n_buckets": b, "buckets": [...]}
 
 Run: ``python -m aefs_tpu.server.pool --preset "Rain Delay" --slots 16``.
 """
@@ -108,6 +114,8 @@ class SessionPool:
         self.n_slots = int(n_slots)
         self.fs = int(fs)
         self.blocksize = int(blocksize)
+        self.grid = bool(grid)
+        self.shard = bool(shard)
         self.chain_config = chain_config
         self.chain, single_state, self._tmap0 = build_chain(
             chain_config, fs, blocksize,
@@ -304,6 +312,50 @@ class SessionPool:
                 return None
             return self._free.pop(0)
 
+    def active_count(self):
+        with self._ctrl_lock:
+            return self.n_slots - len(self._free)
+
+    def _slot_targets_held(self, slot: int, tmap):
+        """Set one slot's targets from a {bucket-effect-id: {param: value}}
+        map (missing params fall to spec defaults, values clamp like
+        SmoothParam.set_target).  Caller holds ``_ctrl_lock``.  Shared
+        grid-phase rows keep the pool clock (release()'s rule)."""
+        self._targets_maps[slot] = dict_copy(tmap)
+        for (i, name), row in self._trows.items():
+            if row in self._phase_rows:
+                continue
+            eid, model = self.chain.effects[i]
+            spec = model.PARAMS[name]
+            self._tbuf[row, slot] = spec.clamp(
+                tmap.get(eid, {}).get(name, spec.default)
+            )
+
+    def claim_configured(self, tmap, single):
+        """Claim a slot carrying a SESSION's own initial parameters and
+        fresh audio state (heterogeneous-pool joins / migrations):
+        ``tmap`` is the session's targets map keyed by this pool's effect
+        ids and ``single`` its fresh single-slot state (the exact
+        ``build_chain`` seeds a dedicated pool of that config would use,
+        so a migrated session is bit-identical to one served solo).  The
+        state graft is queued and applied at the next dispatch boundary,
+        like release()'s reset.  Returns the slot, or None when full."""
+        with self._ctrl_lock:
+            if not self._free:
+                return None
+            slot = self._free.pop(0)
+            self._slot_targets_held(slot, tmap)
+            self._pending_resets.append((slot, single))
+        return slot
+
+    def rebuild_slot(self, slot: int, tmap, single):
+        """In-place rebuild of a claimed slot (same-topology build_chain:
+        the reference's rebuild semantics — fresh state, new params —
+        without slot churn)."""
+        with self._ctrl_lock:
+            self._slot_targets_held(slot, tmap)
+            self._pending_resets.append((slot, single))
+
     def release(self, slot: int):
         """Reset the slot to default targets, queue its audio-state reset
         (applied by the next dispatch), and return it to the pool.  Pure
@@ -314,7 +366,7 @@ class SessionPool:
             self._tbuf[:, slot] = self._tbuf0[:, slot]
             for r, v in keep.items():  # shared phase survives slot churn
                 self._tbuf[r, slot] = v
-            self._pending_resets.append(slot)
+            self._pending_resets.append((slot, None))
             self._free.append(slot)
 
     def update_param(self, slot: int, effect_id: str, param: str, value):
@@ -342,16 +394,19 @@ class SessionPool:
         return None
 
     def _apply_pending_resets(self, resets):
-        """Graft fresh single-slot state into the batched pytree for every
-        queued released slot (rare; runs under the step lock)."""
+        """Graft single-slot state into the batched pytree for every queued
+        (slot, single) entry — ``single`` is None for a plain release
+        (fresh default state) or a session-configured seed from
+        claim_configured/rebuild_slot.  Rare; runs under the step lock."""
         state = (self._packer.unpack(self.state) if self._packer
                  else self.state)
-        for slot in resets:
+        for slot, single in resets:
             # Lockstep counters keep their shared running value: a zeroed
             # ring is self-consistent from any row alignment
             # (Chain.graft_slot_state).
             state = self.chain.graft_slot_state(
-                state, self._fresh_single, slot
+                state, single if single is not None else self._fresh_single,
+                slot,
             )
         self.state = self._packer.pack(state) if self._packer else state
 
@@ -485,12 +540,198 @@ def dict_copy(m):
     return {k: dict(v) for k, v in m.items()}
 
 
-class PoolServer:
+def canonical_topology(effects_config, grid: bool = False):
+    """Canonicalize a chain config into its topology-bucket identity.
+
+    Returns (key, canon_config, session_ids):
+      key          — string naming everything that shapes the COMPILED
+                     vmapped program: effect types in order plus each
+                     effect's static constructor config (window sizes,
+                     comb topology, branch structure, grid-baked ratios)
+                     and nothing that is a live runtime target.  Configs
+                     with equal keys share one bucket program.
+      canon_config — the same config with effect ids rewritten to the
+                     positional fx{i} convention (session-id-free), fit
+                     to build a shared bucket chain.
+      session_ids  — the session's effect ids positionally (only the
+                     entries a chain build keeps), for the session-id ->
+                     bucket-id routing map.
+    """
+    from aefs_tpu.models import EFFECT_REGISTRY
+    from aefs_tpu.core.multiband import expand_multiband
+    from aefs_tpu.ops.gridtaps import pow2_exponent
+
+    def entry_key(cfg):
+        etype = cfg.get("type")
+        if etype == "multiband":
+            cfg = expand_multiband(cfg)
+            etype = cfg["type"]
+        cls = EFFECT_REGISTRY.get(etype)
+        if cls is None:
+            return None  # build_chain skips unknown types (engine.py:56)
+        if etype == "parallel":
+            # Branch STRUCTURE is static; nested live params are lifted
+            # into runtime targets (parallel_chain.py) — recurse on the
+            # structure only so two parallel configs differing only in
+            # branch param values share a program.
+            bkey = [
+                [k for k in (entry_key(sub) for sub in branch)
+                 if k is not None]
+                for branch in cfg.get("branches", ())
+            ]
+            return [etype, bkey]
+        params = dict(cfg.get("params", {}))
+        _live, static = cls.split_config(params)
+        static.update({
+            k: v for k, v in cfg.items()
+            if k not in ("effect_id", "type", "params")
+        })
+        if grid and etype == "octaver":
+            st = params.get("semitones", -12.0)
+            if pow2_exponent(st) is not None:
+                # a grid pool bakes this ratio into the program
+                # (grid_static_overrides) — it is compile-relevant here
+                static["__grid_semitones"] = float(st)
+        return [etype, static]
+
+    key_parts, canon, session_ids = [], [], []
+    for i, cfg in enumerate(effects_config):
+        ek = entry_key(cfg)
+        c = dict(cfg)
+        c["effect_id"] = f"fx{i}"
+        canon.append(c)
+        if ek is not None:
+            key_parts.append(ek)
+            session_ids.append(cfg.get("effect_id") or f"fx{i}")
+    return (json.dumps(key_parts, sort_keys=True, default=str),
+            canon, session_ids)
+
+
+class MultiPool:
+    """Heterogeneous-topology serving (VERDICT r4 #1): sessions bucketed
+    by chain topology, one SessionPool (one vmapped program) per bucket,
+    slots migrating between buckets on per-session ``build_chain``.
+
+    The reference's core freedom — every client builds an arbitrary chain
+    (backend.py:99-100) — thus gets pool economics instead of requiring a
+    homogeneous fleet: sessions sharing a topology batch into one
+    dispatch; distinct topologies each get their own batched program
+    whose dispatches round-robin within the block period (each bucket's
+    batcher dispatches independently; the device serializes them, and
+    the server stays realtime while the SUM of resident bucket step
+    times fits the block deadline — bench.py's hetero section measures
+    exactly that).
+
+    Bucket identity is ``canonical_topology``'s key: effect types in
+    order + static constructor config (+ grid-baked ratios).  Live
+    params never split buckets.  Creating a bucket compiles a new
+    program (seconds, off the event loop); ``max_buckets`` bounds
+    resident programs, and sessionless buckets are evicted
+    oldest-first to make room."""
+
+    def __init__(self, default_config, n_slots: int = 16,
+                 fs: int = SAMPLE_RATE, blocksize: int = BLOCKSIZE,
+                 shard: bool = False, grid: bool = False,
+                 max_buckets: int = 8):
+        self.n_slots = int(n_slots)
+        self.fs = int(fs)
+        self.blocksize = int(blocksize)
+        self.shard = bool(shard)
+        self.grid = bool(grid)
+        self.max_buckets = int(max_buckets)
+        self._lock = threading.Lock()
+        key, canon, _ids = canonical_topology(default_config, self.grid)
+        self.default_key = key
+        self.default_pool = SessionPool(
+            canon, n_slots=self.n_slots, fs=self.fs,
+            blocksize=self.blocksize, shard=self.shard, grid=self.grid)
+        self._buckets = {key: self.default_pool}
+
+    @classmethod
+    def wrap(cls, pool: "SessionPool", max_buckets: int = 8):
+        """Adopt an existing single-topology pool as the default bucket
+        (the legacy ``PoolServer(SessionPool)`` construction)."""
+        self = cls.__new__(cls)
+        self.n_slots, self.fs, self.blocksize = (
+            pool.n_slots, pool.fs, pool.blocksize)
+        self.shard, self.grid = pool.shard, pool.grid
+        self.max_buckets = int(max_buckets)
+        self._lock = threading.Lock()
+        key, _canon, _ids = canonical_topology(pool.chain_config, pool.grid)
+        self.default_key = key
+        self.default_pool = pool
+        self._buckets = {key: pool}
+        return self
+
+    def buckets(self):
+        with self._lock:
+            return dict(self._buckets)
+
+    def build_session(self, effects_config):
+        """Resolve one session's ``build_chain``: find-or-create the
+        topology bucket, and derive the session's slot seeds — the
+        bucket-keyed targets map and fresh single-slot state a DEDICATED
+        pool of this config would start from (bit-parity with solo
+        serving), plus the session-effect-id -> bucket-effect-id map for
+        update_param routing.  Blocking (a new bucket compiles + warms
+        its program) — call off the event loop.  Returns
+        (key, pool, tmap, single, idmap).  Raises RuntimeError when the
+        bucket limit is hit and no sessionless bucket can be evicted."""
+        key, canon, session_ids = canonical_topology(effects_config,
+                                                     self.grid)
+        evicted = []
+        with self._lock:
+            pool = self._buckets.get(key)
+            if pool is None:
+                while len(self._buckets) >= self.max_buckets:
+                    idle = next(
+                        (k for k, p in self._buckets.items()
+                         if k != self.default_key and p.active_count() == 0),
+                        None,
+                    )
+                    if idle is None:
+                        raise RuntimeError(
+                            f"bucket limit reached ({self.max_buckets} "
+                            "chain topologies resident, none idle)")
+                    evicted.append(self._buckets.pop(idle))
+                pool = SessionPool(
+                    canon, n_slots=self.n_slots, fs=self.fs,
+                    blocksize=self.blocksize, shard=self.shard,
+                    grid=self.grid)
+                self._buckets[key] = pool
+        for p in evicted:
+            p.close()  # off the map lock: close takes the pool's step lock
+        # Throwaway host build of the session's own chain: its fresh
+        # state and targets map ARE the seeds a dedicated pool of this
+        # config would use (build_chain is the single source of initial
+        # currents — parallel containers lift nested branch params here).
+        chain_s, single, tmap_s = build_chain(
+            canon, self.fs, self.blocksize,
+            channels_in=CHANNELS_IN, channels_out=CHANNELS_OUT,
+            static_overrides=(grid_static_overrides(canon)
+                              if self.grid else None),
+        )
+        canon_ids = [eid for eid, _ in chain_s.effects]
+        bucket_ids = [eid for eid, _ in pool.chain.effects]
+        remap = dict(zip(canon_ids, bucket_ids))
+        tmap = {remap[eid]: dict(v) for eid, v in tmap_s.items()}
+        idmap = dict(zip(session_ids, bucket_ids))
+        chain_s.release()  # jit-cache cycle: unused caches must still free
+        return key, pool, tmap, single, idmap
+
+
+class _Batcher:
+    """Per-bucket submission aggregator + dispatch loop: collects blocks
+    arriving close together into one batched dispatch of its bucket's
+    pool.  One _Batcher (and one asyncio task running ``run``) exists per
+    resident topology bucket; concurrent buckets' device steps serialize
+    on the device queue, which is the round-robin service the MultiPool
+    docstring describes."""
+
     def __init__(self, pool: SessionPool):
         self.pool = pool
-        self._pending = {}  # slot -> (audio, future, seq)
+        self._pending = {}  # slot -> (audio, future)
         self._cv = asyncio.Condition()
-        self._seqs = {}
 
     @staticmethod
     def _deliver(batch, outs):
@@ -513,7 +754,7 @@ class PoolServer:
             if not fut.done():
                 fut.set_exception(RuntimeError(f"pool step failed: {e}"))
 
-    async def batcher(self):
+    async def run(self):
         """Collect submissions arriving close together into one dispatch.
 
         Depth-1 pipelined by default (AEFS_POOL_PIPELINE=0 for strict
@@ -613,22 +854,67 @@ class PoolServer:
             self._cv.notify()
         return await fut
 
+
+class PoolServer:
+    """WebSocket frontend over one or many topology buckets.
+
+    Accepts a legacy single-topology ``SessionPool`` (wrapped as a
+    MultiPool's default bucket) or a ``MultiPool``.  Sessions join the
+    default bucket and may issue per-session ``build_chain`` commands —
+    the reference's central interaction (backend.py:99-100) — which
+    migrate their slot to the matching topology bucket (compiling a new
+    program on first use, off the event loop)."""
+
+    def __init__(self, pool, max_buckets: int = 8):
+        self.multi = (pool if isinstance(pool, MultiPool)
+                      else MultiPool.wrap(pool, max_buckets))
+        self.pool = self.multi.default_pool  # legacy surface (tests/stats)
+        self._batchers = {self.multi.default_key: _Batcher(self.pool)}
+        self._tasks = {}  # key -> task for dynamically created buckets
+
+    async def batcher(self):
+        """Run the DEFAULT bucket's dispatch loop — the legacy entry
+        point main() and the tests create one task of.  Dynamically
+        created buckets get their own tasks from ``_batcher_for``."""
+        await self._batchers[self.multi.default_key].run()
+
+    def _batcher_for(self, key, pool):
+        """Get (or start) the dispatch loop for a bucket; prune loops of
+        evicted buckets.  Event-loop thread only."""
+        b = self._batchers.get(key)
+        if b is None or b.pool is not pool:
+            # new bucket, or the key was evicted and re-created since
+            old = self._tasks.pop(key, None)
+            if old is not None:
+                old.cancel()
+            b = self._batchers[key] = _Batcher(pool)
+            self._tasks[key] = asyncio.create_task(b.run())
+        live = self.multi.buckets()
+        for k in [k for k in self._tasks if k not in live]:
+            self._tasks.pop(k).cancel()
+            self._batchers.pop(k, None)
+        return b
+
     async def handler(self, websocket):
         from aefs_tpu import native
 
-        slot = self.pool.claim()
+        loop = asyncio.get_running_loop()
+        key, pool = self.multi.default_key, self.multi.default_pool
+        slot = pool.claim()
         if slot is None:
             await websocket.send(json.dumps(
                 {"type": "error", "error": "pool full"}))
             return
-        self._seqs[slot] = 0
+        batcher = self._batcher_for(key, pool)
+        idmap = None  # None = identity (session on the default config)
+        seq = 0
         print(f"Session joined: slot {slot}")
         try:
             await websocket.send(json.dumps({
                 "type": "session_ready", "slot": slot,
-                "blocksize": self.pool.blocksize,
-                "sample_rate": self.pool.fs,
-                "chain": self.pool.chain_config,
+                "blocksize": pool.blocksize,
+                "sample_rate": pool.fs,
+                "chain": pool.chain_config,
             }))
             async for message in websocket:
                 try:
@@ -636,8 +922,8 @@ class PoolServer:
                     command = cmd.get("command")
                     if command == "stream_block":
                         audio = np.asarray(cmd.get("audio", []), np.float32)
-                        out = await self.submit(slot, audio)
-                        seq = self._seqs[slot] = self._seqs[slot] + 1
+                        out = await batcher.submit(slot, audio)
+                        seq += 1
                         head = json.dumps({"type": "processed_block", "seq": seq})
                         await websocket.send(
                             head[:-1]
@@ -645,15 +931,50 @@ class PoolServer:
                             + ',"output_r":' + native.json_f32_array(out[:, 1])
                             + "}"
                         )
+                    elif command == "build_chain":
+                        # Per-session topology (VERDICT r4 #1): migrate
+                        # this session's slot to the bucket serving the
+                        # requested chain, creating it on first use.
+                        cfg = (cmd.get("effects_config")
+                               or cmd.get("config") or [])
+                        try:
+                            nkey, npool, tmap, single, nidmap = (
+                                await loop.run_in_executor(
+                                    None, self.multi.build_session, cfg))
+                        except RuntimeError as e:
+                            await websocket.send(json.dumps(
+                                {"type": "error", "error": str(e)}))
+                            continue
+                        if npool is pool:
+                            # same topology: reference rebuild semantics
+                            # (fresh state, new params), no slot churn
+                            pool.rebuild_slot(slot, tmap, single)
+                        else:
+                            nslot = npool.claim_configured(tmap, single)
+                            if nslot is None:
+                                await websocket.send(json.dumps({
+                                    "type": "error",
+                                    "error": "pool full (target bucket)"}))
+                                continue
+                            pool.release(slot)
+                            key, pool, slot = nkey, npool, nslot
+                            batcher = self._batcher_for(key, pool)
+                        idmap = nidmap
+                        await websocket.send(json.dumps({
+                            "type": "chain_built", "slot": slot,
+                            "chain": cfg,
+                        }))
                     elif command == "update_param":
                         # Pure host work (a target-buffer write): runs
                         # inline on the event loop and never waits on a
                         # device dispatch — control-plane latency stays
                         # well under one block period even while the pool
                         # is mid-step.
-                        err = self.pool.update_param(
-                            slot, cmd.get("effect_id"), cmd.get("param"),
-                            cmd.get("value"),
+                        eid = cmd.get("effect_id")
+                        if idmap is not None:
+                            eid = idmap.get(eid, f"\x00missing:{eid}")
+                        err = pool.update_param(
+                            slot, eid, cmd.get("param"), cmd.get("value"),
                         )
                         if err:
                             print(err)
@@ -665,31 +986,46 @@ class PoolServer:
                             }))
                     elif command == "get_pool_stats":
                         deadline_ms = (
-                            self.pool.blocksize / self.pool.fs * 1000.0
+                            pool.blocksize / pool.fs * 1000.0
+                        )
+                        buckets = self.multi.buckets()
+                        # The server is realtime while the SUM of the
+                        # occupied buckets' step times fits the block
+                        # period (their dispatches share the device).
+                        total_ms = sum(
+                            p.last_step_ms for p in buckets.values()
+                            if p.active_count()
                         )
                         await websocket.send(json.dumps({
                             "type": "pool_stats",
-                            "slots": self.pool.n_slots,
-                            "active": self.pool.n_slots - len(self.pool._free),
-                            "blocksize": self.pool.blocksize,
-                            "step_ms": round(self.pool.last_step_ms, 3),
-                            # One batched step serves every slot, so the
-                            # whole pool is realtime while step < block.
+                            # legacy fields: the SESSION's bucket
+                            "slots": pool.n_slots,
+                            "active": pool.active_count(),
+                            "blocksize": pool.blocksize,
+                            "step_ms": round(pool.last_step_ms, 3),
                             "deadline_ms": round(deadline_ms, 3),
-                            "realtime_ok": self.pool.last_step_ms < deadline_ms,
-                            "chain": self.pool.chain_config,
+                            "realtime_ok": total_ms < deadline_ms,
+                            "chain": pool.chain_config,
+                            "n_buckets": len(buckets),
+                            "total_step_ms": round(total_ms, 3),
+                            "buckets": [
+                                {"types": [m.kind for _e, m in
+                                           p.chain.effects],
+                                 "slots": p.n_slots,
+                                 "active": p.active_count(),
+                                 "step_ms": round(p.last_step_ms, 3)}
+                                for p in buckets.values()
+                            ],
                         }))
                 except json.JSONDecodeError:
                     print(f"Error: message is not valid JSON: {message!r}")
                 except Exception as e:
                     print(f"Error processing pool command: {e}")
         finally:
-            # Pop the seq counter before the slot can be re-claimed, then
-            # release: pure host work (the audio-state reset is queued and
-            # applied by the next dispatch), so it cannot block or be
+            # Release is pure host work (the audio-state reset is queued
+            # and applied by the next dispatch), so it cannot block or be
             # skipped by task cancellation.
-            self._seqs.pop(slot, None)
-            self.pool.release(slot)
+            pool.release(slot)
             print(f"Session left: slot {slot}")
 
 
@@ -704,6 +1040,10 @@ async def main(argv=None):
                     help="bake whole-octave octaver ratios for exact-grid "
                          "serving (higher density + -80 dBFS parity; "
                          "semitones stops being live)")
+    ap.add_argument("--max-buckets", type=int, default=8,
+                    help="max resident chain-topology buckets (one compiled "
+                         "vmapped program per distinct topology; sessions "
+                         "migrate between buckets via build_chain)")
     ap.add_argument("--port", type=int, default=int(os.environ.get("POOL_PORT", 8766)))
     args = ap.parse_args(argv)
 
@@ -728,10 +1068,11 @@ async def main(argv=None):
     from aefs_tpu.utils.platform import select_platform
 
     backend = select_platform()
-    pool = SessionPool(chain_config, n_slots=args.slots, shard=args.shard,
-                       grid=args.grid)
+    pool = MultiPool(chain_config, n_slots=args.slots, shard=args.shard,
+                     grid=args.grid, max_buckets=args.max_buckets)
     server = PoolServer(pool)
-    print(f"Pool server: {args.slots} slots on port {args.port} "
+    print(f"Pool server: {args.slots} slots/bucket, "
+          f"{args.max_buckets} buckets max, port {args.port} "
           f"(jax backend: {backend})")
     asyncio.create_task(server.batcher())
     async with ws.serve(server.handler, "0.0.0.0", args.port,
