@@ -72,3 +72,54 @@ def test_emit_partial_with_error(capsys):
     bench._emit({}, printed, error="watchdog deadline 1s (partial)")
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["value"] == 0.0 and "watchdog" in rec["error"]
+
+
+def test_adaptive_slope_recovers_known_slope_and_spread():
+    # Synthetic timing model: t = base + slope*iters, with a deterministic
+    # per-repeat wobble well under the 20 ms acceptance floor.  The min
+    # filter must recover the true slope; the elementwise-pair spread must
+    # reflect the injected wobble, not the base offset.
+    slope = 0.010
+    wobble = [0.000, 0.004, 0.001, 0.002]
+
+    def measure(iters):
+        return [0.030 + slope * iters + w for w in wobble]
+
+    got, spread = bench._adaptive_slope(measure, 8, 64, upper=1.0, tag="t")
+    assert got is not None and abs(got - slope) < 1e-9
+    assert spread is not None and spread >= 0.0
+    # wobble cancels elementwise (same per-repeat offset on both ends)
+    assert spread < 1.0
+
+
+def test_adaptive_slope_grows_contrast_until_floor():
+    # A very fast step: the initial 8->16 contrast yields only 0.8 ms of
+    # delta work (< 20 ms floor), so the helper must retry with a larger
+    # gap and then accept.
+    slope = 1e-4
+    calls = []
+
+    def measure(iters):
+        calls.append(iters)
+        return [0.030 + slope * iters] * 3
+
+    got, _ = bench._adaptive_slope(measure, 8, 16, upper=1.0, tag="t")
+    assert got is not None and abs(got - slope) < 1e-12
+    assert max(calls) > 16  # it actually widened the contrast
+
+
+def test_roofline_populates_from_cpu_cost_analysis():
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda a, b: a @ b + 1.0)
+    a = jnp.ones((64, 64), jnp.float32)
+    b = jnp.ones((64, 64), jnp.float32)
+    results = {}
+    bench._roofline(fn, (a, b), device_s=1e-3, tag="t", results=results,
+                    key="cfg")
+    # CPU PJRT exposes flops + bytes accessed; if a backend ever stops
+    # doing so the helper must skip without raising (also covered here by
+    # not asserting on a specific value).
+    if results:
+        assert results["cfg_roofline_pct"] > 0.0
