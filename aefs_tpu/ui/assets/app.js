@@ -13,6 +13,18 @@ const ringOut = new Float32Array(WINDOW_SAMPLES);
 let lastAnalysis = null;
 let fileData = null;       // {original, processed, fs}
 let sampleRate = 48000;
+// Client-side analysis fallback (analysis.js): used whenever the backend
+// ships no precomputed spectra (AEFS_SERVER_ANALYSIS=0 or PlotAnalyzer
+// failure) — the reference always renders these panels browser-side
+// (assets/01_fft.js, 02_custom.js:65-106), so must we.
+let analysisTablesCache = {};  // fs -> aefsAnalysisTables(fs)
+let liveFallback = null;       // {at, analysis}
+let fileFallback = null;       // {which, w, original, processed}
+
+function tablesFor(fs) {
+  if (!analysisTablesCache[fs]) analysisTablesCache[fs] = aefsAnalysisTables(fs);
+  return analysisTablesCache[fs];
+}
 
 const $ = (id) => document.getElementById(id);
 
@@ -127,12 +139,23 @@ function onPlotData(msg) {
   renderLive();
 }
 
+function liveFallbackAnalysis() {
+  // Throttled local recompute (16k-point FFT ~1 ms; the plot pump runs
+  // faster than panels need to update).
+  const now = Date.now();
+  if (liveFallback && now - liveFallback.at < 150) return liveFallback.analysis;
+  const a = aefsAnalyzeRings(ringIn, ringOut, tablesFor(sampleRate));
+  liveFallback = { at: now, analysis: a };
+  return a;
+}
+
 function renderLive() {
   drawTime($("plot-time"), ringIn, ringOut);
-  if (lastAnalysis) {
-    drawSpectrum($("plot-spectrum"), lastAnalysis.input.spectrum_db,
-                 lastAnalysis.output.spectrum_db, lastAnalysis.freqs);
-    drawChroma($("plot-chroma"), lastAnalysis.input.chroma, lastAnalysis.output.chroma);
+  const a = lastAnalysis || liveFallbackAnalysis();
+  if (a) {
+    drawSpectrum($("plot-spectrum"), a.input.spectrum_db,
+                 a.output.spectrum_db, a.freqs);
+    drawChroma($("plot-chroma"), a.input.chroma, a.output.chroma);
   }
 }
 
@@ -438,7 +461,8 @@ function drawFileWindow(tSec) {
   const lo = Math.max(0, c - half), hi = Math.min(fileData.original.length, c + half);
   drawTime($("plot-time"), fileData.original.slice(lo, hi), fileData.processed.slice(lo, hi));
   // Spectrum + chroma scrub with the playhead (reference
-  // 02_custom.js:282-355): pick the server-computed analysis window for t.
+  // 02_custom.js:282-355): pick the server-computed analysis window for t,
+  // or recompute the trailing window locally when the server shipped none.
   const a = fileData.analysis;
   if (a && a.original && a.original.spectrum_db.length) {
     const w = Math.max(0, Math.min(a.original.spectrum_db.length - 1,
@@ -446,7 +470,33 @@ function drawFileWindow(tSec) {
     drawSpectrum($("plot-spectrum"), a.original.spectrum_db[w],
                  a.processed.spectrum_db[w], a.freqs);
     drawChroma($("plot-chroma"), a.original.chroma[w], a.processed.chroma[w]);
+  } else {
+    const f = fileFallbackAnalysis(tSec);
+    drawSpectrum($("plot-spectrum"), f.original.spectrum_db,
+                 f.processed.spectrum_db, f.freqs);
+    drawChroma($("plot-chroma"), f.original.chroma, f.processed.chroma);
   }
+}
+
+function fileFallbackAnalysis(tSec) {
+  // Same trailing-window semantics as PlotAnalyzer.analyze_file (window w
+  // analyzes the AEFS_FFT_SIZE samples ending at (w+1)*hop), recomputed
+  // client-side from the sample lists already in the payload.  Cached per
+  // window index — playbackLoop calls every animation frame.
+  const fs = fileData.fs, hop = 0.25;
+  const w = Math.max(0, Math.floor(tSec / hop));
+  if (fileFallback && fileFallback.w === w && fileFallback.n === fileData.original.length)
+    return fileFallback;
+  const tables = tablesFor(fs);
+  const end = Math.max(1, Math.min(fileData.original.length,
+    Math.floor((w + 1) * hop * fs)));
+  const lo = Math.max(0, end - AEFS_FFT_SIZE);
+  fileFallback = {
+    w: w, n: fileData.original.length, freqs: tables.freqs,
+    original: aefsAnalyzeTail(fileData.original.slice(lo, end), tables),
+    processed: aefsAnalyzeTail(fileData.processed.slice(lo, end), tables),
+  };
+  return fileFallback;
 }
 
 function activePlayer() {

@@ -397,7 +397,7 @@ def test_ui_http_server_serves_spa_and_config():
         assert cfg["static_params"] == {"convreverb": ["ir_seconds"],
                                         "limiter": ["lookahead_ms"]}
         assert isinstance(cfg["ws_port"], int)
-        for asset in ("/app.js", "/plots.js", "/style.css"):
+        for asset in ("/app.js", "/plots.js", "/analysis.js", "/style.css"):
             status, body = get(asset)
             assert status == 200 and len(body) > 100, asset
     finally:
