@@ -257,8 +257,9 @@ def catmull_rom_resample(ext, ago, hist_len: int, size: int, tile: int,
         use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        out_lo = _resample_call(bl, at, wl, False)
-        out_hi = _resample_call(bh, at, wh, False)
+        interp = use_pallas == "interpret"
+        out_lo = _resample_call(bl, at, wl, interp)
+        out_hi = _resample_call(bh, at, wh, interp)
     else:
         out_lo = _resample_xla(bl, at, wl)
         out_hi = _resample_xla(bh, at, wh)
