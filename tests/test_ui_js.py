@@ -216,6 +216,74 @@ def test_fmt_hz():
     assert to_python(interp.call("fmtHz", [12000.0])) == "12 kHz"
 
 
+class _RecordingCtx:
+    """Canvas 2D context stub: records path ops, measures text by length."""
+
+    def __init__(self):
+        self.obj = jsmini.JSObject()
+        self.points = []   # ("move"|"line", x, y)
+        self.rects = []    # fillRect calls
+        p = self.obj.props
+        p["beginPath"] = lambda args: None
+        p["stroke"] = lambda args: None
+        p["moveTo"] = lambda args: self.points.append(("move",) + tuple(args))
+        p["lineTo"] = lambda args: self.points.append(("line",) + tuple(args))
+        p["fillRect"] = lambda args: self.rects.append(tuple(args))
+        p["fillText"] = lambda args: None
+        p["measureText"] = lambda args: jsmini.JSObject(
+            {"width": 6.0 * len(args[0])})
+
+
+def test_draw_series_decimates_and_clamps():
+    interp = _plots_interp(["drawSeries"])
+    ctx = _RecordingCtx()
+    data = [0.0] * 100
+    data[50] = 99.0   # above yMax: must clamp to the top edge
+    data[51] = -99.0  # below yMin: bottom edge
+    interp.call("drawSeries",
+                [ctx.obj, 200.0, 100.0, data, "#fff", -1.0, 1.0, 50.0])
+    # decimate=50 over 100 points -> step 2 -> 50 points, first is moveTo
+    assert len(ctx.points) == 50
+    assert ctx.points[0][0] == "move" and ctx.points[1][0] == "line"
+    ys = [p[2] for p in ctx.points]
+    assert min(ys) >= 0.0 and max(ys) <= 100.0  # clamped into the canvas
+    assert 0.0 in ys  # the +99 spike hit exactly the top edge
+    # empty data: no path ops, no crash
+    before = len(ctx.points)
+    interp.call("drawSeries",
+                [ctx.obj, 200.0, 100.0, [], "#fff", -1.0, 1.0, 50.0])
+    assert len(ctx.points) == before
+
+
+def test_draw_legend_then_hit_roundtrip():
+    src = open(os.path.join(ASSETS, "plots.js")).read()
+    interp = Interp()
+    # the real Palette the module uses, not a test copy
+    palette_line = next(l for l in src.splitlines()
+                        if l.startswith("const Palette"))
+    interp.run(palette_line)
+    interp.run(jsmini.extract_function(src, "drawLegend"))
+    interp.run(jsmini.extract_function(src, "legendHit"))
+
+    ctx = _RecordingCtx()
+    canvas = jsmini.JSObject()
+    entries = [{"label": "input", "color": "#7aa2f7", "on": True,
+                "key": "input"},
+               {"label": "output", "color": "#9ece6a", "on": False,
+                "key": "output"},
+               {"label": "⤓", "key": "export"}]
+    interp.call("drawLegend", [ctx.obj, 400.0, canvas, entries])
+    rects = to_python(canvas.props["_legendRects"])
+    assert [r["key"] for r in rects] == ["export", "output", "input"]
+    assert all(r["x"] + r["w"] <= 400.0 - 5.9 for r in rects)  # right-aligned
+    # clicking the center of each drawn chip resolves to its key
+    for r in rects:
+        hit = to_python(interp.call(
+            "legendHit", [canvas, r["x"] + r["w"] / 2, r["y"] + r["h"] / 2]))
+        assert hit == r["key"]
+    assert to_python(interp.call("legendHit", [canvas, 1.0, 50.0])) is None
+
+
 # ---------------------------- SPA wiring -----------------------------------
 
 
