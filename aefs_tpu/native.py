@@ -29,7 +29,14 @@ _lock = threading.Lock()
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # Portable flags by default: the .so is a first-use local build, but a
+    # shared cache/NFS checkout can be loaded from a different CPU than the
+    # one that built it, so ISA-specific codegen is opt-in
+    # (AEFS_NATIVE_MARCH=native — or any -march= value — for hot local use).
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    march = os.environ.get("AEFS_NATIVE_MARCH", "")
+    if march:
+        cmd.insert(2, f"-march={march}")
     subprocess.run(cmd, check=True, capture_output=True)
 
 

@@ -108,6 +108,59 @@ def test_adaptive_slope_grows_contrast_until_floor():
     assert max(calls) > 16  # it actually widened the contrast
 
 
+def test_adaptive_slope_spread_drops_single_stalled_repeat():
+    # The r05 rehearsal failure mode: ONE relay-stalled repeat among four
+    # read as "spread 119%" although the other pairs agreed within a few
+    # percent.  Jitter is additive and spiky, so the spread must drop the
+    # single worst pair; the slope (min filter) is unaffected either way.
+    slope = 0.010
+
+    def measure(iters):
+        # repeat #1 stalls by 1.5x the full-loop device time at hi only
+        stall = [0.0, 0.9, 0.0, 0.001]
+        return [0.030 + slope * iters + (s if iters > 8 else 0.0)
+                for s in stall]
+
+    got, spread = bench._adaptive_slope(measure, 8, 64, upper=1.0, tag="t")
+    assert got is not None and abs(got - slope) < 1e-9
+    assert spread is not None and spread < 5.0  # 119% before the fix
+
+
+def test_adaptive_slope_pools_repeats_when_spread_stays_noisy():
+    # When even the trimmed spread exceeds 40%, the helper must pool one
+    # more repeat round (visible as extra measure() calls) and still
+    # return the min-filtered slope.
+    slope = 0.010
+    calls = []
+
+    def measure(iters):
+        calls.append(iters)
+        noise = [0.0, 0.3, 0.6, 0.9]  # broad, not one spike
+        return [0.030 + slope * iters + (n if iters > 8 else 0.0)
+                for n in noise]
+
+    got, spread = bench._adaptive_slope(measure, 8, 64, upper=1.0, tag="t")
+    assert got is not None and abs(got - slope) < 1e-9
+    assert calls.count(8) == 2 and calls.count(64) == 2  # pooled round ran
+    assert spread is not None
+
+
+def test_roofline_caps_at_100_and_keeps_raw():
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda a, b: a @ b + 1.0)
+    a = jnp.ones((64, 64), jnp.float32)
+    b = jnp.ones((64, 64), jnp.float32)
+    results = {}
+    # Absurdly small device time forces the raw percentage over 100.
+    bench._roofline(fn, (a, b), device_s=1e-12, tag="t", results=results,
+                    key="cfg")
+    if results:
+        assert results["cfg_roofline_pct"] == 100.0
+        assert results["cfg_roofline_raw_pct"] > 100.0
+
+
 def test_roofline_populates_from_cpu_cost_analysis():
     import jax
     import jax.numpy as jnp
