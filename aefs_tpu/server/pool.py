@@ -571,14 +571,30 @@ def canonical_topology(effects_config, grid: bool = False):
             return None  # build_chain skips unknown types (engine.py:56)
         if etype == "parallel":
             # Branch STRUCTURE is static; nested live params are lifted
-            # into runtime targets (parallel_chain.py) — recurse on the
-            # structure only so two parallel configs differing only in
-            # branch param values share a program.
-            bkey = [
-                [k for k in (entry_key(sub) for sub in branch)
-                 if k is not None]
-                for branch in cfg.get("branches", ())
-            ]
+            # into runtime targets (parallel_chain.py) — key the
+            # structure only, mirroring ParallelChains.__init__
+            # (parallel_chain.py:44-59) EXACTLY: nested parallel and
+            # unknown entries are SKIPPED by the builder (and branches
+            # get no multiband expansion — "multiband" is not in the
+            # registry), branch statics come ONLY from
+            # split_config(params) (extra top-level keys are not
+            # forwarded to branch constructors), and the kept entry's
+            # branch-config index ei IS compile-relevant: it is baked
+            # into the lifted param names (``b{bi}_{ei}_{name}``) that
+            # key the target rows claim_configured grafts by name.
+            from aefs_tpu.models.parallel_chain import ParallelChains
+
+            bkey = []
+            for branch in cfg.get("branches", ()):
+                bk = []
+                for ei, sub in enumerate(branch):
+                    scls = EFFECT_REGISTRY.get(sub.get("type"))
+                    if scls is None or scls is ParallelChains:
+                        continue
+                    _l, sstatic = scls.split_config(
+                        dict(sub.get("params", {})))
+                    bk.append([ei, sub.get("type"), sstatic])
+                bkey.append(bk)
             return [etype, bkey]
         params = dict(cfg.get("params", {}))
         _live, static = cls.split_config(params)
@@ -640,10 +656,16 @@ class MultiPool:
         self.grid = bool(grid)
         self.max_buckets = int(max_buckets)
         self._lock = threading.Lock()
-        key, canon, _ids = canonical_topology(default_config, self.grid)
+        self._building = {}  # key -> threading.Event (in-flight compiles)
+        key, _canon, _ids = canonical_topology(default_config, self.grid)
         self.default_key = key
+        # Build the default bucket from the ORIGINAL config, not the
+        # canonicalized one: its effect ids stay the operator-configured
+        # ids, so sessions on the default chain (idmap None = identity)
+        # keep addressing update_param by the ids they were shown in
+        # session_ready — the same contract wrap() preserves.
         self.default_pool = SessionPool(
-            canon, n_slots=self.n_slots, fs=self.fs,
+            default_config, n_slots=self.n_slots, fs=self.fs,
             blocksize=self.blocksize, shard=self.shard, grid=self.grid)
         self._buckets = {key: self.default_pool}
 
@@ -657,6 +679,7 @@ class MultiPool:
         self.shard, self.grid = pool.shard, pool.grid
         self.max_buckets = int(max_buckets)
         self._lock = threading.Lock()
+        self._building = {}
         key, _canon, _ids = canonical_topology(pool.chain_config, pool.grid)
         self.default_key = key
         self.default_pool = pool
@@ -667,40 +690,29 @@ class MultiPool:
         with self._lock:
             return dict(self._buckets)
 
-    def build_session(self, effects_config):
+    def build_session(self, effects_config, current=None):
         """Resolve one session's ``build_chain``: find-or-create the
-        topology bucket, and derive the session's slot seeds — the
-        bucket-keyed targets map and fresh single-slot state a DEDICATED
-        pool of this config would start from (bit-parity with solo
-        serving), plus the session-effect-id -> bucket-effect-id map for
-        update_param routing.  Blocking (a new bucket compiles + warms
-        its program) — call off the event loop.  Returns
-        (key, pool, tmap, single, idmap).  Raises RuntimeError when the
-        bucket limit is hit and no sessionless bucket can be evicted."""
+        topology bucket and PLACE the session in it — the returned slot
+        carries the bucket-keyed targets map and fresh single-slot state
+        a DEDICATED pool of this config would start from (bit-parity
+        with solo serving), plus the session-effect-id ->
+        bucket-effect-id map for update_param routing.  ``current`` is
+        the session's present ``(pool, slot)`` placement (or None): a
+        same-bucket request rebuilds that slot in place (the reference's
+        rebuild semantics, no slot churn) instead of claiming a new one.
+
+        Blocking (a new bucket compiles + warms its program) — call off
+        the event loop; the compile runs OUTSIDE the bucket-map lock so
+        ``buckets()`` (event-loop stats/batcher paths) and sessions on
+        other buckets never stall behind it.  Claims happen UNDER the
+        map lock, so a bucket this returns can never be seen
+        sessionless by a concurrent eviction scan before the caller
+        uses it.  Returns (key, pool, slot, tmap, single, idmap) with
+        slot None when the target bucket is full.  Raises RuntimeError
+        when the bucket limit is hit and no sessionless bucket can be
+        evicted."""
         key, canon, session_ids = canonical_topology(effects_config,
                                                      self.grid)
-        evicted = []
-        with self._lock:
-            pool = self._buckets.get(key)
-            if pool is None:
-                while len(self._buckets) >= self.max_buckets:
-                    idle = next(
-                        (k for k, p in self._buckets.items()
-                         if k != self.default_key and p.active_count() == 0),
-                        None,
-                    )
-                    if idle is None:
-                        raise RuntimeError(
-                            f"bucket limit reached ({self.max_buckets} "
-                            "chain topologies resident, none idle)")
-                    evicted.append(self._buckets.pop(idle))
-                pool = SessionPool(
-                    canon, n_slots=self.n_slots, fs=self.fs,
-                    blocksize=self.blocksize, shard=self.shard,
-                    grid=self.grid)
-                self._buckets[key] = pool
-        for p in evicted:
-            p.close()  # off the map lock: close takes the pool's step lock
         # Throwaway host build of the session's own chain: its fresh
         # state and targets map ARE the seeds a dedicated pool of this
         # config would use (build_chain is the single source of initial
@@ -712,12 +724,72 @@ class MultiPool:
                               if self.grid else None),
         )
         canon_ids = [eid for eid, _ in chain_s.effects]
-        bucket_ids = [eid for eid, _ in pool.chain.effects]
-        remap = dict(zip(canon_ids, bucket_ids))
-        tmap = {remap[eid]: dict(v) for eid, v in tmap_s.items()}
-        idmap = dict(zip(session_ids, bucket_ids))
         chain_s.release()  # jit-cache cycle: unused caches must still free
-        return key, pool, tmap, single, idmap
+
+        def place(pool):
+            # Caller holds self._lock (or the pool is not yet published).
+            bucket_ids = [eid for eid, _ in pool.chain.effects]
+            remap = dict(zip(canon_ids, bucket_ids))
+            tmap = {remap[eid]: dict(v) for eid, v in tmap_s.items()}
+            idmap = dict(zip(session_ids, bucket_ids))
+            if current is not None and pool is current[0]:
+                pool.rebuild_slot(current[1], tmap, single)
+                return current[1], tmap, idmap
+            return pool.claim_configured(tmap, single), tmap, idmap
+
+        while True:
+            evicted, build_evt, wait_evt = [], None, None
+            with self._lock:
+                pool = self._buckets.get(key)
+                if pool is not None:
+                    slot, tmap, idmap = place(pool)
+                else:
+                    wait_evt = self._building.get(key)
+                    if wait_evt is None:
+                        # Reserve the key; in-flight builds count toward
+                        # the resident-program limit.
+                        while (len(self._buckets) + len(self._building)
+                               >= self.max_buckets):
+                            idle = next(
+                                (k for k, p in self._buckets.items()
+                                 if k != self.default_key
+                                 and p.active_count() == 0),
+                                None,
+                            )
+                            if idle is None:
+                                for k, p in evicted:  # undo partial pops
+                                    self._buckets[k] = p
+                                raise RuntimeError(
+                                    f"bucket limit reached "
+                                    f"({self.max_buckets} chain topologies"
+                                    " resident, none idle)")
+                            evicted.append((idle, self._buckets.pop(idle)))
+                        build_evt = self._building[key] = threading.Event()
+            for _k, p in evicted:
+                p.close()  # off the map lock: close takes the step lock
+            if pool is not None:
+                return key, pool, slot, tmap, single, idmap
+            if wait_evt is not None:
+                wait_evt.wait()  # another session is compiling this bucket
+                continue
+            # This thread holds the reservation: compile + warm outside
+            # the map lock, then publish and place atomically.
+            try:
+                pool = SessionPool(
+                    canon, n_slots=self.n_slots, fs=self.fs,
+                    blocksize=self.blocksize, shard=self.shard,
+                    grid=self.grid)
+            except BaseException:
+                with self._lock:
+                    self._building.pop(key, None)
+                build_evt.set()
+                raise
+            with self._lock:
+                self._buckets[key] = pool
+                self._building.pop(key, None)
+                slot, tmap, idmap = place(pool)
+            build_evt.set()
+            return key, pool, slot, tmap, single, idmap
 
 
 class _Batcher:
@@ -938,24 +1010,27 @@ class PoolServer:
                         cfg = (cmd.get("effects_config")
                                or cmd.get("config") or [])
                         try:
-                            nkey, npool, tmap, single, nidmap = (
+                            # Same-bucket requests rebuild the held slot
+                            # in place (reference rebuild semantics);
+                            # otherwise the new slot is claimed inside
+                            # build_session, under the bucket-map lock.
+                            # ANY build failure (bucket limit, malformed
+                            # config) must answer the client — the
+                            # protocol promises chain_built or error.
+                            nkey, npool, nslot, tmap, single, nidmap = (
                                 await loop.run_in_executor(
-                                    None, self.multi.build_session, cfg))
-                        except RuntimeError as e:
+                                    None, self.multi.build_session, cfg,
+                                    (pool, slot)))
+                        except Exception as e:
                             await websocket.send(json.dumps(
                                 {"type": "error", "error": str(e)}))
                             continue
-                        if npool is pool:
-                            # same topology: reference rebuild semantics
-                            # (fresh state, new params), no slot churn
-                            pool.rebuild_slot(slot, tmap, single)
-                        else:
-                            nslot = npool.claim_configured(tmap, single)
-                            if nslot is None:
-                                await websocket.send(json.dumps({
-                                    "type": "error",
-                                    "error": "pool full (target bucket)"}))
-                                continue
+                        if nslot is None:
+                            await websocket.send(json.dumps({
+                                "type": "error",
+                                "error": "pool full (target bucket)"}))
+                            continue
+                        if npool is not pool:
                             pool.release(slot)
                             key, pool, slot = nkey, npool, nslot
                             batcher = self._batcher_for(key, pool)

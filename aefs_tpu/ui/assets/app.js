@@ -449,6 +449,10 @@ function onFileProcessed(msg) {
     fs: msg.sample_rate,
     analysis: msg.analysis || null,
   };
+  // New render: drop the fallback-analysis cache — it is keyed only on
+  // (window, length), so a re-process of the same file would otherwise
+  // keep showing the PREVIOUS render's spectrum/chroma.
+  fileFallback = null;
   $("audio-original").src = msg.original_b64;
   $("audio-processed").src = msg.processed_b64;
   drawFileWindow(0);

@@ -767,8 +767,11 @@ def bench_multistream(cfgs):
                 step_s[(mode, n_streams, blocksize)] = dev
                 if d > per_mode.get(mode, 0.0):
                     per_mode[mode] = d
-                    if sp is not None:  # spread of the point that set the
-                        per_spread[mode] = sp  # headline (VERDICT r4 #7)
+                    # Spread of the point that set the headline (VERDICT
+                    # r4 #7) — overwritten even when None, so a stale
+                    # spread from a DIFFERENT sweep point is never
+                    # labeled as the headline's.
+                    per_spread[mode] = sp
             except Exception as e:
                 log(f"[bench] multistream[{mode}] S={n_streams} N={blocksize} "
                     f"FAILED: {type(e).__name__}: {e}")
@@ -995,7 +998,8 @@ def _run(results, printed, t_start, deadline_s):
         for mode, d in per_mode.items():
             results[f"concurrent_realtime_streams_{mode}"] = d
         for mode, sp in per_spread.items():
-            results[f"concurrent_realtime_streams_{mode}_spread_pct"] = sp
+            if sp is not None:
+                results[f"concurrent_realtime_streams_{mode}_spread_pct"] = sp
     except Exception as e:
         log(f"[bench] multistream FAILED: {type(e).__name__}: {e}")
 

@@ -76,6 +76,29 @@ def test_canonical_topology_keys():
     assert canonical_topology(par(0.2))[0] == canonical_topology(par(0.8))[0]
     par2 = [dict(par(0.2)[0], branches=[[{"type": "delay", "params": {}}]])]
     assert canonical_topology(par2)[0] != canonical_topology(par(0.2))[0]
+    # The branch key mirrors ParallelChains.__init__ EXACTLY
+    # (parallel_chain.py:44-59): entries the builder skips (unknown
+    # types, nested parallel, un-expanded multiband) must not split
+    # buckets against each other...
+    brk = lambda branch: [dict(par(0.2)[0], branches=[branch])]
+    skip_mb = brk([{"type": "multiband", "crossover_hz": [300.0]},
+                   {"type": "delay", "params": {}}])
+    skip_un = brk([{"type": "bogus"},
+                   {"type": "delay", "params": {}}])
+    skip_pp = brk([{"type": "parallel", "branches": []},
+                   {"type": "delay", "params": {}}])
+    assert (canonical_topology(skip_mb)[0] == canonical_topology(skip_un)[0]
+            == canonical_topology(skip_pp)[0])
+    # ...but a skipped entry DOES shift the kept entry's branch-config
+    # index, which is baked into the lifted param names (b{bi}_{ei}_*)
+    # and therefore into the bucket's target-row identity:
+    assert (canonical_topology(skip_un)[0]
+            != canonical_topology(brk([{"type": "delay", "params": {}}]))[0])
+    # ...and extra top-level keys on branch entries are NOT forwarded to
+    # branch constructors, so they must not split buckets either:
+    extra = brk([{"type": "delay", "params": {}, "ignored_key": 7}])
+    assert (canonical_topology(extra)[0]
+            == canonical_topology(brk([{"type": "delay", "params": {}}]))[0])
 
 
 def test_multipool_heterogeneous_bit_parity():
@@ -87,11 +110,14 @@ def test_multipool_heterogeneous_bit_parity():
     from aefs_tpu.server.pool import MultiPool, SessionPool
 
     mp = MultiPool(CFG_A, n_slots=2)
+    # the default bucket keeps the OPERATOR-configured effect ids, so
+    # default-chain sessions (idmap None) address params by those ids
+    assert [eid for eid, _ in mp.default_pool.chain.effects] == ["f"]
     sa = mp.default_pool.claim()
 
-    key_b, pool_b, tmap_b, single_b, idmap_b = mp.build_session(CFG_B)
+    key_b, pool_b, sb, tmap_b, single_b, idmap_b = mp.build_session(CFG_B)
     assert pool_b is not mp.default_pool
-    sb = pool_b.claim_configured(tmap_b, single_b)
+    assert sb is not None  # claimed inside build_session, under the map lock
     assert len(mp.buckets()) == 2
 
     # dedicated single-topology pools (the solo-serving oracle)
@@ -111,9 +137,9 @@ def test_multipool_heterogeneous_bit_parity():
             pb.update_param(rb, "d", "feedback", 0.7)
         if i == 12:
             # session C joins B's RUNNING bucket with different params
-            key_c, pool_c, tmap_c, single_c, idmap_c = mp.build_session(CFG_C)
+            key_c, pool_c, sc, tmap_c, single_c, idmap_c = (
+                mp.build_session(CFG_C))
             assert pool_c is pool_b and key_c == key_b
-            sc = pool_c.claim_configured(tmap_c, single_c)
             assert sc is not None and sc != sb
             pc = SessionPool(CFG_C, n_slots=2)
             rc = pc.claim()
@@ -147,26 +173,28 @@ def test_multipool_same_topology_rebuild_and_limits():
     from aefs_tpu.server.pool import MultiPool
 
     mp = MultiPool(CFG_A, n_slots=2, max_buckets=2)
-    key_b, pool_b, tmap_b, single_b, _ = mp.build_session(CFG_B)
-    sb = pool_b.claim_configured(tmap_b, single_b)
+    key_b, pool_b, sb, tmap_b, single_b, _ = mp.build_session(CFG_B)
 
     # bucket limit reached, bucket B occupied -> a third topology fails
     cfg_new = [{"effect_id": "w", "type": "waveshaper",
                 "params": {"drive": 4.0}}]
     with pytest.raises(RuntimeError, match="bucket limit"):
         mp.build_session(cfg_new)
+    assert len(mp.buckets()) == 2  # the failed build evicted nothing
 
-    # same topology as B -> no new bucket needed, shares B's program
-    key_c, pool_c, _, _, _ = mp.build_session(CFG_C)
-    assert pool_c is pool_b
+    # same topology as B, same session -> rebuild in place (reference
+    # rebuild semantics), no new bucket, no slot churn
+    key_c, pool_c, sc, _, _, _ = mp.build_session(
+        CFG_C, current=(pool_b, sb))
+    assert pool_c is pool_b and sc == sb
 
     # release B's only session -> the bucket becomes evictable
     pool_b.release(sb)
-    key_w, pool_w, tmap_w, single_w, _ = mp.build_session(cfg_new)
+    key_w, pool_w, sw, tmap_w, single_w, _ = mp.build_session(cfg_new)
     buckets = mp.buckets()
     assert key_b not in buckets and key_w in buckets
     assert mp.default_key in buckets  # the default bucket never evicts
-    sw = pool_w.claim_configured(tmap_w, single_w)
+    assert sw is not None
     out = pool_w.step_blocks({sw: _tone(mp.blocksize, 1000)})
     assert np.all(np.isfinite(out[sw]))
     for p in mp.buckets().values():
@@ -209,6 +237,16 @@ def test_pool_build_chain_migration_ws():
                 ra = json.loads(await a.recv())
                 rb = json.loads(await b.recv())
                 assert {ra["type"], rb["type"]} == {"session_ready"}
+
+                # a malformed build_chain must ANSWER with an error (the
+                # protocol promises chain_built-or-error), not swallow
+                # the exception and leave the client hanging
+                await a.send(json.dumps({
+                    "command": "build_chain",
+                    "effects_config": [{"type": "delay",
+                                        "params": "oops"}]}))
+                msg = json.loads(await asyncio.wait_for(a.recv(), 60))
+                assert msg["type"] == "error", msg
 
                 # A migrates to its own chain — a DIFFERENT topology
                 # (filter+gate vs the default bare filter): a 300 Hz

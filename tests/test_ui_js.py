@@ -287,6 +287,43 @@ def test_draw_legend_then_hit_roundtrip():
 # ---------------------------- SPA wiring -----------------------------------
 
 
+def test_file_fallback_cache_invalidated_on_new_render():
+    """fileFallbackAnalysis caches per (window, length) — so a re-process
+    of the SAME file (same length, new audio) must drop the cache in
+    onFileProcessed, or the panels keep showing the previous render."""
+    prelude = """
+      const AEFS_FFT_SIZE = 8;
+      let fileFallback = null;
+      let fileData = null;
+      function tablesFor(fs) { return {freqs: [1.0, 2.0]}; }
+      function aefsAnalyzeTail(x, tables) {
+        var s = 0;
+        for (var i = 0; i < x.length; i++) s += x[i];
+        return {sum: s};
+      }
+      function drawFileWindow(t) {}
+      function $(id) {
+        return {classList: {add: function(){}, remove: function(){}},
+                href: null, src: null};
+      }
+    """
+    interp = _app_interp(["onFileProcessed", "fileFallbackAnalysis"],
+                         prelude=prelude)
+    msg1 = {"processed_b64": "u1", "original_b64": "o1",
+            "sample_rate": 48000,
+            "original_samples": [0.0] * 16,
+            "processed_samples": [1.0] * 16, "analysis": None}
+    interp.call("onFileProcessed", [msg1])
+    f1 = to_python(interp.call("fileFallbackAnalysis", [0.0]))
+    assert f1["processed"]["sum"] == 8.0  # trailing 8-sample window of 1s
+    # re-process: SAME length, different audio — the cache must not serve
+    # the previous render's analysis
+    msg2 = dict(msg1, processed_samples=[2.0] * 16, processed_b64="u2")
+    interp.call("onFileProcessed", [msg2])
+    f2 = to_python(interp.call("fileFallbackAnalysis", [0.0]))
+    assert f2["processed"]["sum"] == 16.0, f2
+
+
 def test_spa_wires_analysis_fallback():
     """index.html ships analysis.js before app.js; app.js routes BOTH the
     live panels and the file-scrub panels through the fallback whenever the
