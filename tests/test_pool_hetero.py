@@ -201,6 +201,126 @@ def test_multipool_same_topology_rebuild_and_limits():
         p.close()
 
 
+def test_multipool_concurrent_same_key_builds_one_bucket(monkeypatch):
+    """N sessions requesting the SAME new topology at once must produce
+    exactly ONE compiled bucket: the first builder reserves the key and
+    compiles outside the map lock; the others wait on its event instead
+    of compiling duplicates (or deadlocking the map)."""
+    import threading
+    from aefs_tpu.server import pool as poolmod
+
+    mp = poolmod.MultiPool(CFG_A, n_slots=4)
+    built = []
+    real = poolmod.SessionPool
+
+    class CountingPool(real):
+        def __init__(self, *a, **k):
+            built.append(1)
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(poolmod, "SessionPool", CountingPool)
+    start = threading.Barrier(4)
+    results, errors = [], []
+
+    def worker():
+        try:
+            start.wait(30)
+            results.append(mp.build_session(CFG_B))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+        assert not t.is_alive(), "build_session deadlocked"
+    assert not errors, errors
+    assert len(built) == 1, f"{len(built)} duplicate bucket compiles"
+    pools = {id(r[1]) for r in results}
+    assert len(pools) == 1  # everyone landed in the one bucket
+    slots = [r[2] for r in results]
+    assert None not in slots and len(set(slots)) == 4  # all placed
+    for p in mp.buckets().values():
+        p.close()
+
+
+def test_multipool_randomized_migration_hammer():
+    """Concurrency hammer over the migration path: threads stream while
+    randomly rebuilding to other topologies (handler semantics: claim-new
+    -then-release-old), with max_buckets forcing eviction churn.  Checks
+    no deadlock, no exception, finite audio, and a consistent final
+    bucket map."""
+    import threading
+    from aefs_tpu.server.pool import MultiPool
+
+    topologies = [
+        CFG_A,
+        CFG_B,
+        [{"effect_id": "w", "type": "waveshaper",
+          "params": {"drive": 4.0, "mix": 1.0}}],
+        [{"effect_id": "g", "type": "gate",
+          "params": {"threshold_db": -50.0, "attack_ms": 3.0,
+                     "release_ms": 60.0}}],
+    ]
+    mp = MultiPool(CFG_A, n_slots=4, max_buckets=3)
+    errors = []
+    # One stepper per bucket, like the product: step_blocks is documented
+    # single-caller (each bucket has exactly ONE _Batcher task driving
+    # it); concurrent sync callers would interleave the depth-1 pipeline.
+    steplocks, steplock_guard = {}, threading.Lock()
+
+    def step(pool, slot, x):
+        with steplock_guard:
+            lk = steplocks.setdefault(id(pool), threading.Lock())
+        with lk:
+            return pool.step_blocks({slot: x})[slot]
+
+    def worker(tid):
+        rng = np.random.default_rng(100 + tid)
+        pool, slot = mp.default_pool, mp.default_pool.claim()
+        assert slot is not None
+        try:
+            for _ in range(6):
+                cfg = topologies[rng.integers(len(topologies))]
+                try:
+                    _k, npool, nslot, _t, _s, _i = mp.build_session(
+                        cfg, current=(pool, slot))
+                except RuntimeError:
+                    continue  # bucket limit: keep the current placement
+                if nslot is None:
+                    continue  # target bucket full: keep current placement
+                if npool is not pool:
+                    pool.release(slot)
+                    pool, slot = npool, nslot
+                for _ in range(int(rng.integers(1, 4))):
+                    out = step(pool, slot, _noise(rng, mp.blocksize))
+                    assert np.all(np.isfinite(out))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append((tid, e))
+        finally:
+            pool.release(slot)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+        assert not t.is_alive(), "migration hammer deadlocked"
+    assert not errors, errors
+    buckets = mp.buckets()
+    assert mp.default_key in buckets
+    assert len(buckets) <= 3
+    assert all(p.active_count() == 0 for p in buckets.values())
+    # the map is fully serviceable after the churn
+    for p in buckets.values():
+        s = p.claim()
+        out = p.step_blocks({s: _tone(mp.blocksize, 440)})[s]
+        assert np.all(np.isfinite(out))
+        p.release(s)
+        p.close()
+
+
 def test_pool_build_chain_migration_ws():
     """End-to-end over WebSockets: a session migrates itself to its own
     topology with build_chain, its parameters route through ITS effect
