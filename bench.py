@@ -599,23 +599,13 @@ def wait_for_device(max_wait_s=2100, probe_every_s=60):
     return ready.is_set()
 
 
-def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
-                          static_overrides=None, tag=""):
-    """One (S, N) point of the serving-density sweep.  Two measurements:
-
-    - device-limited step time: slope between two on-device ``fori_loop``
-      runs of the batched step (8 vs 40 iterations) — the per-step cost a
-      production host-attached TPU pays, free of the dev tunnel's
-      per-dispatch marshaling (which is both large, ~0.2-0.4 ms per
-      argument buffer, and erratic across sessions: the same host loop
-      measures 3.4-27 ms/step on different days).
-    - host-loop step time through the tunnel: best of two 40-dispatch
-      loops (the relay reaches its steady state after the first), no
-      donation (donated dispatches serialize through the relay).
-    """
+def _build_batched_serving_step(cfgs, n_streams, blocksize,
+                                static_overrides=None):
+    """(chain, batched, state, targets, x) for one serving topology — the
+    vmapped product step, shared by the per-mode density sweep and the
+    heterogeneous-bucket measurement."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
     from aefs_tpu.core.chain import build_chain
 
     chain, _, tmap = build_chain(cfgs, FS, blocksize, channels_in=1,
@@ -649,6 +639,92 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
                         in_axes=(state_axes, target_axes, 0),
                         out_axes=(state_axes, 0))(st, tg, x)
 
+    x = jnp.asarray(
+        0.1 * np.random.default_rng(3).standard_normal(
+            (n_streams, 1, blocksize)),
+        jnp.float32,
+    )
+    return chain, batched, state, targets, x
+
+
+def bench_multistream_hetero(cfgs, grid_ov, n_streams, blocksize, est_step):
+    """MEASURED heterogeneous-bucket density (VERDICT r4 #1): generic and
+    exact-grid are two DISTINCT topology buckets (the baked grid ratio
+    splits canonical_topology), so a MultiPool serves them as two
+    compiled programs whose dispatches serialize on the device within the
+    block period.  One on-device loop steps BOTH programs per iteration
+    and the slope between two loop lengths prices the pair together —
+    including any cross-program interaction (layout transitions, cache
+    effects) that summing two solo slopes would hide.  Same device-
+    limited convention as every other density number (per-dispatch
+    tunnel marshaling excluded).  Returns (density, spread_pct, t_ab_s).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    _, bat_a, st_a, tg_a, x_a = _build_batched_serving_step(
+        cfgs, n_streams, blocksize, None)
+    _, bat_b, st_b, tg_b, x_b = _build_batched_serving_step(
+        cfgs, n_streams, blocksize, grid_ov)
+
+    def loop_fn(iters):
+        def many(sa, tga, xa, sb, tgb, xb):
+            def body(_, carry):
+                sa, sb, acc = carry
+                sa, ya = bat_a(sa, tga, xa)
+                sb, yb = bat_b(sb, tgb, xb)
+                return sa, sb, acc + ya[0, 0, -1] + yb[0, 0, -1]
+
+            return lax.fori_loop(0, iters, body,
+                                 (sa, sb, jnp.float32(0.0)))
+
+        return jax.jit(many)
+
+    def measure(iters):
+        fn = loop_fn(iters)
+        out = fn(st_a, tg_a, x_a, st_b, tg_b, x_b)
+        float(out[-1])
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(st_a, tg_a, x_a, st_b, tg_b, x_b)
+            float(out[-1])
+            ts.append(time.time() - t0)
+        return ts
+
+    lo = 8
+    hi = int(min(max(0.25 / max(est_step, 1e-4) + lo, 40), 320))
+    t_ab, spread = _adaptive_slope(
+        measure, lo, hi, est_step * 4 + 0.05,
+        f"multistream[hetero] S=2x{n_streams}")
+    if t_ab is None:
+        raise RuntimeError("hetero slope implausible")
+    deadline = blocksize / FS
+    return 2 * n_streams * deadline / t_ab, spread, t_ab
+
+
+def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
+                          static_overrides=None, tag=""):
+    """One (S, N) point of the serving-density sweep.  Two measurements:
+
+    - device-limited step time: slope between two on-device ``fori_loop``
+      runs of the batched step (8 vs 40 iterations) — the per-step cost a
+      production host-attached TPU pays, free of the dev tunnel's
+      per-dispatch marshaling (which is both large, ~0.2-0.4 ms per
+      argument buffer, and erratic across sessions: the same host loop
+      measures 3.4-27 ms/step on different days).
+    - host-loop step time through the tunnel: best of two 40-dispatch
+      loops (the relay reaches its steady state after the first), no
+      donation (donated dispatches serialize through the relay).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    chain, batched, state, targets, x = _build_batched_serving_step(
+        cfgs, n_streams, blocksize, static_overrides)
+
     # Host-loop step mirrors the PRODUCT pool (server/pool.py): hybrid-
     # packed state arguments (big rings standalone, ~30 small leaves in
     # one buffer per dtype) + the targets as one packed buffer — the
@@ -667,10 +743,6 @@ def bench_multistream_one(cfgs, n_streams, blocksize, n_iters=40,
         return spacker.pack(st2), y
 
     step = jax.jit(packed_step)
-    x = jnp.asarray(
-        0.1 * np.random.default_rng(3).standard_normal((n_streams, 1, blocksize)),
-        jnp.float32,
-    )
     sgroups = spacker.pack(state)
     tgroups = tpacker.pack(targets)
     sg, y = step(sgroups, tgroups, x)
@@ -778,19 +850,35 @@ def bench_multistream(cfgs):
 
     # Heterogeneous serving density (VERDICT r4 #1 done-criteria): the
     # MultiPool round-robins ONE compiled vmapped program per topology
-    # bucket on the device within the block period (server/pool.py), so
-    # with two buckets live the sustainable total is (S_a + S_b) slots
-    # per (t_a + t_b) of serialized step time.  generic and grid ARE two
-    # distinct buckets (static grid config splits canonical_topology).
+    # bucket on the device within the block period (server/pool.py).
+    # generic and grid ARE two distinct buckets (static grid config
+    # splits canonical_topology).  MEASURE the pair together — one loop
+    # stepping both programs per iteration — rather than summing two
+    # solo slopes, so any cross-program interaction is priced in; the
+    # sum stays as a cross-check fallback.
     ka, kb = ("generic", 256, 256), ("grid", 256, 256)
     if ka in step_s and kb in step_s:
         deadline = 256 / FS
-        hetero = 512 * deadline / (step_s[ka] + step_s[kb])
-        per_mode["hetero_2buckets"] = hetero
-        log(f"[bench] multistream hetero: 2 buckets (generic+grid, 256 "
-            f"slots each) round-robin -> {hetero:.0f} sustained streams "
-            f"({(step_s[ka]+step_s[kb])*1000:.2f} ms combined step vs "
-            f"{deadline*1000:.2f} ms deadline)")
+        t_sum = step_s[ka] + step_s[kb]
+        try:
+            hetero, sp, t_ab = bench_multistream_hetero(
+                cfgs, grid_ov, 256, 256, t_sum)
+            per_mode["hetero_2buckets"] = hetero
+            per_spread["hetero_2buckets"] = sp
+            sp_txt = f", spread {sp:.0f}%" if sp is not None else ""
+            log(f"[bench] multistream hetero: 2 buckets (generic+grid, "
+                f"256 slots each) MEASURED interleaved -> {hetero:.0f} "
+                f"sustained streams ({t_ab*1000:.2f} ms combined step vs "
+                f"{deadline*1000:.2f} ms deadline{sp_txt}; solo-slope sum "
+                f"{t_sum*1000:.2f} ms)")
+        except Exception as e:
+            hetero = 512 * deadline / t_sum
+            per_mode["hetero_2buckets"] = hetero
+            log(f"[bench] multistream hetero: interleaved measurement "
+                f"failed ({type(e).__name__}: {e}); falling back to the "
+                f"solo-slope sum -> {hetero:.0f} sustained streams "
+                f"({t_sum*1000:.2f} ms combined step vs "
+                f"{deadline*1000:.2f} ms deadline)")
     return best_dev, best_host, per_mode, per_spread
 
 
