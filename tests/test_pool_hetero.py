@@ -321,6 +321,82 @@ def test_multipool_randomized_migration_hammer():
         p.close()
 
 
+def migration_fuzz_seed(seed, n_phases=3, blocks_per_phase=5):
+    """One randomized migration-parity trial: a session migrates through
+    ``n_phases`` random topologies (the differential fuzzer's generator,
+    test_fuzz_topologies.random_chain) inside ONE MultiPool while a
+    second session stays on the default bucket.  After EVERY migration
+    both sessions must remain BITWISE identical to fresh dedicated
+    single-topology pools — the hetero pool's core contract — which also
+    pins neighbor isolation across other sessions' migrations.  Pinned
+    seeds run in CI; scripts/pool_migration_fuzz.py sweeps ranges."""
+    import test_fuzz_topologies as F
+    from helpers import bursts
+    from aefs_tpu.server.pool import MultiPool, SessionPool
+
+    rng = np.random.default_rng(seed)
+    topos = [F.random_chain(rng, allow_parallel=(seed % 4 == 3))[0]
+             for _ in range(n_phases)]
+    mp = MultiPool(topos[0], n_slots=2)
+    bs = mp.blocksize
+    # neighbor session: stays on the default bucket the whole trial
+    s_n = mp.default_pool.claim()
+    twin_n = SessionPool(topos[0], n_slots=2)
+    r_n = twin_n.claim()
+    # migrating session starts on the default bucket too
+    pool, slot = mp.default_pool, mp.default_pool.claim()
+    twin = SessionPool(topos[0], n_slots=2)
+    r = twin.claim()
+    audio = bursts(2 * n_phases * blocks_per_phase * bs, amp=0.3, seed=seed)
+    pos = 0
+
+    def next_block():
+        nonlocal pos
+        b = np.asarray(audio[pos:pos + bs], np.float32)
+        pos += bs
+        return b[:, 0] if b.ndim > 1 else b  # pool blocks are mono (N,)
+
+    opened = [twin_n, twin]
+    try:
+        for phase, cfg in enumerate(topos):
+            if phase:
+                _k, npool, nslot, _t, _s, _i = mp.build_session(
+                    cfg, current=(pool, slot))
+                assert nslot is not None
+                if npool is not pool:
+                    pool.release(slot)
+                    pool, slot = npool, nslot
+                twin = SessionPool(cfg, n_slots=2)
+                opened.append(twin)
+                r = twin.claim()
+            for b in range(blocks_per_phase):
+                x_m, x_n = next_block(), next_block()
+                if pool is mp.default_pool:
+                    outs = pool.step_blocks({slot: x_m, s_n: x_n})
+                    out_m, out_n = outs[slot], outs[s_n]
+                else:
+                    out_m = pool.step_blocks({slot: x_m})[slot]
+                    out_n = mp.default_pool.step_blocks({s_n: x_n})[s_n]
+                t_m = twin.step_blocks({r: x_m})[r]
+                t_n = twin_n.step_blocks({r_n: x_n})[r_n]
+                np.testing.assert_array_equal(
+                    out_m, t_m, err_msg=f"seed {seed} phase {phase} "
+                    f"block {b}: migrating session != solo")
+                np.testing.assert_array_equal(
+                    out_n, t_n, err_msg=f"seed {seed} phase {phase} "
+                    f"block {b}: neighbor session != solo")
+    finally:
+        for p in opened:
+            p.close()
+        for p in mp.buckets().values():
+            p.close()
+
+
+@pytest.mark.parametrize("seed", [501, 503])  # 503 draws parallel containers
+def test_migration_parity_fuzz_pinned(seed):
+    migration_fuzz_seed(seed)
+
+
 def test_pool_build_chain_migration_ws():
     """End-to-end over WebSockets: a session migrates itself to its own
     topology with build_chain, its parameters route through ITS effect
