@@ -141,11 +141,13 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
     checkpoint (the carried state pytree holds every ring buffer, filter
     tap and phasor — engine/checkpoint.py)."""
     import os
+    import shutil
 
     import numpy as np
 
     from aefs_tpu.core.chain import build_chain
     from aefs_tpu.core.config import FILE_SUPERBLOCK
+    from aefs_tpu.core.fileopts import file_static_overrides
     from aefs_tpu.engine.checkpoint import load_session, save_session
 
     if audio.ndim > 1:
@@ -158,27 +160,31 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
     chunk = max(FILE_SUPERBLOCK,
                 int(every_s * fs) // FILE_SUPERBLOCK * FILE_SUPERBLOCK)
 
-    from aefs_tpu.core.fileopts import file_static_overrides
-
-    # File-mode statics (min_delay from the configured delay etc.) keep the
-    # blockwise solvers' static iteration counts small at superblock size.
-    chain, state, tmap = build_chain(
-        chain_config, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2,
-        static_overrides=file_static_overrides(chain_config),
-    )
-    targets = chain.targets(tmap)
     done = 0
     outs = []
+    irs, profiles = {}, {}
     progress_path = os.path.join(ckpt_dir, "progress.json")
-    if resume and os.path.exists(progress_path):
+    chunks_dir = os.path.join(ckpt_dir, "chunks")
+    resuming = resume and os.path.exists(progress_path)
+    if resuming:
         with open(progress_path) as f:
             progress = json.load(f)
+        # Refuse a checkpoint written for a DIFFERENT input: done_samples
+        # applied to another file would splice two inputs' audio (or emit
+        # a stale partial untouched) with no error.
+        if (int(progress.get("n_samples", n)) != n
+                or int(progress.get("fs", fs)) != fs):
+            raise SystemExit(
+                f"--resume: checkpoint was written for a different input "
+                f"({progress.get('n_samples')} samples @ "
+                f"{progress.get('fs')} Hz; this file is {n} @ {fs})")
         done = int(progress["done_samples"])
         # ``dir`` names the committed generation subdir (see the commit
         # protocol below); legacy checkpoints kept everything flat.
         gen_dir = os.path.join(ckpt_dir, progress["dir"]) if "dir" in progress \
             else ckpt_dir
-        cfg2, tmap2, rebuild_state, irs, profiles = load_session(gen_dir)
+        (cfg2, tmap2, rebuild_state, irs, profiles,
+         ck_meta) = load_session(gen_dir)
         overrides = file_static_overrides(cfg2)
         if irs:  # a server-written checkpoint may carry uploaded IRs
             from aefs_tpu.engine.checkpoint import ir_static_overrides
@@ -186,8 +192,11 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
             for eid, ov in ir_static_overrides(irs, cfg2, fs).items():
                 overrides.setdefault(eid, {}).update(ov)
         if profiles:  # ... and learned spectral noise profiles
-            from aefs_tpu.engine.checkpoint import profile_static_overrides
+            from aefs_tpu.engine.checkpoint import (
+                profile_static_overrides, remap_profiles)
 
+            # fs-dependent bins: re-bin profiles saved at another rate
+            profiles = remap_profiles(profiles, ck_meta.get("fs"), fs)
             for eid, ov in profile_static_overrides(profiles, cfg2).items():
                 overrides.setdefault(eid, {}).update(ov)
         chain, state, _ = build_chain(
@@ -197,42 +206,112 @@ def process_resumable(chain_config, audio, fs, ckpt_dir, resume=False,
         targets = chain.targets(tmap2)
         state = rebuild_state(chain.init_state())
         chain_config, tmap = cfg2, tmap2
-        outs = [np.load(os.path.join(gen_dir, "partial.npy"))]
+        outs = _load_partial_chunks(chunks_dir, gen_dir, done)
         print(f"Resuming at {done / fs:.2f} s / {n / fs:.2f} s")
+    else:
+        # File-mode statics (min_delay from the configured delay etc.)
+        # keep the blockwise solvers' static iteration counts small at
+        # superblock size.  Built only when NOT resuming — the resume
+        # branch rebuilds from the checkpoint's own config.
+        chain, state, tmap = build_chain(
+            chain_config, fs, FILE_SUPERBLOCK, channels_in=1, channels_out=2,
+            static_overrides=file_static_overrides(chain_config),
+        )
+        targets = chain.targets(tmap)
+        # A fresh job must not inherit another job's persisted chunks: a
+        # later resume could otherwise splice a stale longer chunk from
+        # the previous lineage at the same start offset.
+        if os.path.isdir(chunks_dir):
+            shutil.rmtree(chunks_dir, ignore_errors=True)
 
     while done < n:
-        end = min(done + chunk, n)
-        state, y = chain.process_array(state, targets, mono[done:end], fast=False)
+        start, end = done, min(done + chunk, n)
+        state, y = chain.process_array(state, targets, mono[start:end],
+                                       fast=False)
         outs.append(np.clip(y, -1.0, 1.0))
         done = end
         if done < n:
-            # Crash-safe commit: stage state + partial output in a fresh
-            # generation subdir, then atomically swap progress.json (the
-            # single manifest) to point at it.  A kill at any instant —
-            # including mid-save — leaves the previous generation intact
-            # and referenced, so resume never double-processes a chunk
-            # (the old flat layout had windows where a new state.npz sat
-            # next to an old done_samples).
+            # Crash-safe commit: persist THIS chunk's output (O(chunk)
+            # per checkpoint — the old whole-prefix partial.npy rewrite
+            # made checkpoint I/O quadratic in file length), stage state
+            # in a fresh generation subdir, then atomically swap
+            # progress.json (the single manifest) to point at it.  A
+            # kill at any instant — including mid-save — leaves the
+            # previous generation intact and referenced, so resume never
+            # double-processes a chunk (the old flat layout had windows
+            # where a new state.npz sat next to an old done_samples).
+            os.makedirs(chunks_dir, exist_ok=True)
+            cpath = os.path.join(chunks_dir, f"chunk-{start}-{done}.npy")
+            with open(cpath + ".tmp", "wb") as f:
+                np.save(f, outs[-1])
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(cpath + ".tmp", cpath)
             gen_dir = os.path.join(ckpt_dir, f"gen-{done}")
+            # IRs/profiles the resumed session carried must ride EVERY
+            # re-checkpoint, or the second resume rebuilds on the
+            # synthetic IR (leaf-shape failure) / silently drops the
+            # learned noise floor.
             save_session(gen_dir, chain_config,
-                         {k: dict(v) for k, v in tmap.items()}, state)
-            np.save(os.path.join(gen_dir, "partial.npy"),
-                    np.concatenate(outs))
+                         {k: dict(v) for k, v in tmap.items()}, state,
+                         custom_irs=irs, noise_profiles=profiles, fs=fs)
             tmp = progress_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"done_samples": int(done),
+                           "n_samples": int(n), "fs": int(fs),
                            "dir": f"gen-{done}"}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, progress_path)  # the commit point
             for name in os.listdir(ckpt_dir):  # prune superseded gens
                 if name.startswith("gen-") and name != f"gen-{done}":
-                    import shutil
-
                     shutil.rmtree(os.path.join(ckpt_dir, name),
                                   ignore_errors=True)
             print(f"Checkpointed at {done / fs:.2f} s / {n / fs:.2f} s")
     return np.concatenate(outs)
+
+
+def _load_partial_chunks(chunks_dir, gen_dir, done):
+    """Load the persisted output covering samples [0, done): per-chunk
+    files written once each (chunk-{start}-{end}.npy), walked greedily by
+    coverage (overlapping grids from an interval change pick the longest
+    committed chunk — within one job lineage any committed chunk's
+    content over a range is identical).  Falls back to the legacy
+    whole-prefix ``partial.npy`` inside the generation dir."""
+    import os
+
+    import numpy as np
+
+    if done <= 0:
+        return []
+    by_start = {}
+    if os.path.isdir(chunks_dir):
+        import re
+
+        for name in os.listdir(chunks_dir):
+            m = re.match(r"chunk-(\d+)-(\d+)\.npy$", name)
+            if not m:
+                continue
+            s, e = int(m.group(1)), int(m.group(2))
+            if e <= done and e > s and e > by_start.get(s, (0, None))[0]:
+                by_start[s] = (e, name)
+    if by_start:
+        outs, cov = [], 0
+        while cov < done:
+            if cov not in by_start:
+                raise SystemExit(
+                    f"--resume: checkpoint chunks cover only [0, {cov}) of "
+                    f"the committed {done} samples (missing chunk at {cov})")
+            e, name = by_start[cov]
+            outs.append(np.load(os.path.join(chunks_dir, name)))
+            cov = e
+        return outs
+    legacy = os.path.join(gen_dir, "partial.npy")
+    if os.path.exists(legacy):
+        return [np.load(legacy)]
+    raise SystemExit(
+        "--resume: no persisted output found (chunks/ empty and no legacy "
+        "partial.npy) — the checkpoint directory is incomplete")
 
 
 if __name__ == "__main__":

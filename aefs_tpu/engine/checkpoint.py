@@ -18,12 +18,54 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
+import threading
 
 import numpy as np
 import jax
 
 
 FORMAT_VERSION = 1
+
+# Per-directory save serialization: the engine runs save_session on the
+# server's executor per WebSocket command (backend.py), OUTSIDE the
+# dispatch lock — two concurrent saves to one directory would otherwise
+# both read gen=N and race their generation files and the manifest swap.
+# Process-local by design (concurrent saves from DIFFERENT processes to
+# one directory are not a supported deployment).
+_save_locks: dict[str, threading.Lock] = {}
+_save_locks_guard = threading.Lock()
+
+
+def _dir_lock(path: str) -> threading.Lock:
+    key = os.path.abspath(path)
+    with _save_locks_guard:
+        return _save_locks.setdefault(key, threading.Lock())
+
+
+def remap_profiles(noise_profiles, saved_fs, fs):
+    """Re-bin learned spectral noise profiles from ``saved_fs`` onto the
+    analysis grid of ``fs``.  Profile bin k names the frequency
+    k*fs/window, so raw bins carried across a rate change would gate
+    frequencies off by the rate ratio (~8.8% for 44100->48000) with no
+    error — signal eaten in some bands, noise passed in others.  Linear
+    interpolation in frequency, edge-clamped (bins above the saved
+    Nyquist hold the saved top bin).  No-op when the rates match or
+    either rate is unknown."""
+    if (not noise_profiles or not saved_fs or not fs
+            or int(saved_fs) == int(fs)):
+        return dict(noise_profiles or {})
+    out = {}
+    for eid, prof in noise_profiles.items():
+        prof = np.asarray(prof, np.float32)
+        bins = prof.shape[-1]
+        # target bin k sits at k*fs/W -> position k*fs/saved_fs in saved bins
+        pos = np.arange(bins, dtype=np.float64) * (float(fs) / float(saved_fs))
+        flat = prof.reshape(-1, bins)
+        rem = np.stack(
+            [np.interp(pos, np.arange(bins), row) for row in flat])
+        out[eid] = rem.reshape(prof.shape).astype(np.float32)
+    return out
 
 
 def ir_static_overrides(custom_irs: dict, chain_config, fs: int) -> dict:
@@ -53,8 +95,10 @@ def profile_static_overrides(noise_profiles: dict, chain_config) -> dict:
     not change any state leaf shape — it is a per-bin threshold constant —
     but a resume that dropped it would silently revert the effect to the
     scalar-threshold gate, so it rides rebuilds and checkpoints the same
-    way.  Profiles are bin-indexed (hop is pinned to 256 in every mode),
-    so no rate resampling applies."""
+    way.  Profile bins are rate-DEPENDENT (bin k names k*fs/window):
+    callers resuming at a different sample rate than the checkpoint's
+    ``meta["fs"]`` must pass the profiles through ``remap_profiles``
+    first."""
     ids = {c.get("effect_id") for c in chain_config}
     return {
         eid: {"noise_profile": np.asarray(prof, np.float32)}
@@ -65,15 +109,29 @@ def profile_static_overrides(noise_profiles: dict, chain_config) -> dict:
 
 def save_session(path: str, chain_config, targets_map: dict, state,
                  custom_irs: dict | None = None,
-                 noise_profiles: dict | None = None) -> None:
-    """Write a session checkpoint directory — CRASH-SAFE.
+                 noise_profiles: dict | None = None,
+                 fs: int | None = None) -> None:
+    """Write a session checkpoint directory — CRASH-SAFE and serialized.
 
     The state lands in a fresh generation-named file and ``session.json``
     (the manifest naming it) is swapped in atomically LAST via
     ``os.replace``: a kill at ANY instant leaves the directory holding
     either the previous complete checkpoint or the new one, never a
     torn mix (the old in-place overwrite had a window where ``state.npz``
-    was new while ``session.json`` was old — or half-written)."""
+    was new while ``session.json`` was old — or half-written).  Saves to
+    one directory serialize on a process-local lock (the server runs
+    this per WebSocket command on the executor — concurrent saves would
+    race the generation counter and the cleanup), and temp files are
+    mkstemp-unique.  ``fs`` records the session sample rate so loads at
+    a different rate can remap rate-dependent payloads
+    (``remap_profiles``)."""
+    with _dir_lock(path):
+        _save_session_locked(path, chain_config, targets_map, state,
+                             custom_irs, noise_profiles, fs)
+
+
+def _save_session_locked(path, chain_config, targets_map, state,
+                         custom_irs, noise_profiles, fs):
     os.makedirs(path, exist_ok=True)
     manifest = os.path.join(path, "session.json")
     gen = 0
@@ -85,7 +143,6 @@ def save_session(path: str, chain_config, targets_map: dict, state,
             gen = 1
     leaves, treedef = jax.tree.flatten(state)
     state_file = f"state-{gen}.npz"
-    tmp = os.path.join(path, state_file + ".tmp")
     # Uploaded IRs ride in the same npz (extra keys are invisible to the
     # leaf_{i} reader) so a checkpoint saved after set_ir resumes in a
     # FRESH process — without them the rebuilt chain's synthetic IR has
@@ -100,7 +157,9 @@ def save_session(path: str, chain_config, targets_map: dict, state,
     for j, (eid, prof) in enumerate(sorted((noise_profiles or {}).items())):
         prof_meta.append({"effect_id": eid, "key": f"profile_{j}"})
         prof_arrays[f"profile_{j}"] = np.asarray(prof, np.float32)
-    with open(tmp, "wb") as f:
+    fd, tmp = tempfile.mkstemp(dir=path, prefix=state_file + ".",
+                               suffix=".tmp")
+    with os.fdopen(fd, "wb") as f:
         np.savez(
             f,
             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
@@ -110,8 +169,9 @@ def save_session(path: str, chain_config, targets_map: dict, state,
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, state_file))
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="session.json.",
+                               suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
         json.dump(
             {
                 "format_version": FORMAT_VERSION,
@@ -120,6 +180,7 @@ def save_session(path: str, chain_config, targets_map: dict, state,
                 "n_leaves": len(leaves),
                 "gen": gen,
                 "state_file": state_file,
+                "fs": int(fs) if fs else None,
                 "custom_irs": ir_meta,
                 "noise_profiles": prof_meta,
             },
@@ -145,7 +206,7 @@ def save_session(path: str, chain_config, targets_map: dict, state,
 
 def load_session(path: str):
     """Read a checkpoint -> (chain_config, targets_map, rebuild_state_fn,
-    custom_irs, noise_profiles).
+    custom_irs, noise_profiles, meta).
 
     ``rebuild_state_fn(template_state)`` grafts the saved leaves onto a
     freshly built chain's state pytree (the treedef comes from the rebuilt
@@ -155,7 +216,9 @@ def load_session(path: str):
     carried — the caller must rebuild with ``ir_static_overrides`` or the
     state leaves will not fit.  ``noise_profiles`` maps effect_id -> the
     learned per-bin noise floor (rebuild with
-    ``profile_static_overrides``)."""
+    ``profile_static_overrides``; remap with ``remap_profiles`` when the
+    rebuild rate differs from ``meta["fs"]``).  ``meta`` is the raw
+    manifest dict (``fs``, ``gen``, ``format_version``, ...)."""
     with open(os.path.join(path, "session.json")) as f:
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
@@ -193,4 +256,4 @@ def load_session(path: str):
         return jax.tree.unflatten(treedef, cast)
 
     return (meta["chain_config"], meta["targets"], rebuild_state, custom_irs,
-            noise_profiles)
+            noise_profiles, meta)

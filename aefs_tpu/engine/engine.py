@@ -477,6 +477,7 @@ class AudioEngine:
                 )
                 irs = dict(self.custom_irs)
                 profiles = dict(self.noise_profiles)
+                fs = self.current_sample_rate
             state = runner.unpack_state(sgroups)
         # Config from the SNAPSHOTTED chain, not last_chain_config: a
         # concurrent build_chain updates the latter before its (seconds-
@@ -486,17 +487,24 @@ class AudioEngine:
         # ride along: the state's spec_hist leaves are shaped by them,
         # so a resume (even in-process) must rebuild with the same IR.
         save_session(path, chain.source_config, tmap, state, custom_irs=irs,
-                     noise_profiles=profiles)
+                     noise_profiles=profiles, fs=fs)
         return path
 
     def resume_session(self, path: str):
         """Rebuild the chain from a checkpoint and graft the saved audio
         state onto it — ring buffers, filter taps and phasors continue
         bit-exact.  Returns the restored chain config (for UI sync)."""
-        from aefs_tpu.engine.checkpoint import load_session
+        from aefs_tpu.engine.checkpoint import load_session, remap_profiles
 
         (chain_config, targets_map, rebuild_state, irs,
-         profiles) = load_session(path)
+         profiles, ck_meta) = load_session(path)
+        # Profile bins are fs-dependent; a checkpoint saved at another
+        # rate must re-bin them onto this engine's analysis grid (the
+        # state leaves themselves are fs-shaped and fail the rebuild
+        # shape check on mismatch, but profiles are shape-neutral and
+        # would silently gate the wrong frequencies).
+        profiles = remap_profiles(profiles, ck_meta.get("fs"),
+                                  self.current_sample_rate)
         # Restore the session's uploaded IRs BEFORE rebuilding: the saved
         # state's spec_hist leaves are shaped by the custom IR's length,
         # so a rebuild on the synthetic IR could never accept them.

@@ -119,7 +119,15 @@ class PlotAnalyzer:
         fs = self.fs
         hop = max(1, int(max(min_hop_s, (n / fs) / max_windows) * fs))
         n_win = max(1, -(-n // hop))
-        ends = np.minimum((np.arange(n_win) + 1) * hop, n)
+        # Pad the window COUNT to the next power of two: the vmap batch
+        # axis is baked into the compiled program, so an unpadded W would
+        # compile a fresh (W, FFT_SIZE) STFT kernel for every distinct
+        # file length on the upload path (seconds each on the TPU
+        # tunnel).  Buckets bound the variants to ~log2(max_windows); the
+        # duplicate tail rows (all analyzing the final window) are sliced
+        # off below.
+        w_pad = 1 << (n_win - 1).bit_length()
+        ends = np.minimum((np.arange(w_pad) + 1) * hop, n)
 
         out = {"hop_s": hop / fs, "freqs": self.plot_freqs}
         for name, sig in (("original", original), ("processed", processed)):
@@ -132,8 +140,8 @@ class PlotAnalyzer:
                 )
             )(jnp.asarray(frames))
             out[name] = {
-                "spectrum_db": np.asarray(specs).round(2).tolist(),
-                "chroma": np.asarray(chromas).round(4).tolist(),
+                "spectrum_db": np.asarray(specs)[:n_win].round(2).tolist(),
+                "chroma": np.asarray(chromas)[:n_win].round(4).tolist(),
             }
         return out
 

@@ -41,8 +41,13 @@ class BlockTimer:
     @contextlib.contextmanager
     def block(self):
         t0 = time.perf_counter()
-        yield
-        self.record(time.perf_counter() - t0)
+        try:
+            yield
+        finally:
+            # A block that RAISES still consumed wall time — usually the
+            # worst blocks (device errors, retries); skipping them would
+            # understate exactly the p99/xruns this timer exists to show.
+            self.record(time.perf_counter() - t0)
 
     def record(self, seconds: float):
         with self._lock:
