@@ -188,6 +188,12 @@ class AudioEngine:
         # ever waits for another enqueue, never for device compute.
         self._dispatch_lock = threading.Lock()
         self._param_lock = threading.Lock()  # serializes update_param writers
+        # Serializes plot-tap producers: the SPSC rings assume ONE
+        # producer, but the mic callback and the file-stream thread may
+        # both call process_stream_block concurrently (documented hot-path
+        # concurrency) — without this, two producers can tear a ring slot
+        # and desynchronize the input/output pair forever.
+        self._tap_lock = threading.Lock()
         self._targets_map = {}
         self._pending = None  # depth-1 pipeline: (chain, y, in-flight block)
         # Uploaded convreverb IRs: {effect_id: ((ch, n) float32, ir_fs)}.
@@ -588,8 +594,11 @@ class AudioEngine:
         block FOREVER (the sender drains between the two puts exactly as
         the rings are full: the input put then lands while the output put
         drops) — and the server's pair-drain assumes equal depths.  The
-        single-producer full() check is conservative-exact: only this
-        thread grows the rings."""
+        full() check is conservative-exact only from a SINGLE producer,
+        and the rings themselves are SPSC — but the mic callback and the
+        file-stream thread may overlap on the hot path, so ``_tap_lock``
+        serializes producers here (drains stay lock-free on the consumer
+        side)."""
         cap = self._noise_capture
         if cap is not None and not cap["done"].is_set():
             # learn_noise live capture: collect mono INPUT blocks host-side
@@ -601,12 +610,13 @@ class AudioEngine:
         fanned = (np.repeat(in_block, 2, axis=1)
                   if in_block.shape[1] == 1 else in_block)
         qin, qout = self.data_queues["input"], self.data_queues["output"]
-        try:
-            if not (qin.full() or qout.full()):
-                qin.put_nowait(fanned.copy())
-                qout.put_nowait(out.copy())
-        except queue.Full:  # ragged test blocks (BlockQueue shape guard)
-            pass
+        with self._tap_lock:
+            try:
+                if not (qin.full() or qout.full()):
+                    qin.put_nowait(fanned.copy())
+                    qout.put_nowait(out.copy())
+            except queue.Full:  # ragged test blocks (BlockQueue shape guard)
+                pass
 
     def process_stream_block_pipelined(self, in_block: np.ndarray) -> np.ndarray:
         """Depth-1 pipelined hot path: dispatch block k, return block k-1's

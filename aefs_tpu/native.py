@@ -33,11 +33,25 @@ def _build():
     # shared cache/NFS checkout can be loaded from a different CPU than the
     # one that built it, so ISA-specific codegen is opt-in
     # (AEFS_NATIVE_MARCH=native — or any -march= value — for hot local use).
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # Build to a per-pid temp name and os.replace into place: an
+    # interrupted or concurrent build must never leave a truncated .so at
+    # the final path — its mtime would be newer than the source, so the
+    # rebuild check would trust it forever and every consumer would fall
+    # back to Python silently.
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     march = os.environ.get("AEFS_NATIVE_MARCH", "")
     if march:
         cmd.insert(2, f"-march={march}")
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
@@ -101,7 +115,8 @@ def json_f32_array(arr) -> str:
     except Exception:
         vals = np.where(np.isfinite(arr), arr, 0.0)  # match the C path
         return "[" + ",".join(f"{float(v):.5g}" for v in vals) + "]"
-    buf = ctypes.create_string_buffer(arr.size * 16 + 2)
+    # +3, not +2: n=0 still writes '[', ']' and the terminating NUL
+    buf = ctypes.create_string_buffer(arr.size * 16 + 3)
     n = lib.json_f32_array(_f32p(arr), arr.size, buf)
     return buf.raw[:n].decode("ascii")
 
@@ -125,6 +140,21 @@ def i16_to_f32(arr):
         return arr.astype(np.float32) / 32768.0
     out = np.empty(arr.shape, np.float32)
     lib.i16_to_f32(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _f32p(out), arr.size)
+    return out
+
+
+def interleave(planes):
+    """(C, N) channel-major float32 planes -> (N, C) interleaved frames."""
+    planes = np.ascontiguousarray(planes, np.float32)
+    if planes.ndim != 2:
+        raise ValueError(f"interleave expects (C, N), got {planes.shape}")
+    c, n = planes.shape
+    try:
+        lib = _load()
+    except Exception:
+        return np.ascontiguousarray(planes.T)
+    out = np.empty((n, c), np.float32)
+    lib.interleave_f32(_f32p(planes), _f32p(out), c, n)
     return out
 
 
@@ -161,10 +191,18 @@ class SpscRing:
     queue.Queue, core.py:99-106 / backend.py:80-83)."""
 
     def __init__(self, block_floats: int, capacity: int):
+        self._h = None  # __del__ must be safe if init raises below
         self._lib = _load()
         self.block_floats = int(block_floats)
         self.capacity = int(capacity)
+        if self.block_floats <= 0 or self.capacity <= 0:
+            raise ValueError(
+                f"SpscRing needs positive sizes, got block_floats="
+                f"{self.block_floats}, capacity={self.capacity}")
         self._h = self._lib.ring_create(self.block_floats, self.capacity)
+        if not self._h:  # C side also rejects overflow/alloc failure
+            raise MemoryError(
+                f"ring_create({self.block_floats}, {self.capacity}) failed")
 
     def push(self, block) -> bool:
         block = np.ascontiguousarray(block, np.float32)
@@ -185,7 +223,8 @@ class SpscRing:
 
     def __del__(self):
         try:
-            self._lib.ring_destroy(self._h)
+            if self._h:
+                self._lib.ring_destroy(self._h)
         except Exception:
             pass
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import os
 import threading
-from http.server import HTTPServer, SimpleHTTPRequestHandler
+from http.server import ThreadingHTTPServer, SimpleHTTPRequestHandler
 
 from aefs_tpu.core.config import (
     EFFECT_DEFAULTS,
@@ -58,7 +58,9 @@ class Handler(SimpleHTTPRequestHandler):
 
 
 def serve(port=8050, blocking=True):
-    httpd = HTTPServer(("0.0.0.0", port), Handler)
+    # Threading: a single stalled client connection must not block
+    # index.html/assets/config.json for every other tab.
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     print(f"UI server on http://0.0.0.0:{port}")
     if blocking:
         httpd.serve_forever()

@@ -22,7 +22,8 @@ extern "C" {
 // ---------------------------------------------------------------- JSON ----
 
 // Serialize n float32s as a JSON array fragment "[v0,v1,...]" into out.
-// Returns bytes written (excluding NUL). out must hold >= n*16 + 2 bytes.
+// Returns bytes written (excluding NUL). out must hold >= n*16 + 3 bytes
+// (n=0 still writes '[', ']' and the NUL — 3 bytes).
 // Values are formatted with %.5g — plenty for plot pixels, ~3x smaller
 // payloads than repr() doubles.
 int64_t json_f32_array(const float* data, int64_t n, char* out) {
@@ -92,14 +93,21 @@ int64_t b64_encode(const uint8_t* in, int64_t n, char* out) {
     return (int64_t)(p - out);
 }
 
-int64_t b64_decode(const char* in, int64_t n, uint8_t* out) {
-    static int8_t T[256];
-    static bool init = false;
-    if (!init) {
-        memset(T, -1, sizeof(T));
-        for (int k = 0; k < 64; ++k) T[(uint8_t)B64E[k]] = (int8_t)k;
-        init = true;
+// Decode table built by a function-local static constructor: C++11
+// guarantees thread-safe one-time init (the previous plain `static bool
+// init` guard was a data race when two threads decoded first uploads
+// concurrently — a partially filled table silently drops valid chars).
+struct B64Table {
+    int8_t t[256];
+    B64Table() {
+        memset(t, -1, sizeof(t));
+        for (int k = 0; k < 64; ++k) t[(uint8_t)B64E[k]] = (int8_t)k;
     }
+};
+
+int64_t b64_decode(const char* in, int64_t n, uint8_t* out) {
+    static const B64Table TBL;
+    const int8_t* T = TBL.t;
     uint8_t* p = out;
     uint32_t acc = 0;
     int bits = 0;
@@ -132,9 +140,20 @@ struct SpscRing {
     std::atomic<int64_t> dropped;
 };
 
+// Returns NULL on invalid sizes or allocation failure (capacity 0 would
+// make ring_push/ring_pop divide by zero; an overflowing size would
+// malloc short and memcpy past it).
 SpscRing* ring_create(int64_t block_floats, int64_t capacity) {
+    if (block_floats <= 0 || capacity <= 0) return nullptr;
+    // Division-based bound check BEFORE the multiply: signed overflow is
+    // UB, so a post-multiply `total / capacity != block_floats` test gets
+    // optimized away at -O3.  Cap 2^31 floats (8 GB) — far past any ring.
+    if (block_floats > ((int64_t)1 << 31) / capacity) return nullptr;
+    int64_t total = block_floats * capacity;
+    float* data = (float*)malloc(sizeof(float) * (size_t)total);
+    if (!data) return nullptr;
     SpscRing* r = new SpscRing();
-    r->data = (float*)malloc(sizeof(float) * block_floats * capacity);
+    r->data = data;
     r->block_floats = block_floats;
     r->capacity = capacity;
     r->head.store(0);

@@ -72,6 +72,13 @@ def run_services(backend_port: int, ui_port: int):
     except KeyboardInterrupt:
         print("\nShutting down...")
     finally:
+        # Mask BOTH signals unconditionally before touching the children:
+        # the one-shot SIGTERM handler only covers the SIGTERM->SIGTERM
+        # case — a Ctrl-C-initiated teardown interrupted by SIGTERM (or a
+        # second Ctrl-C) would otherwise abandon the cleanup mid-loop and
+        # leak the backend holding the TPU.
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
         for p in procs.values():
             if p.poll() is None:
                 p.send_signal(signal.SIGTERM)

@@ -29,6 +29,33 @@ def test_json_f32_array_parses_and_matches():
     assert np.max(np.abs(parsed[ok] - arr[ok].astype(np.float64))) < 1e-4
 
 
+def test_json_f32_array_empty():
+    """n=0 still writes '[' ']' NUL — 3 bytes; the buffer must cover it
+    (was a 1-byte heap overflow with the n*16+2 sizing)."""
+    assert native.json_f32_array(np.zeros(0, np.float32)) == "[]"
+    assert json.loads(native.json_f32_array(np.zeros(0, np.float32))) == []
+
+
+def test_interleave_matches_transpose():
+    planes = RNG.standard_normal((2, 777)).astype(np.float32)
+    out = native.interleave(planes)
+    assert out.shape == (777, 2)
+    np.testing.assert_array_equal(out, planes.T)
+    with pytest.raises(ValueError):
+        native.interleave(np.zeros(5, np.float32))
+
+
+def test_spsc_ring_rejects_bad_sizes():
+    """capacity<=0 would divide by zero inside ring_push (SIGFPE, hard
+    process crash); the constructor must reject it cleanly instead."""
+    with pytest.raises(ValueError):
+        native.SpscRing(512, 0)
+    with pytest.raises(ValueError):
+        native.SpscRing(0, 4)
+    with pytest.raises((ValueError, MemoryError)):
+        native.SpscRing(2**40, 2**40)  # size overflow
+
+
 def test_json_speed_beats_stdlib():
     arr = RNG.standard_normal(200_000).astype(np.float32)
     t0 = time.perf_counter()
