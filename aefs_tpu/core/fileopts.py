@@ -41,8 +41,15 @@ def file_static_overrides(effects_config):
                 "file_offset_ms": off,
             }
         elif etype == "octaver":
+            # Clamp through the ParamSpec like the delay's lags: the
+            # streaming target is the clamped value, and an out-of-range
+            # baked static would size the resample geometry from a ratio
+            # the runtime never uses.
+            from aefs_tpu.models.octaver import Octaver
+
             overrides[eid] = {
-                "file_semitones": float(params.get("semitones", -12.0)),
+                "file_semitones": Octaver.PARAMS["semitones"].clamp(
+                    float(params.get("semitones", -12.0))),
             }
         elif etype == "reverb":
             # file_mode lets the model validate the comb topology against

@@ -15,8 +15,15 @@ sub-chain per band:
 whose branches start with the splitter biquads, so EVERY existing
 mechanism — build_chain, the whole-file fast path, lifted live params,
 the pool, checkpoints, the SPA's parallel-branch cards — applies
-unchanged, and the crossover points are themselves live smoothed
-parameters (retarget ``b0_0_cutoff_hz`` to move the split).
+unchanged.  The crossover points are live smoothed parameters, but the
+LR4 flatness identity holds only while EVERY splitter stage at a split
+moves in lockstep: to retune the 2-band split retarget all four of
+``b0_0_cutoff_hz``/``b0_1_cutoff_hz``/``b1_0_cutoff_hz``/
+``b1_1_cutoff_hz`` to the same value (3-band: the six f1 stages
+``b0_0, b0_1, b1_0, b1_1, b2_0, b2_1``, or the f2 stages
+``b0_2, b1_2, b1_3, b2_2, b2_3``).  Moving a single stage detunes one
+branch's poles against its complement and ripples the summed magnitude
+around the split.
 
 Splitter topology (LR4 = two cascaded Butterworth Q=1/sqrt(2) biquads
 per side; models/biquad.py types 0/1/6):
@@ -68,28 +75,38 @@ def expand_multiband(cfg: dict) -> dict:
             f"(crossover_hz={xover!r})"
         )
     branches += [[] for _ in range(n_bands - len(branches))]
-    eid = cfg.get("effect_id", "mb")
+    # Preserve the ABSENCE of effect_id: build_chain and fileopts both
+    # fall back to the positional fx{i} for anonymous configs, and the
+    # expansion must not desync them (an invented 'mb' id here made
+    # fileopts key the file_mode override as fx{i} while build_chain
+    # looked up 'mb' — anonymous multibands lost their file-mode statics
+    # and failed whole-file renders).  The tag only names the internal
+    # splitter stages.
+    eid = cfg.get("effect_id")
+    tag = eid or "mb"
 
     if n_bands == 2:
         f1 = xover[0]
         splits = [
-            [_stage(f"{eid}_lp1", 0, f1), _stage(f"{eid}_lp2", 0, f1)],
-            [_stage(f"{eid}_hp1", 1, f1), _stage(f"{eid}_hp2", 1, f1)],
+            [_stage(f"{tag}_lp1", 0, f1), _stage(f"{tag}_lp2", 0, f1)],
+            [_stage(f"{tag}_hp1", 1, f1), _stage(f"{tag}_hp2", 1, f1)],
         ]
     else:
         f1, f2 = xover
         splits = [
-            [_stage(f"{eid}_l1", 0, f1), _stage(f"{eid}_l2", 0, f1),
-             _stage(f"{eid}_lap", 6, f2)],
-            [_stage(f"{eid}_m1", 1, f1), _stage(f"{eid}_m2", 1, f1),
-             _stage(f"{eid}_m3", 0, f2), _stage(f"{eid}_m4", 0, f2)],
-            [_stage(f"{eid}_h1", 1, f1), _stage(f"{eid}_h2", 1, f1),
-             _stage(f"{eid}_h3", 1, f2), _stage(f"{eid}_h4", 1, f2)],
+            [_stage(f"{tag}_l1", 0, f1), _stage(f"{tag}_l2", 0, f1),
+             _stage(f"{tag}_lap", 6, f2)],
+            [_stage(f"{tag}_m1", 1, f1), _stage(f"{tag}_m2", 1, f1),
+             _stage(f"{tag}_m3", 0, f2), _stage(f"{tag}_m4", 0, f2)],
+            [_stage(f"{tag}_h1", 1, f1), _stage(f"{tag}_h2", 1, f1),
+             _stage(f"{tag}_h3", 1, f2), _stage(f"{tag}_h4", 1, f2)],
         ]
 
-    return {
-        "effect_id": eid,
+    out = {
         "type": "parallel",
         "branches": [sp + list(user) for sp, user in zip(splits, branches)],
         "params": dict(cfg.get("params", {})),
     }
+    if eid is not None:
+        out["effect_id"] = eid
+    return out

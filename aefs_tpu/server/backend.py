@@ -38,6 +38,29 @@ SEND_ANALYSIS = os.environ.get("AEFS_SERVER_ANALYSIS", "1") == "1"
 STEREO_PLOTS = os.environ.get("AEFS_STEREO_PLOTS", "0") == "1"
 
 
+def _session_path(requested) -> str:
+    """Confine client-supplied checkpoint names to AEFS_SESSIONS_DIR.
+
+    The server listens unauthenticated (0.0.0.0): a raw filesystem path
+    from the wire would let whichever host claims the single client slot
+    write checkpoint data at any writable path and read back any
+    checkpoint-shaped file.  ``path`` in the protocol is therefore a
+    NAME (or relative subpath) under the sessions directory — absolute
+    paths and ``..`` escapes are rejected."""
+    base = os.path.abspath(
+        os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"))
+    name = str(requested) if requested else "session"
+    if os.path.isabs(name):
+        raise ValueError(
+            "session path must be a name under AEFS_SESSIONS_DIR, "
+            f"not an absolute path: {name!r}")
+    p = os.path.abspath(os.path.join(base, name))
+    if p != base and not p.startswith(base + os.sep):
+        raise ValueError(
+            f"session path escapes AEFS_SESSIONS_DIR: {name!r}")
+    return p
+
+
 def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None,
                          stereo_in=False):
     """Concatenate queued blocks and serialize the plot payload — CPU-heavy,
@@ -46,8 +69,12 @@ def serialize_audio_data(in_frames, out_frames, sample_rate, analysis=None,
     (~10x faster than json.dumps of Python lists)."""
     from aefs_tpu import native
 
-    in_chunk = np.concatenate(in_frames)
-    out_chunk = np.concatenate(out_frames)
+    # Accept pre-concatenated arrays (the analyzer path already paid for
+    # the concatenate — don't repeat it on the executor hot path).
+    in_chunk = (in_frames if isinstance(in_frames, np.ndarray)
+                else np.concatenate(in_frames))
+    out_chunk = (out_frames if isinstance(out_frames, np.ndarray)
+                 else np.concatenate(out_frames))
     head = {"type": "plot_data", "sample_rate": sample_rate}
     if analysis is not None:
         head["analysis"] = analysis
@@ -92,21 +119,20 @@ async def data_sender(websocket, data_queues, audio_engine, analyzer=None):
         n = min(len(in_frames), len(out_frames))
         in_frames, out_frames = in_frames[:n], out_frames[:n]
 
+        in_chunk = np.concatenate(in_frames)
+        out_chunk = np.concatenate(out_frames)
         analysis = None
         if analyzer is not None:
             try:
                 if analyzer.fs != audio_engine.current_sample_rate:
                     # Sample-rate renegotiation: rebuild the analysis maps.
                     analyzer.__init__(audio_engine.current_sample_rate)
-                analysis = analyzer.update(
-                    np.concatenate(in_frames)[:, 0],
-                    np.concatenate(out_frames)[:, 0],
-                )
+                analysis = analyzer.update(in_chunk[:, 0], out_chunk[:, 0])
             except Exception:
                 analysis = None
         return serialize_audio_data(
-            in_frames,
-            out_frames,
+            in_chunk,
+            out_chunk,
             audio_engine.current_sample_rate,
             analysis,
             CHANNELS_IN > 1,
@@ -382,11 +408,10 @@ async def handler(websocket):
                 elif command == "save_session":
                     # Additive extension: durable server-side session
                     # checkpoint (chain config + targets + audio state).
-                    path = cmd.get("path") or os.path.join(
-                        os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"),
-                        "session",
-                    )
+                    raw_path = cmd.get("path")
+                    path = None
                     try:
+                        path = _session_path(raw_path)
                         await asyncio.get_running_loop().run_in_executor(
                             None, audio_engine.save_session, path
                         )
@@ -399,14 +424,13 @@ async def handler(websocket):
                         print(f"Error saving session: {e}")
                         await websocket.send(json.dumps(
                             {"type": "session_saved", "ok": False,
-                             "path": path, "error": str(e)}
+                             "path": path or str(raw_path), "error": str(e)}
                         ))
                 elif command == "resume_session":
-                    path = cmd.get("path") or os.path.join(
-                        os.environ.get("AEFS_SESSIONS_DIR", ".aefs_sessions"),
-                        "session",
-                    )
+                    raw_path = cmd.get("path")
+                    path = None
                     try:
+                        path = _session_path(raw_path)
                         cfg = await asyncio.get_running_loop().run_in_executor(
                             None, audio_engine.resume_session, path
                         )
@@ -419,7 +443,7 @@ async def handler(websocket):
                         print(f"Error resuming session: {e}")
                         await websocket.send(json.dumps(
                             {"type": "session_resumed", "ok": False,
-                             "path": path, "error": str(e)}
+                             "path": path or str(raw_path), "error": str(e)}
                         ))
                 elif command == "get_stats":
                     # Additive protocol extension: operational metrics
@@ -442,16 +466,27 @@ async def handler(websocket):
             except Exception as e:
                 print(f"Error processing command: {e}")
     finally:
-        # close() (not just stop_stream) breaks the session chain's
-        # jit-cache cycle: gc is disabled, so a plain drop would leak the
-        # chain + compiled executables on every client churn.  Engine /
-        # sender may not exist if the build itself failed — the slot must
-        # free regardless.
-        if audio_engine is not None:
-            audio_engine.close()
+        # Free the single-client slot FIRST and unconditionally: any
+        # exception from the engine teardown below (e.g. a PortAudio
+        # device that vanished mid-stream) must never leave a dead
+        # websocket registered — that lockout rejected every future
+        # client until a server restart.
+        connected_client = None
         if sender_task is not None:
             sender_task.cancel()
-        connected_client = None
+        # close() (not just stop_stream) breaks the session chain's
+        # jit-cache cycle: gc is disabled, so a plain drop would leak the
+        # chain + compiled executables on every client churn.  It can
+        # block up to 30 s joining a wedged file-stream thread, so it
+        # runs on the executor for the same reason the 'stop' command
+        # does (inline it would stall keepalive pings and new
+        # handshakes).  Engine may not exist if the build itself failed.
+        if audio_engine is not None:
+            try:
+                await asyncio.get_running_loop().run_in_executor(
+                    None, audio_engine.close)
+            except Exception as e:
+                print(f"Error closing engine on disconnect: {e}")
         print("Disconnected from frontend client")
 
 

@@ -111,6 +111,41 @@ def test_multiband_fast_path_and_streaming_consistent():
         assert gap < 10 ** (-30 / 20.0), (name, 20 * np.log10(gap))
 
 
+def test_anonymous_multiband_gets_file_mode_overrides():
+    """A multiband WITHOUT an effect_id must still receive its file-mode
+    static overrides: build_chain and fileopts both fall back to the
+    positional fx{i} id, and the expansion must not desync them (it
+    previously invented the id 'mb', so the file_mode flag keyed as fx0
+    never reached the container — a branch delay then failed whole-file
+    renders outright).  With and without an id must render bitwise
+    identically."""
+    from aefs_tpu.core.fileopts import file_static_overrides
+
+    x = noise(8 * 4096)
+
+    def cfg(with_id):
+        base = {"type": "multiband", "crossover_hz": [250.0],
+                "branches": [[{"effect_id": "bd", "type": "delay",
+                               "params": {"delay_ms": 120.0,
+                                          "feedback": 0.4,
+                                          "mix_dry": 1.0, "mix_wet": 0.6,
+                                          "offset_ms": 0.0}}], []]}
+        if with_id:
+            base["effect_id"] = "m"
+        return [base]
+
+    outs = []
+    for with_id in (True, False):
+        c = cfg(with_id)
+        chain, state, tmap = build_chain(
+            c, FS, 4096, channels_in=x.shape[1],
+            static_overrides=file_static_overrides(c))
+        _, out = chain.process_array(state, chain.targets(tmap), x,
+                                     fast=True)
+        outs.append(np.asarray(out))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_expand_validation():
     with pytest.raises(ValueError):
         expand_multiband({"crossover_hz": [2500.0, 250.0]})  # descending

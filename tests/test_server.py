@@ -95,10 +95,13 @@ def test_ws_protocol_round_trip(tmp_path):
     asyncio.run(scenario())
 
 
-def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
+def test_ws_session_checkpoint_and_bpm_sync(tmp_path, monkeypatch):
     """Additive protocol commands: save_session/resume_session round trip
-    (server-side durable checkpoints) and sync_delay_bpm routing."""
+    (server-side durable checkpoints) and sync_delay_bpm routing.  The
+    wire ``path`` is a NAME confined under AEFS_SESSIONS_DIR — the server
+    is unauthenticated, so raw filesystem paths are rejected."""
     websockets = pytest.importorskip("websockets")
+    monkeypatch.setenv("AEFS_SESSIONS_DIR", str(tmp_path))
 
     async def scenario():
         import websockets as ws
@@ -130,7 +133,7 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                     "command": "sync_lfo_bpm", "effect_id": "t1",
                     "bpm": 120, "division": 1.0}))
                 await client.send(json.dumps({
-                    "command": "save_session", "path": sess}))
+                    "command": "save_session", "path": "sess"}))
                 for _ in range(30):
                     msg = json.loads(await asyncio.wait_for(client.recv(), 60))
                     if msg["type"] == "session_saved":
@@ -140,7 +143,7 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                 assert msg["path"] == sess
 
                 await client.send(json.dumps({
-                    "command": "resume_session", "path": sess}))
+                    "command": "resume_session", "path": "sess"}))
                 for _ in range(30):
                     msg = json.loads(await asyncio.wait_for(client.recv(), 60))
                     if msg["type"] == "session_resumed":
@@ -160,7 +163,7 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                 # the client must be TOLD it failed (the UI status line
                 # would otherwise sit on "resuming…" forever)
                 await client.send(json.dumps({
-                    "command": "resume_session", "path": str(tmp_path / "no")}))
+                    "command": "resume_session", "path": "no"}))
                 for _ in range(30):
                     msg = json.loads(await asyncio.wait_for(client.recv(), 60))
                     if msg["type"] == "session_resumed":
@@ -168,6 +171,21 @@ def test_ws_session_checkpoint_and_bpm_sync(tmp_path):
                 else:
                     raise AssertionError("no failure response after bad resume")
                 assert msg["ok"] is False and msg.get("error")
+
+                # absolute paths and .. escapes are rejected (the server
+                # is unauthenticated: no arbitrary filesystem access)
+                for bad in ("/etc/passwd_dir", "../outside"):
+                    await client.send(json.dumps({
+                        "command": "save_session", "path": bad}))
+                    for _ in range(30):
+                        msg = json.loads(
+                            await asyncio.wait_for(client.recv(), 60))
+                        if msg["type"] == "session_saved":
+                            break
+                    else:
+                        raise AssertionError("no reply for bad path")
+                    assert msg["ok"] is False and "AEFS_SESSIONS_DIR" in (
+                        msg.get("error") or "")
                 await client.send(json.dumps({"command": "get_stats"}))
                 for _ in range(30):
                     msg = json.loads(await asyncio.wait_for(client.recv(), 60))
