@@ -795,9 +795,15 @@ class AudioEngine:
                 if not stop.is_set():
                     self.is_running = False
 
-        self._file_thread = threading.Thread(target=run, daemon=True)
+        # Start BEFORE publishing: a concurrent stop_stream that sees the
+        # attribute joins it, and joining a not-yet-started thread raises.
+        # A stop landing inside this window instead sees the previous value
+        # (None / a finished thread) and the start wins the race — the same
+        # loose stop-vs-start semantics the pre-create window already has.
+        t = threading.Thread(target=run, daemon=True)
         self.is_running = True
-        self._file_thread.start()
+        t.start()
+        self._file_thread = t
         return True
 
     def set_devices(self, in_index, out_index):

@@ -225,3 +225,72 @@ def test_randomized_concurrency_hammer():
     finally:
         if was_enabled:
             gc.enable()
+
+
+def test_stop_during_file_stream_start(monkeypatch):
+    """``stop_stream`` racing ``start_file_stream``'s thread creation.
+
+    The file thread used to be published on ``self._file_thread`` BEFORE
+    ``.start()``; a concurrent ``stop_stream`` landing in that two-line
+    window joined a not-yet-started thread -> ``RuntimeError: cannot
+    join thread before it is started`` (caught live by the randomized
+    hammer).  The fix publishes only started threads, so a stop in the
+    window sees the previous value and the start wins — same loose
+    stop-vs-start semantics as the pre-create window.  This test holds
+    the engine INSIDE ``Thread.start`` with a gate and fires
+    ``stop_stream`` from the main thread while it's held.
+    """
+    import base64
+
+    import aefs_tpu.engine.engine as E
+    from aefs_tpu.engine.wavio import encode_wav_int16
+
+    eng = AudioEngine()
+    eng.build_chain(CHAIN_A)
+    wav = encode_wav_int16(
+        (0.2 * np.random.default_rng(0).standard_normal((1024, 1))
+         ).astype(np.float32), 48000)
+    url = "data:audio/wav;base64," + base64.b64encode(wav).decode()
+
+    real_thread = threading.Thread
+    in_start = threading.Event()   # the engine reached Thread.start
+    gate = threading.Event()       # the test releases the start
+
+    class GatedThread(real_thread):
+        def start(self):
+            in_start.set()
+            gate.wait(timeout=30)
+            real_thread.start(self)
+
+    errs = []
+
+    def starter():
+        try:
+            assert eng.start_file_stream(url, realtime=False)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    monkeypatch.setattr(E.threading, "Thread", GatedThread)
+    try:
+        w = real_thread(target=starter, daemon=True)
+        w.start()
+        assert in_start.wait(timeout=30), "engine never reached start()"
+        # The window is open: the thread object exists but is unstarted.
+        eng.stop_stream()  # used to raise RuntimeError here
+    finally:
+        gate.set()
+        monkeypatch.undo()
+    w.join(timeout=30)
+    assert not w.is_alive() and not errs, errs
+    # Drain to the terminator: the stream plays out (start won the race).
+    seen = 0
+    while True:
+        item = eng.playback_queue.get(timeout=30)
+        if item is None:
+            break
+        seen += 1
+    assert seen == 1024 // 256
+    eng.stop_stream()
+    out = eng.process_stream_block(_block())
+    assert out.shape == (256, 2) and np.all(np.isfinite(out))
+    eng.close()
